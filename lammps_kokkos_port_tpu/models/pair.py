@@ -1,0 +1,152 @@
+"""Generic pair-style compute engine over the padded neighbor matrix.
+
+TPU-native analog of the reference's Kokkos pair functor framework
+(ref: src/KOKKOS/pair_kokkos.h PairComputeFunctor): a pair style supplies a
+per-pair closure (fpair, evdwl) over (r^2, type_i, type_j); this module owns
+the gather / mask / reduce skeleton. We use FULL neighbor lists with Newton
+off — each atom accumulates its own force, no scatter — which is the
+reference's preferred GPU mode (ref: src/KOKKOS/kokkos.cpp:260-275) and the
+natural race-free TPU mapping.
+
+Energy and virial are tallied per-pair with a 0.5 weight (each pair visited
+twice), matching the FULL-list tally convention
+(ref: src/KOKKOS/pair_kokkos.h ev_tally FULL path). The virial is the
+Voigt 6-vector (xx, yy, zz, xy, xz, yz) as in src/pair.cpp virial tally.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import State
+from ..ops.neighbor import NeighborList
+
+Array = jax.Array
+
+
+class PairStyle(Protocol):
+    """Interface every pair style implements (analog of the Pair virtuals,
+    ref: src/pair.h:155-229).
+
+    Styles with simple per-pair closed forms implement `pair_terms` and get
+    the shared gather/mask/reduce skeleton via `compute` below; many-body
+    styles (EAM, Tersoff, SNAP) implement their own `compute` with the same
+    signature.
+    """
+
+    ntypes: int
+
+    def cutsq_table(self) -> Array:
+        """[ntypes+1, ntypes+1] squared force cutoffs (0 row/col unused)."""
+        ...
+
+    def max_cutoff(self) -> float:
+        """Largest force cutoff (host-side; feeds the neighbor skin)."""
+        ...
+
+    def compute(self, state, nl, eflag: bool, vflag: bool):
+        """Returns (f [cap,3], evdwl scalar | None, virial [6] | None)."""
+        ...
+
+    def pair_terms(self, r2: Array, ti: Array, tj: Array, eflag: bool):
+        """Per-pair force/energy: returns (fpair, evdwl) with fpair = -dE/dr / r
+        so that f_i += fpair * dx. evdwl may be None when eflag is False."""
+        ...
+
+
+def gather_pairs(state: State, nl: NeighborList):
+    """Shared neighbor gather: returns (j, jc, pair_valid, dx, r2)."""
+    cap = state.capacity
+    j = nl.idx
+    jc = jnp.clip(j, 0, cap - 1)
+    pair_valid = j < cap
+    xi = state.x[:, None, :]
+    xj = state.x[jc]
+    dx = state.box.min_image(xi - xj)
+    r2 = jnp.sum(dx * dx, axis=-1)
+    return j, jc, pair_valid, dx, r2
+
+
+def tally_virial(fpair: Array, dx: Array) -> Array:
+    """Voigt virial from per-pair scalar forces (0.5 weight, FULL lists)."""
+    w = 0.5 * fpair
+    return jnp.stack([
+        jnp.sum(w * dx[..., 0] * dx[..., 0]),
+        jnp.sum(w * dx[..., 1] * dx[..., 1]),
+        jnp.sum(w * dx[..., 2] * dx[..., 2]),
+        jnp.sum(w * dx[..., 0] * dx[..., 1]),
+        jnp.sum(w * dx[..., 0] * dx[..., 2]),
+        jnp.sum(w * dx[..., 1] * dx[..., 2]),
+    ])
+
+
+def compute(
+    style: PairStyle,
+    state: State,
+    nl: NeighborList,
+    eflag: bool = False,
+    vflag: bool = False,
+):
+    """Evaluate forces (and optionally energy/virial) for a simple pair style.
+
+    Returns (f [cap,3], evdwl scalar | None, virial [6] | None).
+    """
+    cap = state.capacity
+    j, jc, pair_valid, dx, r2 = gather_pairs(state, nl)
+
+    if style.ntypes == 1:
+        ti = None
+        tj = None
+        cutsq = style.cutsq_table()[1, 1]
+    else:
+        ti = state.type[:, None]
+        tj = state.type[jc]
+        cutsq = style.cutsq_table()[ti, tj]
+
+    valid = pair_valid & (r2 < cutsq)
+    r2_safe = jnp.where(valid, r2, jnp.ones((), dtype=r2.dtype))
+
+    fpair, evdwl = style.pair_terms(r2_safe, ti, tj, eflag)
+    fpair = jnp.where(valid, fpair, 0.0)
+
+    f = jnp.sum(dx * fpair[..., None], axis=1)
+
+    pe = None
+    if eflag:
+        e = jnp.where(valid, evdwl, 0.0)
+        pe = 0.5 * jnp.sum(e)
+
+    virial = None
+    if vflag:
+        virial = tally_virial(fpair, dx)
+
+    return f, pe, virial
+
+
+def mix_epsilon(e1, e2, s1, s2, style: str) -> float:
+    """Pair coeff mixing for epsilon (ref: src/pair.cpp:705 mix_energy)."""
+    import math
+
+    if style in ("geometric", "arithmetic"):
+        return math.sqrt(e1 * e2)
+    if style == "sixthpower":
+        return (
+            2.0 * math.sqrt(e1 * e2) * s1**3 * s2**3 / (s1**6 + s2**6)
+        )
+    raise ValueError(f"unknown mix style {style!r}")
+
+
+def mix_sigma(s1, s2, style: str) -> float:
+    """Pair coeff mixing for sigma (ref: src/pair.cpp:723 mix_distance)."""
+    import math
+
+    if style == "geometric":
+        return math.sqrt(s1 * s2)
+    if style == "arithmetic":
+        return 0.5 * (s1 + s2)
+    if style == "sixthpower":
+        return (0.5 * (s1**6 + s2**6)) ** (1.0 / 6.0)
+    raise ValueError(f"unknown mix style {style!r}")

@@ -1,0 +1,216 @@
+"""Simulation driver: the `run` command / library-API analog.
+
+Mirrors the reference's Run::command -> Verlet::setup -> Verlet::run flow
+(ref: src/run.cpp:37, src/verlet.cpp:93,229) with the TPU-native structure:
+the hot loop is a jitted lax.scan segment; the host only orchestrates
+segment boundaries (thermo output) and the neighbor-capacity
+overflow-retry loop (the XLA analog of the Kokkos grow-and-rerun idiom,
+ref: src/KOKKOS/npair_kokkos.cpp:225-330).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .compute import thermo as thermo_mod
+from .core.state import State
+from .integrate.verlet import Integrator, make_step
+from .models import pair as pair_mod
+from .ops import neighbor as nbr
+from .utils.units import Units, get_units
+
+
+class Simulation:
+    """Owns state + styles + the compiled step; the `class LAMMPS` analog
+    scoped to one run configuration (ref: src/lammps.h:24-109 for the role,
+    src/library.cpp for the API surface this mirrors)."""
+
+    def __init__(
+        self,
+        state: State,
+        pair_style,
+        dt: float | None = None,
+        integrator_cls=Integrator,
+        integrator_kwargs: dict | None = None,
+        skin: float | None = None,
+        neigh_every: int = 1,
+        neigh_delay: int = 0,
+        neigh_check: bool = True,
+        extra_dof: int | None = None,
+    ):
+        self.state = state
+        self.pair_style = pair_style
+        self.units: Units = get_units(state.units_name)
+        self.dt = float(dt) if dt is not None else self.units.dt
+        self.skin = float(skin) if skin is not None else self.units.skin
+        self.neigh_every = neigh_every
+        self.neigh_delay = neigh_delay
+        self.neigh_check = neigh_check
+        self.extra_dof = extra_dof
+        ikw = integrator_kwargs or {}
+        self.integrator = integrator_cls(dt=self.dt, units=self.units, **ikw)
+
+        self.nl: nbr.NeighborList | None = None
+        self.ntimestep = 0
+        self._segment_cache: dict = {}
+        self.last_loop_time = 0.0
+
+    # -- forces -------------------------------------------------------------
+
+    def force_fn(self, state: State, nl, eflag: bool, vflag: bool):
+        return self.pair_style.compute(state, nl, eflag, vflag)
+
+    # -- setup (ref: Verlet::setup, src/verlet.cpp:93) ----------------------
+
+    def setup(self):
+        cutneigh = self.pair_style.max_cutoff() + self.skin
+        params = nbr.size_for_system(
+            self.state,
+            cutneigh=cutneigh,
+            skin=self.skin,
+            every=self.neigh_every,
+            delay=self.neigh_delay,
+            check=self.neigh_check,
+        )
+        x, image = self.state.box.wrap(self.state.x, self.state.image)
+        self.state = self.state.replace(x=x, image=image)
+        self.nl = nbr.build(self.state, params)
+        self._check_overflow_and_grow()
+        f, _, _ = self.force_fn(self.state, self.nl, False, False)
+        self.state = self.state.replace(f=f)
+        self._segment_cache.clear()
+
+    def _check_overflow_and_grow(self, max_tries: int = 8):
+        for _ in range(max_tries):
+            if not bool(jax.device_get(self.nl.overflow)):
+                return
+            params = nbr.grow(self.nl.params)
+            self.nl = nbr.build(self.state, params)
+        raise RuntimeError("neighbor capacity growth did not converge")
+
+    # -- run ----------------------------------------------------------------
+
+    def _get_segment_runner(self):
+        key = (self.nl.params, self.state.capacity)
+        runner = self._segment_cache.get(key)
+        if runner is None:
+            step = make_step(self.integrator, self.force_fn)
+
+            def run_segment(state, nl, nsteps: int):
+                def body(carry, _):
+                    s, l = step(*carry)
+                    return (s, l), None
+
+                (state, nl), _ = jax.lax.scan(
+                    body, (state, nl), None, length=nsteps
+                )
+                return state, nl
+
+            runner = jax.jit(run_segment, static_argnums=2)
+            self._segment_cache[key] = runner
+        return runner
+
+    def run(
+        self,
+        nsteps: int,
+        thermo_every: int = 0,
+        on_thermo: Callable[[int, dict], None] | None = None,
+        print_thermo: bool = False,
+    ) -> list[dict]:
+        """Advance nsteps; emit thermo rows at the cadence (incl. first/last),
+        like Output::setup/write (ref: src/output.cpp:189,339)."""
+        if self.nl is None:
+            self.setup()
+
+        rows = []
+
+        def emit(step_no):
+            row = self.thermo()
+            row["step"] = step_no
+            rows.append(row)
+            if print_thermo:
+                _print_thermo_row(row)
+            if on_thermo is not None:
+                on_thermo(step_no, row)
+
+        t0 = time.perf_counter()
+        emit(self.ntimestep)
+
+        done = 0
+        while done < nsteps:
+            if thermo_every > 0:
+                next_out = min(
+                    nsteps, ((done // thermo_every) + 1) * thermo_every
+                )
+            else:
+                next_out = nsteps
+            seg = next_out - done
+            self._run_segment_retry(seg)
+            done = next_out
+            self.ntimestep += seg
+            emit(self.ntimestep)
+
+        self.state.x.block_until_ready()
+        self.last_loop_time = time.perf_counter() - t0
+        return rows
+
+    def _run_segment_retry(self, seg: int, max_tries: int = 8):
+        snap_state, snap_nl = self.state, self.nl
+        for _ in range(max_tries):
+            runner = self._get_segment_runner()
+            state, nl = runner(self.state, self.nl, seg)
+            if not bool(jax.device_get(nl.overflow)):
+                self.state, self.nl = state, nl
+                return
+            # capacity overflow inside the segment: grow, rebuild from the
+            # snapshot, and re-run the whole segment with the new shapes
+            params = nbr.grow(snap_nl.params)
+            self.state = snap_state
+            self.nl = dataclasses.replace(
+                nbr.build(snap_state, params),
+                nbuilds=snap_nl.nbuilds,
+                ndanger=snap_nl.ndanger,
+            )
+            self._check_overflow_and_grow()
+        raise RuntimeError("neighbor overflow retry did not converge")
+
+    # -- observables --------------------------------------------------------
+
+    def thermo(self) -> dict:
+        """Current thermo keywords (ref: src/thermo.cpp:815-905 subset)."""
+        u = self.units
+        st, nl = self.state, self.nl
+        f, pe, virial = self.force_fn(st, nl, True, True)
+        t = thermo_mod.temperature(st, u, self.extra_dof)
+        ke = thermo_mod.kinetic_energy(st, u)
+        press = thermo_mod.pressure(st, virial, u, t, self.extra_dof)
+        n = jax.device_get(st.nlocal)
+        norm = u.norm_default
+        pe_v, ke_v, t_v, p_v = jax.device_get((pe, ke, t, press))
+        vol = float(jax.device_get(st.box.volume))
+        if norm:
+            pe_v = pe_v / n
+            ke_v = ke_v / n
+        return {
+            "temp": float(t_v),
+            "epair": float(pe_v),
+            "emol": 0.0,
+            "ke": float(ke_v),
+            "pe": float(pe_v),
+            "etotal": float(pe_v + ke_v),
+            "press": float(p_v),
+            "vol": vol,
+            "natoms": int(n),
+        }
+
+
+def _print_thermo_row(row: dict):
+    print(
+        f"{row['step']:>10d} {row['temp']:>14.8g} {row['epair']:>14.8g} "
+        f"{row['emol']:>14.8g} {row['etotal']:>14.8g} {row['press']:>14.8g}"
+    )

@@ -1,0 +1,90 @@
+"""EAM golden tests vs bench/log.6Oct16.eam.fixed.icc.1 and self-consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_kokkos_port_tpu.io.eam_reader import read_funcfl
+from lammps_kokkos_port_tpu.models.pair_eam import make_eam_funcfl
+from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
+
+POT = "/root/reference/bench/Cu_u3.eam"
+
+# golden thermo from bench/log.6Oct16.eam.fixed.icc.1 (32000 atoms, metal
+# units, NOT normalized)
+GOLDEN0 = dict(temp=1600.0, epair=-113280.0, etotal=-106662.09, press=18703.573)
+GOLDEN50 = dict(temp=781.69049, epair=-109873.35, etotal=-106640.13, press=52273.088)
+GOLDEN100 = dict(temp=801.832, epair=-109957.3, etotal=-106640.77, press=51322.821)
+
+
+class TestReader:
+    def test_cu_u3_header(self):
+        ff = read_funcfl(POT)
+        assert ff.mass == pytest.approx(63.550)
+        assert ff.nrho == 500 and ff.nr == 500
+        assert ff.cut == pytest.approx(4.95, abs=1e-6)
+        assert len(ff.frho) == 500 and len(ff.zr) == 500 and len(ff.rhor) == 500
+
+
+class TestEAMSmall:
+    """Small (500-atom) system: intensive quantities match the 32k deck."""
+
+    @pytest.fixture(scope="class")
+    def sim(self):
+        s = eam_bulk_cu_sim(cells=5, dtype=jnp.float64)
+        s.setup()
+        return s
+
+    def test_step0_cohesive_energy(self, sim):
+        row = sim.thermo()
+        natoms = row["natoms"]
+        assert natoms == 500
+        # perfect-lattice E/atom is size-independent: -113280/32000 eV
+        assert row["epair"] / natoms == pytest.approx(-113280.0 / 32000, abs=2e-4)
+        assert row["temp"] == pytest.approx(1600.0, rel=1e-10)
+
+    def test_forces_match_autodiff(self, sim):
+        st, nl = sim.state, sim.nl
+
+        def energy(x):
+            _, pe, _ = sim.pair_style.compute(st.replace(x=x), nl, True, False)
+            return pe
+
+        f, _, _ = sim.pair_style.compute(st, nl, False, False)
+        f_ad = -jax.grad(energy)(st.x)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(f_ad), atol=1e-8)
+
+    def test_energy_conservation_50_steps(self, sim):
+        rows = sim.run(50, thermo_every=50)
+        e0, e1 = rows[0]["etotal"], rows[-1]["etotal"]
+        # Truncated-table cutoff bookkeeping limits conservation, exactly as
+        # in the reference (its eam golden log drifts +6.7e-4 eV/atom per
+        # 100 steps). Assert the same order of magnitude.
+        assert abs(e1 - e0) / abs(e0) < 5e-4
+
+
+@pytest.mark.slow
+class TestEAMFullDeck:
+    """The actual 32k bench deck, step-0 exact + short trajectory."""
+
+    def test_step0_golden(self):
+        sim = eam_bulk_cu_sim(cells=20, dtype=jnp.float64)
+        sim.setup()
+        row = sim.thermo()
+        assert row["natoms"] == 32000
+        assert row["temp"] == pytest.approx(GOLDEN0["temp"], rel=1e-9)
+        assert row["epair"] == pytest.approx(GOLDEN0["epair"], rel=1e-7)
+        assert row["etotal"] == pytest.approx(GOLDEN0["etotal"], rel=1e-7)
+        assert row["press"] == pytest.approx(GOLDEN0["press"], rel=1e-5)
+
+    def test_trajectory_golden(self):
+        sim = eam_bulk_cu_sim(cells=20, dtype=jnp.float64)
+        sim.setup()
+        rows = sim.run(100, thermo_every=50)
+        r50, r100 = rows[1], rows[2]
+        assert r50["temp"] == pytest.approx(GOLDEN50["temp"], rel=2e-4)
+        assert r50["epair"] == pytest.approx(GOLDEN50["epair"], rel=2e-5)
+        assert r50["etotal"] == pytest.approx(GOLDEN50["etotal"], rel=1e-6)
+        assert r100["temp"] == pytest.approx(GOLDEN100["temp"], rel=1e-3)
+        assert r100["etotal"] == pytest.approx(GOLDEN100["etotal"], rel=1e-6)
