@@ -35,7 +35,7 @@ Array = jax.Array
 
 _DATA_FIELDS = [
     "x", "v", "f", "type", "tag", "image", "q", "molecule", "box",
-    "mass", "nlocal",
+    "mass", "nlocal", "mask", "virial", "ntimestep", "aux",
 ]
 _META_FIELDS = ["units_name", "dimension"]
 
@@ -65,6 +65,16 @@ class State:
     box: Box
     mass: Array  # [ntypes+1] per-type mass
     nlocal: Array  # scalar int32: number of real atoms
+    # group membership bitmask, bit 0 = group "all" (ref: src/group.h:28 —
+    # up to 32 named groups as bits in per-atom mask); 0 for padding
+    mask: Array  # [cap] int32
+    # Voigt virial from the most recent force evaluation (zeros unless a
+    # barostat requires per-step tallying; thermo recomputes fresh)
+    virial: Array  # [6]
+    ntimestep: Array  # scalar int32 (ref: update->ntimestep)
+    # named per-fix internal state (thermostat/barostat chains, etc.) —
+    # the analog of per-fix restart payloads (ref: src/fix_nh.cpp:1273)
+    aux: dict
     units_name: str = "lj"
     dimension: int = 3
 
@@ -87,6 +97,11 @@ class State:
     def per_atom_mass(self) -> Array:
         """[cap] mass of each atom via its type."""
         return self.mass[self.type]
+
+    def group_mask(self, groupbit: int) -> Array:
+        """[cap] bool membership for a group bit pattern
+        (ref: `mask[i] & groupbit` tests, e.g. src/fix_nve.cpp:76)."""
+        return (self.mask & jnp.int32(groupbit)) != 0
 
     def replace(self, **kwargs) -> "State":
         return dataclasses.replace(self, **kwargs)
@@ -161,6 +176,9 @@ def create_state(
     def dev(a):
         return jnp.asarray(np.asarray(a).astype(npdt, copy=False))
 
+    groupmask = np.zeros(cap, dtype=np.int32)
+    groupmask[:n] = 1  # bit 0 = group "all"
+
     return State(
         x=dev(xp),
         v=dev(pad2(velocities)),
@@ -175,6 +193,10 @@ def create_state(
         box=jax.tree.map(lambda a: dev(jax.device_get(a)), box),
         mass=dev(masses),
         nlocal=jnp.asarray(np.int32(n)),
+        mask=jnp.asarray(groupmask),
+        virial=dev(np.zeros(6)),
+        ntimestep=jnp.asarray(np.int32(0)),
+        aux={},
         units_name=units_name,
         dimension=dimension,
     )

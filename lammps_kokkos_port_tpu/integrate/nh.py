@@ -1,0 +1,490 @@
+"""Nose-Hoover thermostat/barostat integrators: fix nvt / npt / nph.
+
+TPU-native re-implementation of the reference's FixNH family
+(ref: src/fix_nh.cpp — thermostat chain `nhc_temp_integrate` :1762,
+barostat `nh_omega_dot` :2251, half-step box `remap()` :1068, MTK terms;
+Kokkos twin src/KOKKOS/fix_nh_kokkos.cpp keeps chain scalars on host — here
+they are tiny device arrays inside state.aux, so the whole step stays one
+compiled graph).
+
+Chain state layout (state.aux["nh"]):
+    eta       [mtchain]    thermostat chain positions
+    eta_dot   [mtchain+1]  chain velocities (last entry pinned 0)
+    etap      [mpchain]    barostat-thermostat chain positions
+    etap_dot  [mpchain+1]
+    omega     [6]          barostat strain bookkeeping
+    omega_dot [6]          barostat strain rates (Voigt)
+
+The integration order reproduces FixNH::initial_integrate/final_integrate
+exactly (ref: fix_nh.cpp:828-884): press chain -> temp chain -> T,P ->
+omega_dot -> v press-scale -> nve_v -> remap -> nve_x -> remap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..compute import thermo as thermo_mod
+from ..core.state import State
+from .verlet import Integrator
+
+Array = jax.Array
+
+AUX_KEY = "nh"
+
+
+@dataclasses.dataclass(frozen=True)
+class FixNVT(Integrator):
+    """fix nvt: Nose-Hoover thermostat chains (no barostat).
+
+    temp ramp: t_target interpolates t_start -> t_stop over the run window
+    (ref: FixNH::compute_temp_target) using aux["nh_run"] = (begin, end)
+    installed by the runner.
+    """
+
+    t_start: float = 1.0
+    t_stop: float = 1.0
+    t_period: float = 1.0  # Tdamp
+    mtchain: int = 3
+    nc_tchain: int = 1
+    drag: float = 0.0
+    extra_dof: int | None = None
+
+    @property
+    def t_freq(self) -> float:
+        return 1.0 / self.t_period
+
+    @property
+    def tdrag_factor(self) -> float:
+        return 1.0 - (self.dt * self.t_freq * self.drag / self.nc_tchain)
+
+    # -- aux state -----------------------------------------------------------
+
+    def setup(self, state: State) -> State:
+        dt = state.dtype
+        aux = dict(state.aux)
+        aux[AUX_KEY] = {
+            "eta": jnp.zeros(self.mtchain, dtype=dt),
+            "eta_dot": jnp.zeros(self.mtchain + 1, dtype=dt),
+        }
+        aux.setdefault("nh_run", jnp.zeros(2, dtype=jnp.int32))
+        return state.replace(aux=aux)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _tdof(self, state: State) -> Array:
+        dim = state.dimension
+        extra = self.extra_dof if self.extra_dof is not None else dim
+        return dim * state.nlocal.astype(state.dtype) - extra
+
+    def _t_target(self, state: State) -> Array:
+        run = state.aux["nh_run"]
+        begin = run[0].astype(state.dtype)
+        end = run[1].astype(state.dtype)
+        span = jnp.maximum(end - begin, 1.0)
+        delta = jnp.clip(
+            (state.ntimestep.astype(state.dtype) - begin) / span, 0.0, 1.0
+        )
+        return self.t_start + delta * (self.t_stop - self.t_start)
+
+    def _t_current(self, state: State) -> Array:
+        return thermo_mod.temperature(
+            state, self.units,
+            self.extra_dof if self.extra_dof is not None else state.dimension,
+        )
+
+    def _nhc_temp_integrate(self, state: State) -> State:
+        """One half-step of the thermostat chain + velocity rescale
+        (ref: FixNH::nhc_temp_integrate, src/fix_nh.cpp:1762)."""
+        boltz = self.units.boltz
+        dt4 = 0.5 * self.dt / 2.0
+        dt8 = dt4 / 2.0
+        dthalf = 0.5 * self.dt
+        M = self.mtchain
+
+        nh = state.aux[AUX_KEY]
+        eta = nh["eta"]
+        eta_dot = nh["eta_dot"]
+
+        tdof = self._tdof(state)
+        t_target = self._t_target(state)
+        t_current = self._t_current(state)
+        ke_target = tdof * boltz * t_target
+
+        # masses preserve initial freq (eta_mass_flag default on)
+        q0 = tdof * boltz * t_target / (self.t_freq * self.t_freq)
+        qk = boltz * t_target / (self.t_freq * self.t_freq)
+
+        kecurrent = tdof * boltz * t_current
+        eta_dotdot = jnp.zeros(M, dtype=state.dtype)
+        eta_dotdot = eta_dotdot.at[0].set((kecurrent - ke_target) / q0)
+        for ich in range(1, M):
+            qprev = q0 if ich == 1 else qk
+            eta_dotdot = eta_dotdot.at[ich].set(
+                (qprev * eta_dot[ich - 1] ** 2 - boltz * t_target) / qk
+            )
+
+        ncfac = 1.0 / self.nc_tchain
+        v = state.v
+        scale_total = jnp.ones((), dtype=state.dtype)
+
+        for _ in range(self.nc_tchain):
+            for ich in range(M - 1, 0, -1):
+                expfac = jnp.exp(-ncfac * dt8 * eta_dot[ich + 1])
+                ed = eta_dot[ich] * expfac
+                ed = ed + eta_dotdot[ich] * ncfac * dt4
+                ed = ed * self.tdrag_factor * expfac
+                eta_dot = eta_dot.at[ich].set(ed)
+
+            expfac = jnp.exp(-ncfac * dt8 * eta_dot[1])
+            ed0 = eta_dot[0] * expfac
+            ed0 = ed0 + eta_dotdot[0] * ncfac * dt4
+            ed0 = ed0 * self.tdrag_factor * expfac
+            eta_dot = eta_dot.at[0].set(ed0)
+
+            factor_eta = jnp.exp(-ncfac * dthalf * eta_dot[0])
+            scale_total = scale_total * factor_eta
+
+            t_current = t_current * factor_eta * factor_eta
+            kecurrent = tdof * boltz * t_current
+            eta_dotdot = eta_dotdot.at[0].set((kecurrent - ke_target) / q0)
+
+            eta = eta + ncfac * dthalf * eta_dot[:M]
+
+            ed0 = eta_dot[0] * expfac
+            ed0 = ed0 + eta_dotdot[0] * ncfac * dt4
+            ed0 = ed0 * expfac
+            eta_dot = eta_dot.at[0].set(ed0)
+
+            for ich in range(1, M):
+                expfac = jnp.exp(-ncfac * dt8 * eta_dot[ich + 1])
+                ed = eta_dot[ich] * expfac
+                qprev = q0 if ich == 1 else qk
+                edd = (qprev * eta_dot[ich - 1] ** 2 - boltz * t_target) / qk
+                eta_dotdot = eta_dotdot.at[ich].set(edd)
+                ed = ed + edd * ncfac * dt4
+                ed = ed * expfac
+                eta_dot = eta_dot.at[ich].set(ed)
+
+        # nh_v_temp: scale group velocities by the accumulated factor
+        gmask = self._gmask(state)
+        v = jnp.where(gmask, v * scale_total, v)
+
+        aux = dict(state.aux)
+        aux[AUX_KEY] = {**nh, "eta": eta, "eta_dot": eta_dot}
+        return state.replace(v=v, aux=aux)
+
+    # -- hooks (ref: FixNH::initial_integrate/final_integrate) ---------------
+
+    def initial_integrate(self, state: State) -> State:
+        state = self._nhc_temp_integrate(state)
+        state = self.nve_v(state)
+        state = self.nve_x(state)
+        return state
+
+    def final_integrate(self, state: State) -> State:
+        state = self.nve_v(state)
+        state = self._nhc_temp_integrate(state)
+        return state
+
+    def thermostat_energy(self, state: State) -> Array:
+        """e_conserved contribution (ref: FixNH::compute_scalar thermostat
+        part): ke_target*eta[0] + sum_k>0 kT*eta[k] + sum 0.5*Q_k eta_dot^2."""
+        boltz = self.units.boltz
+        nh = state.aux[AUX_KEY]
+        tdof = self._tdof(state)
+        t_target = self._t_target(state)
+        kt = boltz * t_target
+        q0 = tdof * kt / (self.t_freq * self.t_freq)
+        qk = kt / (self.t_freq * self.t_freq)
+        e = tdof * kt * nh["eta"][0] + 0.5 * q0 * nh["eta_dot"][0] ** 2
+        for ich in range(1, self.mtchain):
+            e = e + kt * nh["eta"][ich] + 0.5 * qk * nh["eta_dot"][ich] ** 2
+        return e
+
+
+@dataclasses.dataclass(frozen=True)
+class FixNPT(FixNVT):
+    """fix npt: Nose-Hoover thermostat + barostat, iso/aniso coupling on an
+    orthogonal box (triclinic coupling arrives with the triclinic force
+    paths). pstyle ISO couples xyz to the scalar pressure; aniso controls
+    each diagonal independently (ref: FixNH couple()/nh_omega_dot()).
+    """
+
+    p_start: tuple = (0.0, 0.0, 0.0)
+    p_stop: tuple = (0.0, 0.0, 0.0)
+    p_period: tuple = (1.0, 1.0, 1.0)
+    p_flag: tuple = (True, True, True)
+    pcouple: str = "iso"  # iso | aniso (xyz/none coupling)
+    mpchain: int = 3
+    nc_pchain: int = 1
+    mtk: bool = True
+    needs_virial: bool = True
+
+    @property
+    def p_freq(self):
+        return tuple(1.0 / p for p in self.p_period)
+
+    @property
+    def p_freq_max(self) -> float:
+        return max(f for f, on in zip(self.p_freq, self.p_flag) if on)
+
+    @property
+    def pdim(self) -> int:
+        return sum(1 for on in self.p_flag if on)
+
+    @property
+    def pdrag_factor(self) -> float:
+        return 1.0 - (self.dt * self.p_freq_max * self.drag / self.nc_pchain)
+
+    def setup(self, state: State) -> State:
+        state = super().setup(state)
+        dt = state.dtype
+        aux = dict(state.aux)
+        nh = dict(aux[AUX_KEY])
+        nh.update({
+            "etap": jnp.zeros(self.mpchain, dtype=dt),
+            "etap_dot": jnp.zeros(self.mpchain + 1, dtype=dt),
+            "omega": jnp.zeros(6, dtype=dt),
+            "omega_dot": jnp.zeros(6, dtype=dt),
+        })
+        aux[AUX_KEY] = nh
+        return state.replace(aux=aux)
+
+    # -- pressure plumbing ---------------------------------------------------
+
+    def _p_target(self, state: State):
+        run = state.aux["nh_run"]
+        begin = run[0].astype(state.dtype)
+        end = run[1].astype(state.dtype)
+        span = jnp.maximum(end - begin, 1.0)
+        delta = jnp.clip(
+            (state.ntimestep.astype(state.dtype) - begin) / span, 0.0, 1.0
+        )
+        pt = jnp.asarray(self.p_start, state.dtype) + delta * (
+            jnp.asarray(self.p_stop, state.dtype)
+            - jnp.asarray(self.p_start, state.dtype)
+        )
+        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        p_hydro = jnp.sum(pt * flags) / max(self.pdim, 1)
+        return pt, p_hydro
+
+    def _p_current(self, state: State):
+        """Coupled current pressure from KE tensor + carried virial
+        (ref: couple(); ISO averages, aniso uses the diagonal)."""
+        ptens = thermo_mod.pressure_tensor(state, state.virial, self.units)
+        if self.pcouple == "iso":
+            avg = (ptens[0] + ptens[1] + ptens[2]) / 3.0
+            return jnp.stack([avg, avg, avg])
+        return ptens[:3]
+
+    def _mvv_current(self, state: State):
+        m = state.per_atom_mass[:, None]
+        v = jnp.where(state.valid_mask[:, None], state.v, 0.0)
+        return jnp.sum(m * v * v, axis=0) * self.units.mvv2e
+
+    def _nh_omega_dot(self, state: State) -> State:
+        """Barostat strain-rate update (ref: FixNH::nh_omega_dot)."""
+        boltz, nktv2p = self.units.boltz, self.units.nktv2p
+        dthalf = 0.5 * self.dt
+        nh = state.aux[AUX_KEY]
+        omega_dot = nh["omega_dot"]
+
+        vol = state.box.volume
+        t_target = self._t_target(state)
+        kt = boltz * t_target
+        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
+        pfreq = jnp.asarray(self.p_freq, state.dtype)
+        omega_mass = nkt / (pfreq * pfreq)
+
+        p_current = self._p_current(state)
+        _, p_hydro = self._p_target(state)
+
+        mtk_term1 = jnp.zeros((), state.dtype)
+        if self.mtk:
+            if self.pcouple == "iso":
+                tdof = self._tdof(state)
+                t_current = self._t_current(state)
+                mtk_term1 = (tdof * boltz * t_current) / (
+                    self.pdim * state.nlocal.astype(state.dtype)
+                )
+            else:
+                mvv = self._mvv_current(state)
+                flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+                mtk_term1 = jnp.sum(mvv * flags) / (
+                    self.pdim * state.nlocal.astype(state.dtype)
+                )
+
+        new_od = omega_dot[:3]
+        f_omega = (p_current - p_hydro) * vol / (omega_mass * nktv2p) + (
+            mtk_term1 / omega_mass
+        )
+        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        new_od = jnp.where(
+            flags > 0, (new_od + f_omega * dthalf) * self.pdrag_factor, new_od
+        )
+        omega_dot = omega_dot.at[:3].set(new_od)
+
+        aux = dict(state.aux)
+        aux[AUX_KEY] = {**nh, "omega_dot": omega_dot}
+        return state.replace(aux=aux)
+
+    def _mtk_term2(self, state: State) -> Array:
+        if not self.mtk:
+            return jnp.zeros((), state.dtype)
+        od = state.aux[AUX_KEY]["omega_dot"]
+        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        return jnp.sum(od[:3] * flags) / (
+            self.pdim * state.nlocal.astype(state.dtype)
+        )
+
+    def _nh_v_press(self, state: State) -> State:
+        """Scale velocities by the barostat rates (ref: FixNH::nh_v_press)."""
+        dt4 = 0.25 * self.dt
+        od = state.aux[AUX_KEY]["omega_dot"]
+        mtk2 = self._mtk_term2(state)
+        factor = jnp.exp(-dt4 * (od[:3] + mtk2))
+        gmask = self._gmask(state)
+        v = jnp.where(gmask, state.v * (factor * factor)[None, :], state.v)
+        return state.replace(v=v)
+
+    def _nhc_press_integrate(self, state: State) -> State:
+        """Barostat-thermostat chain (ref: FixNH::nhc_press_integrate)."""
+        boltz = self.units.boltz
+        dt4 = 0.5 * self.dt / 2.0
+        dt8 = dt4 / 2.0
+        dthalf = 0.5 * self.dt
+        M = self.mpchain
+
+        nh = state.aux[AUX_KEY]
+        etap = nh["etap"]
+        etap_dot = nh["etap_dot"]
+        omega_dot = nh["omega_dot"]
+
+        t_target = self._t_target(state)
+        kt = boltz * t_target
+        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
+        pfreq = jnp.asarray(self.p_freq, state.dtype)
+        omega_mass = nkt / (pfreq * pfreq)
+        em = kt / (self.p_freq_max * self.p_freq_max)
+
+        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        kecurrent = jnp.sum(flags * omega_mass * omega_dot[:3] * omega_dot[:3])
+        lkt_press = kt if self.pcouple == "iso" else self.pdim * kt
+
+        etap_dotdot = jnp.zeros(M, dtype=state.dtype)
+        etap_dotdot = etap_dotdot.at[0].set((kecurrent - lkt_press) / em)
+        for ich in range(1, M):
+            etap_dotdot = etap_dotdot.at[ich].set(
+                (em * etap_dot[ich - 1] ** 2 - kt) / em
+            )
+
+        ncfac = 1.0 / self.nc_pchain
+        for _ in range(self.nc_pchain):
+            for ich in range(M - 1, 0, -1):
+                expfac = jnp.exp(-ncfac * dt8 * etap_dot[ich + 1])
+                ed = etap_dot[ich] * expfac
+                ed = ed + etap_dotdot[ich] * ncfac * dt4
+                ed = ed * self.pdrag_factor * expfac
+                etap_dot = etap_dot.at[ich].set(ed)
+
+            expfac = jnp.exp(-ncfac * dt8 * etap_dot[1])
+            ed0 = etap_dot[0] * expfac
+            ed0 = ed0 + etap_dotdot[0] * ncfac * dt4
+            ed0 = ed0 * self.pdrag_factor * expfac
+            etap_dot = etap_dot.at[0].set(ed0)
+
+            etap = etap + ncfac * dthalf * etap_dot[:M]
+
+            factor_etap = jnp.exp(-ncfac * dthalf * etap_dot[0])
+            omega_dot = omega_dot.at[:3].set(
+                jnp.where(flags > 0, omega_dot[:3] * factor_etap, omega_dot[:3])
+            )
+
+            kecurrent = jnp.sum(
+                flags * omega_mass * omega_dot[:3] * omega_dot[:3]
+            )
+            etap_dotdot = etap_dotdot.at[0].set((kecurrent - lkt_press) / em)
+
+            ed0 = etap_dot[0] * expfac
+            ed0 = ed0 + etap_dotdot[0] * ncfac * dt4
+            ed0 = ed0 * expfac
+            etap_dot = etap_dot.at[0].set(ed0)
+
+            for ich in range(1, M):
+                expfac = jnp.exp(-ncfac * dt8 * etap_dot[ich + 1])
+                ed = etap_dot[ich] * expfac
+                edd = (em * etap_dot[ich - 1] ** 2 - kt) / em
+                etap_dotdot = etap_dotdot.at[ich].set(edd)
+                ed = ed + edd * ncfac * dt4
+                ed = ed * expfac
+                etap_dot = etap_dot.at[ich].set(ed)
+
+        aux = dict(state.aux)
+        aux[AUX_KEY] = {
+            **nh, "etap": etap, "etap_dot": etap_dot, "omega_dot": omega_dot,
+        }
+        return state.replace(aux=aux)
+
+    def _remap(self, state: State) -> State:
+        """Half-step box dilation + atom rescale in lamda coords
+        (ref: FixNH::remap, src/fix_nh.cpp:1068; fixedpoint = box center)."""
+        dto = 0.5 * self.dt
+        nh = state.aux[AUX_KEY]
+        od = nh["omega_dot"]
+        box = state.box
+
+        lamda = box.to_lamda(state.x)
+
+        center = 0.5 * (box.lo + box.hi)
+        expfac = jnp.exp(dto * od[:3])
+        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        expfac = jnp.where(flags > 0, expfac, 1.0)
+        new_lo = (box.lo - center) * expfac + center
+        new_hi = (box.hi - center) * expfac + center
+        new_box = dataclasses.replace(box, lo=new_lo, hi=new_hi)
+
+        x = new_box.to_box(lamda)
+        gmask = self._gmask(state)
+        x = jnp.where(gmask, x, state.x)
+
+        omega = nh["omega"] + dto * od
+        aux = dict(state.aux)
+        aux[AUX_KEY] = {**nh, "omega": omega}
+        return state.replace(x=x, box=new_box, aux=aux)
+
+    # -- hooks (order per fix_nh.cpp:828-884) --------------------------------
+
+    def initial_integrate(self, state: State) -> State:
+        state = self._nhc_press_integrate(state)
+        state = self._nhc_temp_integrate(state)
+        state = self._nh_omega_dot(state)
+        state = self._nh_v_press(state)
+        state = self.nve_v(state)
+        state = self._remap(state)
+        state = self.nve_x(state)
+        state = self._remap(state)
+        return state
+
+    def final_integrate(self, state: State) -> State:
+        state = self.nve_v(state)
+        state = self._nh_v_press(state)
+        state = self._nh_omega_dot(state)
+        state = self._nhc_temp_integrate(state)
+        state = self._nhc_press_integrate(state)
+        return state
+
+
+@dataclasses.dataclass(frozen=True)
+class FixNPH(FixNPT):
+    """fix nph: barostat only — the thermostat chain is disabled
+    (ref: fix_nph.cpp: tstat_flag off)."""
+
+    def _nhc_temp_integrate(self, state: State) -> State:
+        return state
+
+    def thermostat_energy(self, state: State) -> Array:
+        return jnp.zeros((), state.dtype)

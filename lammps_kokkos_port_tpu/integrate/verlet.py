@@ -4,10 +4,11 @@ TPU-native redesign of the reference's Verlet::run hot loop
 (ref: src/verlet.cpp:229-358 and the fused Kokkos variant
 src/KOKKOS/verlet_kokkos.cpp:263-430). One traced `step` function fuses:
 
-    initial_integrate (half-kick + drift, ref: src/fix_nve.cpp:64-141)
+    ntimestep++                      (ref: Verlet::run loop head)
+    initial_integrate                (fix nve/nvt/npt first hooks)
     -> neighbor decide (+ conditional PBC wrap + rebuild, lax.cond)
     -> force evaluation (pair styles, FULL lists, no reverse comm)
-    -> final_integrate (second half-kick)
+    -> post_force fixes -> final_integrate -> end_of_step fixes
 
 XLA gives us the reference's hand-built kernel fusion (force_clear folded
 into the force kernel, back-to-back integrate fusion — ref:
@@ -18,7 +19,7 @@ inside the loop, matching the design target in SURVEY.md §7.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,44 +36,83 @@ ForceFn = Callable[[State, nbr.NeighborList, bool, bool], tuple]
 
 @dataclasses.dataclass(frozen=True)
 class Integrator:
-    """Base velocity-Verlet integrator (fix nve semantics).
+    """Base velocity-Verlet integrator (fix nve semantics, group-aware).
 
-    Subclasses (Nose-Hoover etc.) override the four hooks. `dt` and unit
+    Subclasses (Nose-Hoover etc.) override the hooks. `dt` and unit
     constants are compile-time constants baked into the step.
     """
 
     dt: float
     units: Units
+    groupbit: int = 1  # group "all"
+
+    # set True by barostats: the force pass must tally the virial every step
+    needs_virial: bool = False
 
     @property
     def dtf(self) -> float:
         return 0.5 * self.dt * self.units.ftm2v
 
-    def initial_integrate(self, state: State) -> State:
-        """v += dtf/m * f;  x += dt*v  (ref: src/fix_nve.cpp:64-100)."""
-        m = state.per_atom_mass[:, None]
-        mask = state.valid_mask[:, None]
-        v = state.v + jnp.where(mask, self.dtf * state.f / m, 0.0)
-        x = state.x + jnp.where(mask, self.dt * v, 0.0)
-        return state.replace(x=x, v=v)
+    def setup(self, state: State) -> State:
+        """Install any internal (aux) state before the run starts."""
+        return state
 
-    def final_integrate(self, state: State) -> State:
-        """v += dtf/m * f  (ref: src/fix_nve.cpp:109-141)."""
+    def _gmask(self, state: State) -> Array:
+        return (state.valid_mask & state.group_mask(self.groupbit))[:, None]
+
+    def nve_v(self, state: State) -> State:
+        """v += dtf/m * f (ref: FixNH::nve_v / FixNVE half kick)."""
         m = state.per_atom_mass[:, None]
-        mask = state.valid_mask[:, None]
-        v = state.v + jnp.where(mask, self.dtf * state.f / m, 0.0)
+        v = state.v + jnp.where(self._gmask(state), self.dtf * state.f / m, 0.0)
         return state.replace(v=v)
 
+    def nve_x(self, state: State) -> State:
+        """x += dt*v (ref: FixNH::nve_x / FixNVE drift)."""
+        x = state.x + jnp.where(self._gmask(state), self.dt * state.v, 0.0)
+        return state.replace(x=x)
+
+    def initial_integrate(self, state: State) -> State:
+        """Kick + drift (ref: src/fix_nve.cpp:64-100)."""
+        return self.nve_x(self.nve_v(state))
+
+    def final_integrate(self, state: State) -> State:
+        """Second half kick (ref: src/fix_nve.cpp:109-141)."""
+        return self.nve_v(state)
+
     def end_of_step(self, state: State) -> State:
+        return state
+
+
+class AuxFix:
+    """Interface for non-integrating fixes (ref: Fix lifecycle hooks,
+    src/fix.h:144-222). Override the hooks you need; all are identity by
+    default. Implementations are frozen dataclasses (hashable statics) whose
+    mutable internals live in state.aux."""
+
+    def setup(self, state: State) -> State:
         return state
 
     def post_force(self, state: State) -> State:
         return state
 
+    def end_of_step(self, state: State) -> State:
+        return state
+
+    def initial_integrate(self, state: State) -> State:
+        return state
+
+    def final_integrate(self, state: State) -> State:
+        return state
+
+    # energy contribution for thermo (ref: Fix::compute_scalar)
+    def energy(self, state: State):
+        return None
+
 
 def make_step(
     integrator: Integrator,
     force_fn: ForceFn,
+    fixes: Sequence[AuxFix] = (),
 ):
     """Build the jittable single-timestep function.
 
@@ -81,42 +121,36 @@ def make_step(
     on rebuild steps, as in the reference (Verlet::run calls domain->pbc()
     only when reneighboring, ref: src/verlet.cpp:262-293).
     """
+    vflag = integrator.needs_virial
 
     def do_rebuild(state: State, nl: nbr.NeighborList):
         x, image = state.box.wrap(state.x, state.image)
-        # keep padded atoms pinned (wrap of padding is identity anyway)
         state = state.replace(x=x, image=image)
-        new = nbr.rebuild_merge(state, nl)
-        disp = state.x - nl.xhold  # danger tracking is approximate post-wrap
-        return state, new
+        return state, nbr.rebuild_merge(state, nl)
 
     def no_rebuild(state: State, nl: nbr.NeighborList):
         return state, nbr.tick(nl)
 
     def step(state: State, nl: nbr.NeighborList):
+        state = state.replace(ntimestep=state.ntimestep + 1)
+        for fx in fixes:
+            state = fx.initial_integrate(state)
         state = integrator.initial_integrate(state)
         rebuild = nbr.needs_rebuild(state, nl)
         state, nl = jax.lax.cond(rebuild, do_rebuild, no_rebuild, state, nl)
-        f, _, _ = force_fn(state, nl, False, False)
-        state = state.replace(f=f)
-        state = integrator.post_force(state)
+        f, _, virial = force_fn(state, nl, False, vflag)
+        if vflag:
+            state = state.replace(f=f, virial=virial)
+        else:
+            state = state.replace(f=f)
+        for fx in fixes:
+            state = fx.post_force(state)
+        for fx in fixes:
+            state = fx.final_integrate(state)
         state = integrator.final_integrate(state)
         state = integrator.end_of_step(state)
+        for fx in fixes:
+            state = fx.end_of_step(state)
         return state, nl
 
     return step
-
-
-def make_run_segment(step_fn):
-    """lax.scan over n steps (n static); returns the jitted segment runner."""
-
-    def run_segment(state: State, nl: nbr.NeighborList, nsteps: int):
-        def body(carry, _):
-            s, l = carry
-            s, l = step_fn(s, l)
-            return (s, l), None
-
-        (state, nl), _ = jax.lax.scan(body, (state, nl), None, length=nsteps)
-        return state, nl
-
-    return jax.jit(run_segment, static_argnums=2)

@@ -35,8 +35,8 @@ class Simulation:
         state: State,
         pair_style,
         dt: float | None = None,
-        integrator_cls=Integrator,
-        integrator_kwargs: dict | None = None,
+        integrator: Integrator | None = None,
+        fixes: tuple = (),
         skin: float | None = None,
         neigh_every: int = 1,
         neigh_delay: int = 0,
@@ -52,8 +52,10 @@ class Simulation:
         self.neigh_delay = neigh_delay
         self.neigh_check = neigh_check
         self.extra_dof = extra_dof
-        ikw = integrator_kwargs or {}
-        self.integrator = integrator_cls(dt=self.dt, units=self.units, **ikw)
+        if integrator is None:
+            integrator = Integrator(dt=self.dt, units=self.units)
+        self.integrator = integrator
+        self.fixes = tuple(fixes)
 
         self.nl: nbr.NeighborList | None = None
         self.ntimestep = 0
@@ -68,6 +70,9 @@ class Simulation:
     # -- setup (ref: Verlet::setup, src/verlet.cpp:93) ----------------------
 
     def setup(self):
+        self.state = self.integrator.setup(self.state)
+        for fx in self.fixes:
+            self.state = fx.setup(self.state)
         cutneigh = self.pair_style.max_cutoff() + self.skin
         params = nbr.size_for_system(
             self.state,
@@ -81,8 +86,11 @@ class Simulation:
         self.state = self.state.replace(x=x, image=image)
         self.nl = nbr.build(self.state, params)
         self._check_overflow_and_grow()
-        f, _, _ = self.force_fn(self.state, self.nl, False, False)
+        vflag = self.integrator.needs_virial
+        f, _, virial = self.force_fn(self.state, self.nl, False, vflag)
         self.state = self.state.replace(f=f)
+        if vflag:
+            self.state = self.state.replace(virial=virial)
         self._segment_cache.clear()
 
     def _check_overflow_and_grow(self, max_tries: int = 8):
@@ -99,7 +107,7 @@ class Simulation:
         key = (self.nl.params, self.state.capacity)
         runner = self._segment_cache.get(key)
         if runner is None:
-            step = make_step(self.integrator, self.force_fn)
+            step = make_step(self.integrator, self.force_fn, self.fixes)
 
             def run_segment(state, nl, nsteps: int):
                 def body(carry, _):
@@ -126,6 +134,17 @@ class Simulation:
         like Output::setup/write (ref: src/output.cpp:189,339)."""
         if self.nl is None:
             self.setup()
+
+        # install the run window for target ramps (ref: update->beginstep/
+        # endstep used by FixNH::compute_temp_target)
+        if "nh_run" in self.state.aux:
+            begin = int(jax.device_get(self.state.ntimestep))
+            self.state = self.state.replace(
+                aux={
+                    **self.state.aux,
+                    "nh_run": jnp.asarray([begin, begin + nsteps], dtype=jnp.int32),
+                }
+            )
 
         rows = []
 
