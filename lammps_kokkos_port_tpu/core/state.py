@@ -120,6 +120,7 @@ def create_state(
     charges: np.ndarray | None = None,
     molecules: np.ndarray | None = None,
     tags: np.ndarray | None = None,
+    images: np.ndarray | None = None,
     units_name: str = "lj",
     dimension: int = 3,
     dtype=jnp.float32,
@@ -185,7 +186,13 @@ def create_state(
         f=dev(np.zeros((cap, 3))),
         type=jnp.asarray(pad1(types, 0, np.int32)),
         tag=jnp.asarray(pad1(tags, 0, np.int32)),
-        image=jnp.asarray(np.zeros((cap, 3), dtype=np.int32)),
+        image=jnp.asarray(
+            np.zeros((cap, 3), dtype=np.int32) if images is None
+            else np.concatenate([
+                np.asarray(images, dtype=np.int32),
+                np.zeros((cap - n, 3), dtype=np.int32),
+            ])
+        ),
         q=(None if charges is None
            else dev(pad1(np.asarray(charges), 0.0, np.float64))),
         molecule=(None if molecules is None

@@ -31,7 +31,7 @@ from ..utils.units import Units
 Array = jax.Array
 
 ForceFn = Callable[[State, nbr.NeighborList, bool, bool], tuple]
-# (state, nl, eflag, vflag) -> (f, pe, virial)
+# (state, nl, eflag, vflag) -> (f, epair, emol, virial)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +113,7 @@ def make_step(
     integrator: Integrator,
     force_fn: ForceFn,
     fixes: Sequence[AuxFix] = (),
+    special=None,
 ):
     """Build the jittable single-timestep function.
 
@@ -126,7 +127,7 @@ def make_step(
     def do_rebuild(state: State, nl: nbr.NeighborList):
         x, image = state.box.wrap(state.x, state.image)
         state = state.replace(x=x, image=image)
-        return state, nbr.rebuild_merge(state, nl)
+        return state, nbr.rebuild_merge(state, nl, special=special)
 
     def no_rebuild(state: State, nl: nbr.NeighborList):
         return state, nbr.tick(nl)
@@ -138,7 +139,7 @@ def make_step(
         state = integrator.initial_integrate(state)
         rebuild = nbr.needs_rebuild(state, nl)
         state, nl = jax.lax.cond(rebuild, do_rebuild, no_rebuild, state, nl)
-        f, _, virial = force_fn(state, nl, False, vflag)
+        f, _, _, virial = force_fn(state, nl, False, vflag)
         if vflag:
             state = state.replace(f=f, virial=virial)
         else:

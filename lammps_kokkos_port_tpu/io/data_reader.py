@@ -1,0 +1,187 @@
+"""LAMMPS data-file reader (`read_data` subset).
+
+Host-side setup code parsing the standard data format
+(ref: src/read_data.cpp:58-70 section list, SURVEY.md §A.8): header with
+counts/types/box bounds (+tilt), then Masses, Atoms (styles atomic/charge/
+bond/angle/molecular/full), Velocities, Bonds, Angles, Dihedrals,
+Impropers, and coeff sections (stored raw for the style builders).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_SECTIONS = {
+    "Masses", "Atoms", "Velocities", "Bonds", "Angles", "Dihedrals",
+    "Impropers", "Pair Coeffs", "PairIJ Coeffs", "Bond Coeffs",
+    "Angle Coeffs", "Dihedral Coeffs", "Improper Coeffs",
+    "BondBond Coeffs", "BondAngle Coeffs", "MiddleBondTorsion Coeffs",
+    "EndBondTorsion Coeffs", "AngleTorsion Coeffs", "AngleAngleTorsion Coeffs",
+    "BondBond13 Coeffs", "AngleAngle Coeffs",
+}
+
+_HEADER_KEYS = [
+    ("atoms", "natoms"), ("bonds", "nbonds"), ("angles", "nangles"),
+    ("dihedrals", "ndihedrals"), ("impropers", "nimpropers"),
+    ("atom types", "natomtypes"), ("bond types", "nbondtypes"),
+    ("angle types", "nangletypes"), ("dihedral types", "ndihedraltypes"),
+    ("improper types", "nimpropertypes"),
+]
+
+
+@dataclasses.dataclass
+class DataFile:
+    natoms: int = 0
+    nbonds: int = 0
+    nangles: int = 0
+    ndihedrals: int = 0
+    nimpropers: int = 0
+    natomtypes: int = 0
+    nbondtypes: int = 0
+    nangletypes: int = 0
+    ndihedraltypes: int = 0
+    nimpropertypes: int = 0
+    xlo: float = 0.0
+    xhi: float = 0.0
+    ylo: float = 0.0
+    yhi: float = 0.0
+    zlo: float = 0.0
+    zhi: float = 0.0
+    xy: float = 0.0
+    xz: float = 0.0
+    yz: float = 0.0
+    masses: np.ndarray | None = None  # [natomtypes+1]
+    # per-atom (in tag order, tags must be 1..N after sorting)
+    tags: np.ndarray | None = None
+    types: np.ndarray | None = None
+    molecule: np.ndarray | None = None
+    q: np.ndarray | None = None
+    x: np.ndarray | None = None
+    image: np.ndarray | None = None
+    v: np.ndarray | None = None
+    # topology in TAG space: [N, width] (type, tag1, tag2, ...)
+    bonds: np.ndarray | None = None
+    angles: np.ndarray | None = None
+    dihedrals: np.ndarray | None = None
+    impropers: np.ndarray | None = None
+    # raw coeff sections keyed by section name -> list of token rows
+    coeffs: dict = dataclasses.field(default_factory=dict)
+
+
+def _strip(line: str) -> str:
+    i = line.find("#")
+    if i >= 0:
+        line = line[:i]
+    return line.strip()
+
+
+def read_data(path: str, atom_style: str = "full") -> DataFile:
+    with open(path) as f:
+        lines = f.read().splitlines()
+
+    df = DataFile()
+    # header: everything until the first recognized section keyword
+    i = 1  # skip title line
+    while i < len(lines):
+        raw = lines[i].strip()
+        name = _strip(lines[i])
+        if raw.split("#")[0].strip() in _SECTIONS or name in _SECTIONS:
+            break
+        s = name
+        if s:
+            parts = s.split()
+            matched = False
+            for key, attr in _HEADER_KEYS:
+                kl = key.split()
+                if parts[len(parts) - len(kl):] == kl and len(parts) > len(kl):
+                    setattr(df, attr, int(parts[0]))
+                    matched = True
+                    break
+            if not matched:
+                if s.endswith("xlo xhi"):
+                    df.xlo, df.xhi = float(parts[0]), float(parts[1])
+                elif s.endswith("ylo yhi"):
+                    df.ylo, df.yhi = float(parts[0]), float(parts[1])
+                elif s.endswith("zlo zhi"):
+                    df.zlo, df.zhi = float(parts[0]), float(parts[1])
+                elif s.endswith("xy xz yz"):
+                    df.xy, df.xz, df.yz = (
+                        float(parts[0]), float(parts[1]), float(parts[2])
+                    )
+        i += 1
+
+    n = df.natoms
+    df.tags = np.zeros(n, dtype=np.int64)
+    df.types = np.zeros(n, dtype=np.int32)
+    df.x = np.zeros((n, 3))
+    df.image = np.zeros((n, 3), dtype=np.int32)
+    df.v = np.zeros((n, 3))
+    if atom_style in ("charge", "full"):
+        df.q = np.zeros(n)
+    if atom_style in ("bond", "angle", "molecular", "full"):
+        df.molecule = np.zeros(n, dtype=np.int32)
+    df.masses = np.ones(df.natomtypes + 1)
+
+    def parse_atoms(rows):
+        for toks in rows:
+            tag = int(toks[0])
+            k = tag - 1
+            if not (0 <= k < n):
+                raise ValueError(f"atom tag {tag} out of range 1..{n}")
+            df.tags[k] = tag
+            c = 1
+            if atom_style in ("bond", "angle", "molecular", "full"):
+                df.molecule[k] = int(toks[c]); c += 1
+            df.types[k] = int(toks[c]); c += 1
+            if atom_style in ("charge", "full"):
+                df.q[k] = float(toks[c]); c += 1
+            df.x[k] = [float(toks[c]), float(toks[c + 1]), float(toks[c + 2])]
+            c += 3
+            if len(toks) >= c + 3:
+                df.image[k] = [int(toks[c]), int(toks[c + 1]), int(toks[c + 2])]
+
+    def parse_simple(rows, width):
+        out = np.zeros((len(rows), width), dtype=np.int64)
+        for r, toks in enumerate(rows):
+            # id type atom1 atom2 ... -> drop the id
+            out[r] = [int(t) for t in toks[1:width + 1]]
+        return out
+
+    # sections
+    while i < len(lines):
+        sec = lines[i].split("#")[0].strip()
+        i += 1
+        # skip blank lines after the header
+        rows = []
+        while i < len(lines):
+            s = lines[i].split("#")[0].strip()
+            if s in _SECTIONS:
+                break
+            if s:
+                rows.append(s.split())
+            i += 1
+        if sec == "Masses":
+            for toks in rows:
+                df.masses[int(toks[0])] = float(toks[1])
+        elif sec == "Atoms":
+            parse_atoms(rows)
+        elif sec == "Velocities":
+            for toks in rows:
+                df.v[int(toks[0]) - 1] = [float(toks[1]), float(toks[2]),
+                                          float(toks[3])]
+        elif sec == "Bonds":
+            df.bonds = parse_simple(rows, 3)
+        elif sec == "Angles":
+            df.angles = parse_simple(rows, 4)
+        elif sec == "Dihedrals":
+            df.dihedrals = parse_simple(rows, 5)
+        elif sec == "Impropers":
+            df.impropers = parse_simple(rows, 5)
+        elif sec:
+            df.coeffs[sec] = rows
+
+    if n and np.any(df.tags == 0):
+        raise ValueError("data file Atoms section missing some tags 1..N")
+    return df

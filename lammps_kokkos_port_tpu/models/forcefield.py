@@ -1,0 +1,121 @@
+"""ForceField: the composition of all force contributions.
+
+The analog of the reference's `Force` aggregate (ref: src/force.h — pair +
+bond + angle + dihedral + improper + kspace style instances) plus the
+special-bond weights (ref: force->special_lj/special_coul). One call
+evaluates everything in a single fused XLA graph and returns force plus the
+E_pair / E_mol split the thermo table reports (ref: src/thermo.cpp —
+epair = pair + kspace; emol = bond + angle + dihedral + improper).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import State
+from ..core.topology import SpecialBonds, Topology
+from . import bonded as bonded_mod
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pair", "bond", "angle", "dihedral", "improper", "kspace",
+                 "topology", "special"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ForceField:
+    pair: object | None = None
+    bond: object | None = None
+    angle: object | None = None
+    dihedral: object | None = None
+    improper: object | None = None
+    kspace: object | None = None
+    topology: Topology | None = None
+    special: SpecialBonds | None = None
+
+    def max_cutoff(self) -> float:
+        cut = 0.0
+        if self.pair is not None:
+            cut = max(cut, self.pair.max_cutoff())
+        if self.kspace is not None and hasattr(self.kspace, "real_cutoff"):
+            cut = max(cut, self.kspace.real_cutoff())
+        return cut
+
+    def compute(self, state: State, nl, eflag: bool, vflag: bool):
+        """Returns (f, epair, emol, virial6)."""
+        z = jnp.zeros((), dtype=state.dtype)
+        f = jnp.zeros_like(state.x)
+        epair = z if eflag else None
+        emol = z if eflag else None
+        virial = jnp.zeros(6, dtype=state.dtype) if vflag else None
+
+        def acc(tot, val):
+            return tot + val if val is not None and tot is not None else tot
+
+        if self.pair is not None:
+            slj = self.special.weights_lj if self.special is not None else None
+            scoul = (self.special.weights_coul
+                     if self.special is not None else None)
+            try:
+                pf, pe, pv = self.pair.compute(
+                    state, nl, eflag, vflag, special_lj=slj, special_coul=scoul
+                )
+            except TypeError:
+                # styles that ignore special weights (e.g. EAM)
+                pf, pe, pv = self.pair.compute(state, nl, eflag, vflag)
+            f = f + pf
+            epair = acc(epair, pe)
+            virial = acc(virial, pv)
+
+        top = self.topology
+        if self.bond is not None and top is not None:
+            out = bonded_mod.compute_bonds(self.bond, state, top, eflag, vflag)
+            if out is not None:
+                bf, be, bv = out
+                f = f + bf
+                emol = acc(emol, be)
+                virial = acc(virial, bv)
+        if self.angle is not None and top is not None:
+            out = bonded_mod.compute_angles(self.angle, state, top, eflag, vflag)
+            if out is not None:
+                af, ae, av = out
+                f = f + af
+                emol = acc(emol, ae)
+                virial = acc(virial, av)
+        if self.dihedral is not None and top is not None:
+            out = bonded_mod.compute_dihedrals(
+                self.dihedral, state, top, eflag, vflag, which="dihedrals"
+            )
+            if out is not None:
+                df, de, dv = out
+                f = f + df
+                emol = acc(emol, de)
+                virial = acc(virial, dv)
+        if self.improper is not None and top is not None:
+            out = bonded_mod.compute_dihedrals(
+                self.improper, state, top, eflag, vflag, which="impropers"
+            )
+            if out is not None:
+                if_, ie, iv = out
+                f = f + if_
+                emol = acc(emol, ie)
+                virial = acc(virial, iv)
+
+        if self.kspace is not None:
+            kf, ke, kv = self.kspace.compute(state, eflag, vflag)
+            f = f + kf
+            epair = acc(epair, ke)
+            virial = acc(virial, kv)
+
+        return f, epair, emol, virial
+
+
+def from_pair(pair) -> ForceField:
+    return ForceField(pair=pair)

@@ -89,10 +89,15 @@ def compute(
     nl: NeighborList,
     eflag: bool = False,
     vflag: bool = False,
+    special_lj=None,
+    special_coul=None,
 ):
     """Evaluate forces (and optionally energy/virial) for a simple pair style.
 
     Returns (f [cap,3], evdwl scalar | None, virial [6] | None).
+    `special_lj` (4-tuple) weights 1-2/1-3/1-4 pairs via nl.sb, exactly as
+    the reference applies `factor_lj = special_lj[sbmask(j)]`
+    (ref: src/pair_lj_cut.cpp:69-140).
     """
     cap = state.capacity
     j, jc, pair_valid, dx, r2 = gather_pairs(state, nl)
@@ -111,6 +116,12 @@ def compute(
 
     fpair, evdwl = style.pair_terms(r2_safe, ti, tj, eflag)
     fpair = jnp.where(valid, fpair, 0.0)
+
+    if nl.sb is not None and special_lj is not None:
+        w = jnp.asarray(special_lj, dtype=r2.dtype)[nl.sb]
+        fpair = fpair * w
+        if eflag and evdwl is not None:
+            evdwl = evdwl * w
 
     f = jnp.sum(dx * fpair[..., None], axis=1)
 

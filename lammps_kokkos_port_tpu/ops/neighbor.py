@@ -70,7 +70,8 @@ class NeighborParams:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "nneigh", "xhold", "ago", "nbuilds", "ndanger", "overflow"],
+    data_fields=["idx", "sb", "nneigh", "xhold", "ago", "nbuilds", "ndanger",
+                 "overflow"],
     meta_fields=["params"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,9 +80,13 @@ class NeighborList:
 
     `idx[i, k]` is the local index of the k-th neighbor of atom i; entries
     >= capacity are padding. The matrix is FULL (both (i,j) and (j,i) stored).
+    `sb[i, k]` (optional) is the special-bond class of the pair (0 plain,
+    1/2/3 = 1-2/1-3/1-4) — the unpacked analog of the reference's SBBITS
+    packing (ref: src/npair_half_bin_newton.cpp `j ^ (which << SBBITS)`).
     """
 
     idx: Array  # [cap, K] int32
+    sb: Array | None  # [cap, K] int32 special classes, or None
     nneigh: Array  # [cap] int32 true neighbor counts (may exceed K on overflow)
     xhold: Array  # [cap, 3] positions at last build (distance check)
     ago: Array  # scalar int32: steps since last build
@@ -203,18 +208,50 @@ def _chunk_size(cap: int, target: int = 4096) -> int:
     return best
 
 
-def build(state: State, p: NeighborParams) -> NeighborList:
+def _special_plan(special):
+    """Static decisions from special-bond weights.
+
+    Returns (excluded_classes, need_sb): classes dropped from the list
+    entirely (weight 0 in exclude mode — ref: Neighbor::special_flag == 0)
+    and whether a per-pair class array must be carried for fractional or
+    kspace-masked weights (special_flag == 2).
+    """
+    if special is None:
+        return (), False
+    excluded = []
+    need_sb = False
+    for c in (1, 2, 3):
+        wl = special.weights_lj[c]
+        wc = special.weights_coul[c]
+        if special.mode == "exclude" and wl == 0.0 and wc == 0.0:
+            excluded.append(c)
+        elif wl != 1.0 or wc != 1.0:
+            need_sb = True
+    return tuple(excluded), need_sb
+
+
+def _pair_classes(cand, ai, special):
+    """Special class of each (i=ai, j=cand) pair: [chunk, C] int32."""
+    sidx = special.idx[ai]  # [chunk, ms]
+    scls = special.cls[ai]  # [chunk, ms]
+    match = cand[:, :, None] == sidx[:, None, :]  # [chunk, C, ms]
+    return jnp.max(jnp.where(match, scls[:, None, :], 0), axis=-1)
+
+
+def build(state: State, p: NeighborParams, special=None) -> NeighborList:
     """Build the neighbor matrix (jit-compatible; static shapes from `p`).
 
     The candidate gather + distance filter + fixed-width compaction runs in
     sequential chunks of atoms (lax.map) so peak HBM is one chunk's
     [chunk, 27*cell_cap] intermediates — the rebuild is off the hot path
     (every ~10-20 steps), so memory matters more than a few extra kernel
-    launches.
+    launches. `special` (core.topology.SpecialBonds) applies 1-2/1-3/1-4
+    exclusion/masking.
     """
     cap = state.capacity
     cutsq = jnp.asarray(p.cutneigh * p.cutneigh, dtype=state.dtype)
     arange_cap = jnp.arange(cap, dtype=jnp.int32)
+    excluded, need_sb = _special_plan(special)
 
     if p.all_pairs:
         cell_overflow = jnp.asarray(False)
@@ -244,9 +281,21 @@ def build(state: State, p: NeighborParams) -> NeighborList:
             & (r2 < cutsq)
             & vm[:, None]
         )
+        if excluded:
+            cls = _pair_classes(cand, ai, special)
+            drop = jnp.zeros_like(valid)
+            for c in excluded:
+                drop = drop | (cls == c)
+            valid = valid & ~drop
         key = jnp.where(valid, cand, cap)
         key = jnp.sort(key, axis=-1)
-        return key[:, : p.K], jnp.sum(valid, axis=-1).astype(jnp.int32)
+        idx_c = key[:, : p.K]
+        if need_sb:
+            sb_c = _pair_classes(idx_c, ai, special)
+            sb_c = jnp.where(idx_c < cap, sb_c, 0)
+        else:
+            sb_c = jnp.zeros((chunk, 1), dtype=jnp.int32)  # placeholder
+        return idx_c, sb_c, jnp.sum(valid, axis=-1).astype(jnp.int32)
 
     args = (
         state.x.reshape(nchunk, chunk, 3),
@@ -256,10 +305,11 @@ def build(state: State, p: NeighborParams) -> NeighborList:
         state.valid_mask.reshape(nchunk, chunk),
     )
     if nchunk == 1:
-        idx, nneigh = one_chunk(jax.tree.map(lambda a: a[0], args))
+        idx, sb, nneigh = one_chunk(jax.tree.map(lambda a: a[0], args))
     else:
-        idx, nneigh = jax.lax.map(one_chunk, args)
+        idx, sb, nneigh = jax.lax.map(one_chunk, args)
         idx = idx.reshape(cap, p.K)
+        sb = sb.reshape(cap, -1)
         nneigh = nneigh.reshape(cap)
 
     k_overflow = jnp.max(nneigh) > p.K
@@ -267,6 +317,7 @@ def build(state: State, p: NeighborParams) -> NeighborList:
 
     return NeighborList(
         idx=idx,
+        sb=sb if need_sb else None,
         nneigh=jnp.minimum(nneigh, p.K),
         xhold=state.x,
         ago=jnp.asarray(0, dtype=jnp.int32),
@@ -277,9 +328,9 @@ def build(state: State, p: NeighborParams) -> NeighborList:
     )
 
 
-def rebuild_merge(state: State, old: NeighborList) -> NeighborList:
+def rebuild_merge(state: State, old: NeighborList, special=None) -> NeighborList:
     """Rebuild, accumulating bookkeeping from the previous list."""
-    new = build(state, old.params)
+    new = build(state, old.params, special=special)
     return dataclasses.replace(
         new,
         nbuilds=old.nbuilds + 1,

@@ -114,6 +114,63 @@ def eam_bulk_cu_sim(
     )
 
 
+def chain_sim(
+    data_path: str = "/root/reference/bench/data.chain",
+    langevin_seed: int = 904297,
+    dtype=jnp.float32,
+):
+    """bench/in.chain: FENE bead-spring melt. atom_style bond,
+    special_bonds fene (lj/coul 0 1 1), lj/cut 1.12 shifted, bond fene
+    30 1.5 1 1, nve + langevin 1.0 1.0 10.0, dt 0.012, skin 0.4,
+    neigh_modify every 1 delay 1."""
+    from .core.topology import build_special, pad_topology
+    from .integrate.fixes import FixLangevin
+    from .models.bonded import make_bond_fene
+    from .models.forcefield import ForceField
+    from .runner import Simulation
+
+    from .io.data_reader import read_data
+
+    df = read_data(data_path, atom_style="bond")
+    box = Box.create(
+        [df.xlo, df.ylo, df.zlo], [df.xhi, df.yhi, df.zhi], dtype=jnp.float64
+    )
+    state = create_state(
+        df.x, box, types=df.types, velocities=df.v, masses=df.masses,
+        molecules=df.molecule, tags=df.tags, images=df.image,
+        units_name="lj", dtype=dtype,
+    )
+    cap = state.capacity
+    # tags are 1..N in file order -> local index = tag - 1
+    bonds_local = np.stack(
+        [df.bonds[:, 0], df.bonds[:, 1] - 1, df.bonds[:, 2] - 1], axis=1
+    )
+    top = pad_topology(cap, bonds=bonds_local)
+    special = build_special(
+        df.natoms, cap, bonds_local[:, 1:],
+        weights_lj=(0.0, 1.0, 1.0), weights_coul=(0.0, 1.0, 1.0),
+        mode="exclude",
+    )
+    pair = make_lj_cut(
+        ntypes=df.natomtypes, coeffs={(1, 1): (1.0, 1.0)}, cut_global=1.12,
+        shift=True, dtype=dtype,
+    )
+    bond = make_bond_fene(
+        df.nbondtypes, {1: (30.0, 1.5, 1.0, 1.0)}, dtype=dtype
+    )
+    ff = ForceField(pair=pair, bond=bond, topology=top, special=special)
+    units = get_units("lj")
+    lange = FixLangevin(
+        t_start=1.0, t_stop=1.0, t_period=10.0, seed=langevin_seed,
+        dt=0.012, units=units,
+    )
+    return Simulation(
+        state, ff, dt=0.012, skin=0.4,
+        neigh_every=1, neigh_delay=1, neigh_check=True,
+        fixes=(lange,),
+    )
+
+
 def lj_melt_sim(
     cells: int = 10,
     t_init: float = 3.0,

@@ -44,7 +44,13 @@ class Simulation:
         extra_dof: int | None = None,
     ):
         self.state = state
-        self.pair_style = pair_style
+        from .models.forcefield import ForceField, from_pair
+
+        if isinstance(pair_style, ForceField):
+            self.forcefield = pair_style
+        else:
+            self.forcefield = from_pair(pair_style)
+        self.pair_style = self.forcefield.pair
         self.units: Units = get_units(state.units_name)
         self.dt = float(dt) if dt is not None else self.units.dt
         self.skin = float(skin) if skin is not None else self.units.skin
@@ -65,7 +71,7 @@ class Simulation:
     # -- forces -------------------------------------------------------------
 
     def force_fn(self, state: State, nl, eflag: bool, vflag: bool):
-        return self.pair_style.compute(state, nl, eflag, vflag)
+        return self.forcefield.compute(state, nl, eflag, vflag)
 
     # -- setup (ref: Verlet::setup, src/verlet.cpp:93) ----------------------
 
@@ -73,7 +79,7 @@ class Simulation:
         self.state = self.integrator.setup(self.state)
         for fx in self.fixes:
             self.state = fx.setup(self.state)
-        cutneigh = self.pair_style.max_cutoff() + self.skin
+        cutneigh = self.forcefield.max_cutoff() + self.skin
         params = nbr.size_for_system(
             self.state,
             cutneigh=cutneigh,
@@ -84,10 +90,10 @@ class Simulation:
         )
         x, image = self.state.box.wrap(self.state.x, self.state.image)
         self.state = self.state.replace(x=x, image=image)
-        self.nl = nbr.build(self.state, params)
+        self.nl = nbr.build(self.state, params, special=self.forcefield.special)
         self._check_overflow_and_grow()
         vflag = self.integrator.needs_virial
-        f, _, virial = self.force_fn(self.state, self.nl, False, vflag)
+        f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
         self.state = self.state.replace(f=f)
         if vflag:
             self.state = self.state.replace(virial=virial)
@@ -98,7 +104,7 @@ class Simulation:
             if not bool(jax.device_get(self.nl.overflow)):
                 return
             params = nbr.grow(self.nl.params)
-            self.nl = nbr.build(self.state, params)
+            self.nl = nbr.build(self.state, params, special=self.forcefield.special)
         raise RuntimeError("neighbor capacity growth did not converge")
 
     # -- run ----------------------------------------------------------------
@@ -107,7 +113,10 @@ class Simulation:
         key = (self.nl.params, self.state.capacity)
         runner = self._segment_cache.get(key)
         if runner is None:
-            step = make_step(self.integrator, self.force_fn, self.fixes)
+            step = make_step(
+                self.integrator, self.force_fn, self.fixes,
+                special=self.forcefield.special,
+            )
 
             def run_segment(state, nl, nsteps: int):
                 def body(carry, _):
@@ -191,7 +200,7 @@ class Simulation:
             params = nbr.grow(snap_nl.params)
             self.state = snap_state
             self.nl = dataclasses.replace(
-                nbr.build(snap_state, params),
+                nbr.build(snap_state, params, special=self.forcefield.special),
                 nbuilds=snap_nl.nbuilds,
                 ndanger=snap_nl.ndanger,
             )
@@ -204,21 +213,27 @@ class Simulation:
         """Current thermo keywords (ref: src/thermo.cpp:815-905 subset)."""
         u = self.units
         st, nl = self.state, self.nl
-        f, pe, virial = self.force_fn(st, nl, True, True)
+        f, epair, emol, virial = self.force_fn(st, nl, True, True)
+        if epair is None:
+            epair = jnp.zeros((), st.dtype)
+        if emol is None:
+            emol = jnp.zeros((), st.dtype)
         t = thermo_mod.temperature(st, u, self.extra_dof)
         ke = thermo_mod.kinetic_energy(st, u)
         press = thermo_mod.pressure(st, virial, u, t, self.extra_dof)
         n = jax.device_get(st.nlocal)
         norm = u.norm_default
-        pe_v, ke_v, t_v, p_v = jax.device_get((pe, ke, t, press))
+        ep_v, em_v, ke_v, t_v, p_v = jax.device_get((epair, emol, ke, t, press))
         vol = float(jax.device_get(st.box.volume))
         if norm:
-            pe_v = pe_v / n
+            ep_v = ep_v / n
+            em_v = em_v / n
             ke_v = ke_v / n
+        pe_v = ep_v + em_v
         return {
             "temp": float(t_v),
-            "epair": float(pe_v),
-            "emol": 0.0,
+            "epair": float(ep_v),
+            "emol": float(em_v),
             "ke": float(ke_v),
             "pe": float(pe_v),
             "etotal": float(pe_v + ke_v),
