@@ -399,6 +399,11 @@ def make_angle_harmonic(ntypes, coeffs, dtype=jnp.float64) -> AngleHarmonic:
     return AngleHarmonic(k=k, theta0=th * (np.pi / 180.0))
 
 
+def make_angle_cosine(ntypes, coeffs, dtype=jnp.float64) -> AngleCosine:
+    (k,) = table(ntypes, coeffs, 1, dtype)
+    return AngleCosine(k=k, theta0=jnp.zeros_like(k))
+
+
 def make_angle_charmm(ntypes, coeffs, dtype=jnp.float64) -> AngleCharmm:
     k, th, kub, rub = table(ntypes, coeffs, 4, dtype)
     return AngleCharmm(k=k, theta0=th * (np.pi / 180.0), k_ub=kub, r_ub=rub)

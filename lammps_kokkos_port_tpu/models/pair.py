@@ -58,14 +58,28 @@ class PairStyle(Protocol):
 
 
 def gather_pairs(state: State, nl: NeighborList):
-    """Shared neighbor gather: returns (j, jc, pair_valid, dx, r2)."""
+    """Shared neighbor gather: returns (j, jc, pair_valid, dx, r2).
+
+    When the list carries explicit image-shift codes (small-box mode, see
+    ops/neighbor.py), displacements use the recorded image instead of the
+    minimum-image convention — the fixed-shape analog of ghost atoms.
+    """
     cap = state.capacity
     j = nl.idx
     jc = jnp.clip(j, 0, cap - 1)
     pair_valid = j < cap
     xi = state.x[:, None, :]
     xj = state.x[jc]
-    dx = state.box.min_image(xi - xj)
+    if nl.shift is not None:
+        from ..ops.neighbor import shift_offsets
+
+        offs = jnp.asarray(
+            shift_offsets(nl.params.images), dtype=state.dtype
+        )
+        vecs = offs @ state.box.h.T  # [nsh, 3]
+        dx = xi - (xj + vecs[nl.shift])
+    else:
+        dx = state.box.min_image(xi - xj)
     r2 = jnp.sum(dx * dx, axis=-1)
     return j, jc, pair_valid, dx, r2
 

@@ -57,10 +57,25 @@ class NeighborParams:
     K: int = 64  # neighbor matrix width
     cell_cap: int = 32  # max atoms per cell
     ncells: tuple[int, int, int] = (0, 0, 0)  # (0,0,0) => all-pairs mode
+    # explicit periodic-image range per dim (all-pairs mode only): when the
+    # cutoff exceeds half the cell height, minimum-image undercounts — the
+    # reference's ghost atoms see MULTIPLE images of the same neighbor. A
+    # nonzero range enumerates (j, image-shift) candidate pairs instead,
+    # recording the shift in NeighborList.shift.
+    images: tuple[int, int, int] = (0, 0, 0)
 
     @property
     def all_pairs(self) -> bool:
         return self.ncells[0] == 0
+
+    @property
+    def use_shifts(self) -> bool:
+        return any(i > 0 for i in self.images)
+
+    @property
+    def nshift(self) -> int:
+        ix, iy, iz = self.images
+        return (2 * ix + 1) * (2 * iy + 1) * (2 * iz + 1)
 
     @property
     def total_cells(self) -> int:
@@ -70,8 +85,8 @@ class NeighborParams:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "sb", "nneigh", "xhold", "ago", "nbuilds", "ndanger",
-                 "overflow"],
+    data_fields=["idx", "sb", "shift", "nneigh", "xhold", "ago", "nbuilds",
+                 "ndanger", "overflow"],
     meta_fields=["params"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +102,7 @@ class NeighborList:
 
     idx: Array  # [cap, K] int32
     sb: Array | None  # [cap, K] int32 special classes, or None
+    shift: Array | None  # [cap, K] int32 image-shift codes, or None
     nneigh: Array  # [cap] int32 true neighbor counts (may exceed K on overflow)
     xhold: Array  # [cap, 3] positions at last build (distance check)
     ago: Array  # scalar int32: steps since last build
@@ -191,6 +207,19 @@ def _neighbor_cell_ids(state: State, p: NeighborParams, ci: Array) -> Array:
     return jnp.where(dead, ntot, ncid)  # dead cell is all-padding
 
 
+def shift_offsets(images: tuple) -> np.ndarray:
+    """[nshift, 3] integer image offsets; code 0 is always (0,0,0)."""
+    ix, iy, iz = images
+    offs = [
+        (sx, sy, sz)
+        for sx in range(-ix, ix + 1)
+        for sy in range(-iy, iy + 1)
+        for sz in range(-iz, iz + 1)
+    ]
+    offs.sort(key=lambda o: (o != (0, 0, 0), o))  # (0,0,0) first
+    return np.asarray(offs, dtype=np.int64)
+
+
 def _chunk_size(cap: int, target: int = 4096) -> int:
     """Largest divisor of cap that is <= target (cap is a multiple of 8)."""
     if cap <= target:
@@ -252,6 +281,13 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
     cutsq = jnp.asarray(p.cutneigh * p.cutneigh, dtype=state.dtype)
     arange_cap = jnp.arange(cap, dtype=jnp.int32)
     excluded, need_sb = _special_plan(special)
+    use_shifts = p.all_pairs and p.use_shifts
+    nsh = p.nshift if use_shifts else 1
+
+    if use_shifts:
+        # image shift vectors in box coords: S @ h^T
+        offs = jnp.asarray(shift_offsets(p.images), dtype=state.dtype)
+        shift_vecs = offs @ state.box.h.T  # [nsh, 3]
 
     if p.all_pairs:
         cell_overflow = jnp.asarray(False)
@@ -265,37 +301,54 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
 
     def one_chunk(args):
         xi, ci, ai, vm = args  # [chunk,3], [chunk,3] int32, [chunk], [chunk]
-        if p.all_pairs:
+        if use_shifts:
+            # candidates are (atom j, image shift) combos: combo = j*nsh + code
+            combo = jnp.arange(cap * nsh, dtype=jnp.int32)[None, :]
+            combo = jnp.broadcast_to(combo, (chunk, cap * nsh))
+            cand = combo // nsh
+            code = combo % nsh
+            base_valid = state.valid_mask[cand]
+            xj = state.x[cand] + shift_vecs[code]
+            dx = xi[:, None, :] - xj
+            # self excluded only in the home image: interaction with one's
+            # own periodic image is real (the reference sees it via ghosts)
+            self_mask = (cand == ai[:, None]) & (code == 0)
+        elif p.all_pairs:
             cand = jnp.broadcast_to(arange_cap[None, :], (chunk, cap))
             base_valid = jnp.broadcast_to(state.valid_mask[None, :], (chunk, cap))
+            dx = state.box.min_image(xi[:, None, :] - state.x[cand])
+            self_mask = cand == ai[:, None]
         else:
             ncid = _neighbor_cell_ids(state, p, ci)  # [chunk, 27]
             cand = buckets[ncid].reshape(chunk, 27 * p.cell_cap)
             base_valid = cand < cap
-        xj = state.x[jnp.clip(cand, 0, cap - 1)]
-        dx = state.box.min_image(xi[:, None, :] - xj)
+            xj = state.x[jnp.clip(cand, 0, cap - 1)]
+            dx = state.box.min_image(xi[:, None, :] - xj)
+            self_mask = cand == ai[:, None]
         r2 = jnp.sum(dx * dx, axis=-1)
-        valid = (
-            base_valid
-            & (cand != ai[:, None])
-            & (r2 < cutsq)
-            & vm[:, None]
-        )
+        valid = base_valid & ~self_mask & (r2 < cutsq) & vm[:, None]
         if excluded:
             cls = _pair_classes(cand, ai, special)
             drop = jnp.zeros_like(valid)
             for c in excluded:
                 drop = drop | (cls == c)
             valid = valid & ~drop
-        key = jnp.where(valid, cand, cap)
-        key = jnp.sort(key, axis=-1)
-        idx_c = key[:, : p.K]
+        if use_shifts:
+            key = jnp.where(valid, combo, cap * nsh)
+            key = jnp.sort(key, axis=-1)[:, : p.K]
+            idx_c = jnp.minimum(key // nsh, cap)
+            shift_c = jnp.where(idx_c < cap, key % nsh, 0)
+        else:
+            key = jnp.where(valid, cand, cap)
+            key = jnp.sort(key, axis=-1)
+            idx_c = key[:, : p.K]
+            shift_c = jnp.zeros((chunk, 1), dtype=jnp.int32)  # placeholder
         if need_sb:
             sb_c = _pair_classes(idx_c, ai, special)
             sb_c = jnp.where(idx_c < cap, sb_c, 0)
         else:
             sb_c = jnp.zeros((chunk, 1), dtype=jnp.int32)  # placeholder
-        return idx_c, sb_c, jnp.sum(valid, axis=-1).astype(jnp.int32)
+        return idx_c, sb_c, shift_c, jnp.sum(valid, axis=-1).astype(jnp.int32)
 
     args = (
         state.x.reshape(nchunk, chunk, 3),
@@ -305,11 +358,12 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
         state.valid_mask.reshape(nchunk, chunk),
     )
     if nchunk == 1:
-        idx, sb, nneigh = one_chunk(jax.tree.map(lambda a: a[0], args))
+        idx, sb, shift, nneigh = one_chunk(jax.tree.map(lambda a: a[0], args))
     else:
-        idx, sb, nneigh = jax.lax.map(one_chunk, args)
+        idx, sb, shift, nneigh = jax.lax.map(one_chunk, args)
         idx = idx.reshape(cap, p.K)
         sb = sb.reshape(cap, -1)
+        shift = shift.reshape(cap, -1)
         nneigh = nneigh.reshape(cap)
 
     k_overflow = jnp.max(nneigh) > p.K
@@ -318,6 +372,7 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
     return NeighborList(
         idx=idx,
         sb=sb if need_sb else None,
+        shift=shift if use_shifts else None,
         nneigh=jnp.minimum(nneigh, p.K),
         xhold=state.x,
         ago=jnp.asarray(0, dtype=jnp.int32),
@@ -396,10 +451,21 @@ def size_for_system(
         return ((v + m - 1) // m) * m
 
     if ncells == (0, 0, 0):
+        # small box: enumerate explicit periodic images out to the cutoff
+        # (minimum-image undercounts once cutneigh > height/2)
+        heights = box_heights(state.box)
+        images = tuple(
+            int(np.ceil(cutneigh / heights[d])) if state.box.periodic[d] else 0
+            for d in range(3)
+        )
+        nsh = 1
+        for im in images:
+            nsh *= 2 * im + 1
         return NeighborParams(
             cutneigh=cutneigh, skin=skin, every=every, delay=delay, check=check,
-            K=min(max(n - 1, 4), state.capacity), cell_cap=max(n, 1),
-            ncells=ncells,
+            K=min(max(n - 1, 4) * min(nsh, 4), state.capacity * nsh),
+            cell_cap=max(n, 1),
+            ncells=ncells, images=images,
         )
 
     # exact per-cell occupancy on the host

@@ -1,0 +1,267 @@
+"""Golden-fixture harness: run the reference's force-style YAML fixtures.
+
+The reference validates every force style against committed YAML goldens —
+tiny deterministic systems with exact per-atom forces/stress/energies
+(ref: unittest/force-styles/tests/*.yaml, harness
+unittest/force-styles/test_pair_style.cpp:158-170; SURVEY.md §4.1). This
+module replays those fixtures through OUR framework: parse the YAML, build
+the fourmol molecular system from the same data file, construct the style,
+and compare init forces/energies/stress.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import yaml
+
+import jax.numpy as jnp
+
+from lammps_kokkos_port_tpu.core.box import Box
+from lammps_kokkos_port_tpu.core.state import create_state
+from lammps_kokkos_port_tpu.core.topology import build_special, pad_topology
+from lammps_kokkos_port_tpu.io.data_reader import read_data
+from lammps_kokkos_port_tpu.models import bonded
+from lammps_kokkos_port_tpu.models.forcefield import ForceField
+from lammps_kokkos_port_tpu.models.pair_charmm import (
+    PairCoul,
+    PairZero,
+    make_lj_charmm_coul_long,
+    make_lj_cut_coul,
+)
+from lammps_kokkos_port_tpu.models.pair_lj import make_lj_cut
+from lammps_kokkos_port_tpu.ops import neighbor as nbr
+
+TESTS_DIR = "/root/reference/unittest/force-styles/tests"
+
+# in.fourmol settings (ref: unittest/force-styles/tests/in.fourmol)
+FOURMOL_SPECIAL = (0.10, 0.25, 0.50)
+
+
+def load_fixture(name: str) -> dict:
+    with open(f"{TESTS_DIR}/{name}") as f:
+        return yaml.safe_load(f)
+
+
+def parse_rows(block: str) -> list[list[str]]:
+    return [ln.split() for ln in block.strip().splitlines() if ln.strip()]
+
+
+def parse_forces(block: str, n: int) -> np.ndarray:
+    out = np.zeros((n, 3))
+    for toks in parse_rows(block):
+        out[int(toks[0]) - 1] = [float(toks[1]), float(toks[2]), float(toks[3])]
+    return out
+
+
+def parse_stress(block: str) -> np.ndarray:
+    return np.array([float(t) for t in block.split()])
+
+
+def _post_command_opts(fix: dict) -> dict:
+    opts = {"mix": None, "gewald": None, "shift": False}
+    for ln in (fix.get("post_commands") or "").splitlines():
+        t = ln.split()
+        if len(t) >= 3 and t[0] == "pair_modify" and t[1] == "mix":
+            opts["mix"] = t[2]
+        if len(t) >= 3 and t[0] == "pair_modify" and t[1] == "shift":
+            opts["shift"] = t[2] == "yes"
+        if len(t) >= 3 and t[0] == "kspace_modify" and t[1] == "gewald":
+            opts["gewald"] = float(t[2])
+    return opts
+
+
+def build_fourmol(data_file: str = "data.fourmol", dtype=jnp.float64):
+    """State + topology + special bonds for the 29-atom fixture system."""
+    df = read_data(f"{TESTS_DIR}/{data_file}", atom_style="full")
+    box = Box.create([df.xlo, df.ylo, df.zlo], [df.xhi, df.yhi, df.zhi],
+                     dtype=jnp.float64)
+    state = create_state(
+        df.x, box, types=df.types, velocities=df.v, masses=df.masses,
+        charges=df.q, molecules=df.molecule, tags=df.tags, images=df.image,
+        units_name="real", dtype=dtype,
+    )
+    cap = state.capacity
+
+    def local(arr):
+        if arr is None:
+            return None
+        out = arr.copy()
+        out[:, 1:] = out[:, 1:] - 1
+        return out
+
+    top = pad_topology(
+        cap,
+        bonds=local(df.bonds),
+        angles=local(df.angles),
+        dihedrals=local(df.dihedrals),
+        impropers=local(df.impropers),
+    )
+    bonds_ij = (df.bonds[:, 1:] - 1) if df.bonds is not None else np.zeros((0, 2), int)
+    special = build_special(
+        df.natoms, cap, bonds_ij,
+        weights_lj=FOURMOL_SPECIAL, weights_coul=FOURMOL_SPECIAL,
+        mode="mask",
+    )
+    return df, state, top, special
+
+
+def _parse_pair_coeffs(fix: dict, ntypes: int) -> dict:
+    coeffs = {}
+    for toks in parse_rows(fix.get("pair_coeff", "")):
+        ii = range(1, ntypes + 1) if toks[0] == "*" else [int(toks[0])]
+        jj = range(1, ntypes + 1) if toks[1] == "*" else [int(toks[1])]
+        vals = tuple(float(t) for t in toks[2:])
+        for i in ii:
+            for j in jj:
+                if j >= i:
+                    coeffs[(i, j)] = vals
+    return coeffs
+
+
+def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64):
+    words = fix["pair_style"].split()
+    name = words[0]
+    args = [float(w) for w in words[1:]]
+    opts = _post_command_opts(fix)
+    coeffs = _parse_pair_coeffs(fix, ntypes)
+    gewald = opts["gewald"] or 0.0
+
+    if name == "lj/cut":
+        return make_lj_cut(ntypes, coeffs, cut_global=args[0],
+                           mix=opts["mix"] or "geometric",
+                           shift=opts["shift"], dtype=dtype)
+    if name == "lj/charmm/coul/long":
+        cut_coul = args[2] if len(args) > 2 else args[1]
+        return make_lj_charmm_coul_long(
+            ntypes, coeffs, cut_lj_inner=args[0], cut_lj=args[1],
+            cut_coul=cut_coul, g_ewald=gewald,
+            mix=opts["mix"] or "arithmetic", dtype=dtype,
+        )
+    if name == "lj/charmm/coul/charmm":
+        # coulomb switching not yet implemented; cut mode approximation
+        raise NotImplementedError(name)
+    if name == "lj/cut/coul/long":
+        cut_coul = args[1] if len(args) > 1 else args[0]
+        return make_lj_cut_coul(
+            ntypes, coeffs, cut_lj=args[0], cut_coul=cut_coul,
+            g_ewald=gewald, coul_mode="long",
+            mix=opts["mix"] or "geometric", dtype=dtype,
+        )
+    if name == "lj/cut/coul/cut":
+        cut_coul = args[1] if len(args) > 1 else args[0]
+        return make_lj_cut_coul(
+            ntypes, coeffs, cut_lj=args[0], cut_coul=cut_coul,
+            coul_mode="cut", mix=opts["mix"] or "geometric", dtype=dtype,
+        )
+    if name == "coul/long":
+        return PairCoul.create(ntypes, args[0], coeffs, g_ewald=gewald,
+                               coul_mode="long", mix=opts["mix"] or "geometric",
+                               dtype=dtype)
+    if name == "coul/cut":
+        return PairCoul.create(ntypes, args[0], coeffs, coul_mode="cut",
+                               mix=opts["mix"] or "geometric", dtype=dtype)
+    if name == "zero":
+        return PairZero(ntypes=ntypes, cut=args[0])
+    raise NotImplementedError(name)
+
+
+_BONDED_BUILDERS = {
+    ("bond", "harmonic"): (bonded.make_bond_harmonic, 2),
+    ("bond", "fene"): (bonded.make_bond_fene, 4),
+    ("angle", "harmonic"): (bonded.make_angle_harmonic, 2),
+    ("angle", "charmm"): (bonded.make_angle_charmm, 4),
+    ("angle", "cosine"): (bonded.make_angle_cosine, 1),
+    ("dihedral", "harmonic"): (None, 3),  # special arg order: K d n
+    ("dihedral", "charmm"): (None, 4),  # K n d w
+    ("dihedral", "opls"): (bonded.make_dihedral_opls, 4),
+    ("improper", "harmonic"): (bonded.make_improper_harmonic, 2),
+}
+
+
+def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64):
+    style_name = fix[f"{kind}_style"]
+    rows = parse_rows(fix.get(f"{kind}_coeff", ""))
+    coeffs = {int(r[0]): tuple(float(t) for t in r[1:]) for r in rows}
+    if (kind, style_name) == ("dihedral", "charmm"):
+        return bonded.make_dihedral_charmm(
+            ntypes, {t: c[:3] for t, c in coeffs.items()}, dtype=dtype
+        )
+    if (kind, style_name) == ("dihedral", "harmonic"):
+        # input order: K d n -> our (k, n, d_radians with d=+1/-1 sign)
+        conv = {t: (c[0], c[2], c[1]) for t, c in coeffs.items()}
+        k, n, d = bonded.table(ntypes, conv, 3, dtype)
+        return bonded.DihedralHarmonic(k=k, n=n, d=d)
+    builder, ncols = _BONDED_BUILDERS[(kind, style_name)]
+    if builder is None:
+        raise NotImplementedError((kind, style_name))
+    return builder(ntypes, coeffs, dtype=dtype)
+
+
+def run_pair_fixture(name: str, dtype=jnp.float64):
+    """Returns (got forces, vdwl, coul, stress; want ...) for a mol-pair-*
+    fixture at init."""
+    fix = load_fixture(name)
+    df, state, top, special = build_fourmol(dtype=dtype)
+    pair = build_pair_style(fix, df.natomtypes, dtype=dtype)
+
+    p = nbr.size_for_system(state, cutneigh=pair.max_cutoff() + 2.0, skin=2.0)
+    nl = nbr.build(state, p, special=special)
+    while bool(nl.overflow):
+        p = nbr.grow(p)
+        nl = nbr.build(state, p, special=special)
+
+    slj = special.weights_lj
+    scoul = special.weights_coul
+    if hasattr(pair, "compute_detailed"):
+        f, evdwl, ecoul, virial = pair.compute_detailed(
+            state, nl, True, True, special_lj=slj, special_coul=scoul
+        )
+    else:
+        f, evdwl, virial = pair.compute(
+            state, nl, True, True, special_lj=slj, special_coul=scoul
+        )
+        ecoul = jnp.zeros(())
+
+    n = df.natoms
+    got = dict(
+        forces=np.asarray(f)[:n],
+        vdwl=float(evdwl),
+        coul=float(ecoul),
+        stress=np.asarray(virial),
+    )
+    want = dict(
+        forces=parse_forces(fix["init_forces"], n),
+        vdwl=float(fix["init_vdwl"]),
+        coul=float(fix.get("init_coul", 0.0)),
+        stress=parse_stress(fix["init_stress"]),
+    )
+    return got, want
+
+
+def run_bonded_fixture(kind: str, name: str, dtype=jnp.float64):
+    """Returns (got, want) for a bond-/angle-/dihedral-/improper- fixture."""
+    fix = load_fixture(name)
+    df, state, top, special = build_fourmol(dtype=dtype)
+    style = build_bonded_style(kind, fix, getattr(df, f"n{kind}types"),
+                               dtype=dtype)
+
+    if kind == "bond":
+        out = bonded.compute_bonds(style, state, top, True, True)
+    elif kind == "angle":
+        out = bonded.compute_angles(style, state, top, True, True)
+    elif kind == "dihedral":
+        out = bonded.compute_dihedrals(style, state, top, True, True,
+                                       which="dihedrals")
+    else:
+        out = bonded.compute_dihedrals(style, state, top, True, True,
+                                       which="impropers")
+    f, e, virial = out
+    n = df.natoms
+    got = dict(forces=np.asarray(f)[:n], energy=float(e),
+               stress=np.asarray(virial))
+    want = dict(
+        forces=parse_forces(fix["init_forces"], n),
+        energy=float(fix["init_energy"]),
+        stress=parse_stress(fix["init_stress"]),
+    )
+    return got, want
