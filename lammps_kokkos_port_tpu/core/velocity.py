@@ -147,6 +147,37 @@ def _gaussian_draws(seeds: np.ndarray) -> np.ndarray:
     return out
 
 
+def create_velocities_loop_all(
+    natoms: int,
+    masses_per_atom: np.ndarray,
+    t_desired: float,
+    seed: int,
+    units: Units,
+    dist: str = "uniform",
+    dimension: int = 3,
+) -> np.ndarray:
+    """`velocity all create T seed` (loop all, the default): one sequential
+    Park-Miller stream over atom IDs 1..N (ref: src/velocity.cpp:245-300) —
+    identical velocities regardless of decomposition when IDs are 1..N.
+    """
+    s = seed
+    vals = np.empty(3 * natoms)
+    if dist != "uniform":
+        raise NotImplementedError("loop all gaussian: use loop geom")
+    for i in range(3 * natoms):
+        s = (_IA * s) % _IM
+        vals[i] = _AM * s
+    raw = vals.reshape(natoms, 3) - 0.5
+    factor = 1.0 / np.sqrt(masses_per_atom)
+    v = raw * factor[:, None]
+    if dimension == 2:
+        v[:, 2] = 0.0
+    mtot = masses_per_atom.sum()
+    vcm = (masses_per_atom[:, None] * v).sum(axis=0) / mtot
+    v -= vcm
+    return rescale(v, masses_per_atom, t_desired, units, dimension)
+
+
 def temperature(
     v: np.ndarray, masses_per_atom: np.ndarray, units: Units, dimension: int = 3,
     extra_dof: int | None = None,

@@ -171,6 +171,41 @@ def chain_sim(
     )
 
 
+def tersoff_si_sim(
+    cells=(20, 20, 10),
+    a0: float = 5.431,
+    t_init: float = 1000.0,
+    seed: int = 376847,
+    potential_path: str = "/root/reference/potentials/Si.tersoff",
+    dtype=jnp.float32,
+):
+    """bench/POTENTIALS/in.tersoff: diamond Si, tersoff, NVE, dt 0.001,
+    skin 1.0, every 1 delay 5, velocity create 1000 loop geom."""
+    from .models.pair_tersoff import make_tersoff
+    from .runner import Simulation
+
+    units = get_units("metal")
+    lat = Lattice(style="diamond", scale=a0, units_name="metal")
+    sp = lat.spacing
+    lo = np.zeros(3)
+    hi = np.array(cells, dtype=np.float64) * sp
+    x, types = create_atoms(lat, lo, hi, type_id=1)
+    masses = np.array([1.0, 28.06])
+    v = create_velocities_geom(
+        x, masses[types], t_desired=t_init, seed=seed, units=units
+    )
+    box = Box.create(lo, hi, dtype=jnp.float64)
+    state = create_state(
+        x, box, types=types, velocities=v, masses=masses,
+        units_name="metal", dtype=dtype,
+    )
+    pair = make_tersoff(1, potential_path, ["Si"], dtype=dtype)
+    return Simulation(
+        state, pair, dt=0.001, skin=1.0,
+        neigh_every=1, neigh_delay=5, neigh_check=True,
+    )
+
+
 def lj_melt_sim(
     cells: int = 10,
     t_init: float = 3.0,

@@ -1,0 +1,923 @@
+"""Input-script command language: the reference's L1 layer.
+
+TPU-native equivalent of the reference's Input interpreter
+(ref: src/input.cpp:190,367,420,560,749 — line loop, $var substitution,
+command dispatch) covering the command set the scoped decks use
+(SURVEY.md §A.9). Commands imperatively mutate a ScriptState; `run`
+materializes a Simulation (jit-compiled step loop) and executes it,
+emitting a reference-style thermo table.
+
+Commands: units, dimension, boundary, atom_style, atom_modify, lattice,
+region, create_box, create_atoms, mass, velocity, pair_style, pair_coeff,
+pair_modify, bond_style, bond_coeff, angle_style, angle_coeff,
+dihedral_style, dihedral_coeff, improper_style, improper_coeff,
+special_bonds, kspace_style, kspace_modify, neighbor, neigh_modify, fix,
+unfix, timestep, thermo, thermo_style, run, read_data, variable (index /
+equal-constants), print, log, echo, group, reset_timestep, write_restart,
+read_restart, write_data, dump, undump, replicate, newton, processors,
+suffix (accepted no-ops where semantics don't apply on one chip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.box import Box
+from .core.lattice import Lattice, create_atoms as lattice_create_atoms
+from .core.state import create_state
+from .core.topology import build_special, pad_topology
+from .core.velocity import create_velocities_geom
+from .models import bonded
+from .models.forcefield import ForceField
+from .utils.units import get_units
+
+
+class ScriptError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class PendingFix:
+    fid: str
+    group: str
+    style: str
+    args: list[str]
+
+
+class LammpsScript:
+    """Parse + execute an input script (ref: Input::file/one)."""
+
+    def __init__(self, dtype=None, log_file: str | None = None,
+                 echo: bool = False, var_overrides: dict | None = None):
+        import jax.numpy as jnp
+
+        self.dtype = dtype if dtype is not None else jnp.float32
+        self.units_name = "lj"
+        self.dimension = 3
+        self.boundary = ("p", "p", "p")
+        self.atom_style = "atomic"
+        self.lattice: Lattice | None = None
+        self.regions: dict[str, tuple] = {}
+        self.box: Box | None = None
+        self.ntypes = 0
+        self.nbondtypes = 0
+        self.nangletypes = 0
+        self.ndihedraltypes = 0
+        self.nimpropertypes = 0
+        self.positions: list = []
+        self.types: list = []
+        self.charges: list = []
+        self.molecules: list = []
+        self.images: list = []
+        self.velocities: np.ndarray | None = None
+        self.masses: dict[int, float] = {}
+        self.pair_style_words: list[str] | None = None
+        self.pair_coeffs: list[list[str]] = []
+        self.pair_modify: dict = {}
+        self.bond_style_name: str | None = None
+        self.bond_coeffs: dict = {}
+        self.angle_style_name: str | None = None
+        self.angle_coeffs: dict = {}
+        self.dihedral_style_name: str | None = None
+        self.dihedral_coeffs: dict = {}
+        self.improper_style_name: str | None = None
+        self.improper_coeffs: dict = {}
+        self.special = (0.0, 0.0, 0.0)
+        self.special_coul = None
+        self.kspace_words: list[str] | None = None
+        self.kspace_modify: dict = {}
+        self.skin: float | None = None
+        self.neigh_every = 1
+        self.neigh_delay = 0
+        self.neigh_check = True
+        self.fixes: list[PendingFix] = []
+        self.dt: float | None = None
+        self.thermo_every = 0
+        self.ntimestep = 0
+        self.variables: dict[str, str] = dict(var_overrides or {})
+        self.groups: dict[str, int] = {"all": 1}
+        self._group_defs: dict[str, tuple] = {}
+        self.topology_raw: dict = {}
+        self.data_masses: np.ndarray | None = None
+        self.log_file = log_file
+        self.echo = echo
+        self.sim = None
+        self._log_lines: list[str] = []
+        self.dumps: dict[str, dict] = {}
+        self.newton = True
+
+    # -- driver --------------------------------------------------------------
+
+    def file(self, path: str):
+        """ref: Input::file — line loop with continuation (&) handling."""
+        with open(path) as f:
+            buf = ""
+            for raw in f:
+                line = raw.rstrip("\n")
+                if line.rstrip().endswith("&"):
+                    buf += line.rstrip()[:-1]
+                    continue
+                buf += line
+                self.one(buf)
+                buf = ""
+            if buf.strip():
+                self.one(buf)
+
+    def one(self, line: str):
+        """ref: Input::one — substitute, parse, dispatch."""
+        line = line.split("#")[0]
+        line = self._substitute(line)
+        words = line.split()
+        if not words:
+            return
+        if self.echo:
+            self._emit("> " + " ".join(words))
+        cmd, args = words[0], words[1:]
+        handler = getattr(self, f"cmd_{cmd.replace('/', '_')}", None)
+        if handler is None:
+            raise ScriptError(f"unknown command: {cmd}")
+        handler(args)
+
+    def _substitute(self, line: str) -> str:
+        """$x and ${name} variable substitution (ref: Input::substitute)."""
+
+        def repl(m):
+            name = m.group(1) or m.group(2)
+            if name not in self.variables:
+                raise ScriptError(f"undefined variable ${name}")
+            return str(self.variables[name])
+
+        prev = None
+        while prev != line:
+            prev = line
+            line = re.sub(r"\$\{(\w+)\}|\$(\w)", repl, line)
+        return line
+
+    def _emit(self, text: str):
+        print(text)
+        self._log_lines.append(text)
+        if self.log_file:
+            with open(self.log_file, "a") as f:
+                f.write(text + "\n")
+
+    # -- setup commands ------------------------------------------------------
+
+    def cmd_units(self, a):
+        self.units_name = a[0]
+
+    def cmd_dimension(self, a):
+        self.dimension = int(a[0])
+
+    def cmd_boundary(self, a):
+        self.boundary = tuple(a[:3])
+
+    def cmd_atom_style(self, a):
+        self.atom_style = a[0]
+
+    def cmd_atom_modify(self, a):
+        pass  # map/sort hints are automatic here
+
+    def cmd_newton(self, a):
+        self.newton = a[0] == "on"  # accepted; full lists make it moot
+
+    def cmd_processors(self, a):
+        pass
+
+    def cmd_suffix(self, a):
+        pass  # there is only one backend: the TPU path
+
+    def cmd_package(self, a):
+        pass
+
+    def cmd_log(self, a):
+        self.log_file = None if a[0] == "none" else a[0]
+
+    def cmd_echo(self, a):
+        self.echo = a[0] in ("screen", "both")
+
+    def cmd_print(self, a):
+        self._emit(" ".join(a).strip('"'))
+
+    def cmd_variable(self, a):
+        name, style = a[0], a[1]
+        if style in ("index", "string", "equal"):
+            if name not in self.variables:  # index vars keep first value
+                val = a[2]
+                if style == "equal":
+                    val = str(self._eval_expr(val))
+                self.variables[name] = val
+        elif style == "delete":
+            self.variables.pop(name, None)
+        else:
+            raise ScriptError(f"variable style {style} not supported")
+
+    def _eval_expr(self, expr: str):
+        """Minimal equal-style expression evaluation (constants/arith)."""
+        safe = re.sub(r"v_(\w+)", lambda m: str(self.variables[m.group(1)]),
+                      expr)
+        if not re.fullmatch(r"[\d\.\+\-\*/\(\)eE ]+", safe):
+            raise ScriptError(f"unsupported expression: {expr}")
+        return eval(safe, {"__builtins__": {}})
+
+    def cmd_lattice(self, a):
+        style = a[0]
+        if style == "none":
+            self.lattice = None
+            return
+        scale = float(a[1])
+        self.lattice = Lattice(
+            style=style, scale=scale, units_name=self.units_name,
+            dimension=self.dimension,
+        )
+
+    def cmd_region(self, a):
+        name, style = a[0], a[1]
+        if style != "block":
+            raise ScriptError(f"region style {style} not supported yet")
+        bounds = [float(x) for x in a[2:8]]
+        self.regions[name] = ("block", bounds)
+
+    def cmd_create_box(self, a):
+        self.ntypes = int(a[0])
+        region = self.regions[a[1]]
+        _, b = region
+        sp = self.lattice.spacing if self.lattice else np.ones(3)
+        lo = np.array([b[0], b[2], b[4]]) * sp
+        hi = np.array([b[1], b[3], b[5]]) * sp
+        # keep exact fp64 bounds on the host: lattice-point inclusion must
+        # not depend on the device float width (f32 round-trip would admit
+        # duplicate boundary planes)
+        self._box_lo_np = lo
+        self._box_hi_np = hi
+        periodic = tuple(p.startswith("p") for p in self.boundary)
+        self.box = Box.create(lo, hi, periodic=periodic, dtype=jnp.float64)
+
+    def cmd_create_atoms(self, a):
+        type_id = int(a[0])
+        if a[1] not in ("box", "region"):
+            raise ScriptError("create_atoms: only box/region styles")
+        if a[1] == "box":
+            lo = self._box_lo_np
+            hi = self._box_hi_np
+        else:
+            _, b = self.regions[a[2]]
+            sp = self.lattice.spacing
+            lo = np.array([b[0], b[2], b[4]]) * sp
+            hi = np.array([b[1], b[3], b[5]]) * sp
+        x, t = lattice_create_atoms(self.lattice, lo, hi, type_id=type_id)
+        self.positions.extend(x.tolist())
+        self.types.extend(t.tolist())
+
+    def cmd_mass(self, a):
+        if a[0] == "*":
+            for t in range(1, self.ntypes + 1):
+                self.masses[t] = float(a[1])
+        else:
+            self.masses[int(a[0])] = float(a[1])
+
+    def cmd_velocity(self, a):
+        group, action = a[0], a[1]
+        if action != "create":
+            raise ScriptError("velocity: only create supported")
+        t_target = float(a[2])
+        seed = int(a[3])
+        opts = a[4:]
+        dist = "uniform"
+        loop = "all"
+        i = 0
+        while i < len(opts):
+            if opts[i] == "dist":
+                dist = opts[i + 1]; i += 2
+            elif opts[i] == "loop":
+                loop = opts[i + 1]; i += 2
+            elif opts[i] == "mom":
+                i += 2
+            elif opts[i] == "rot":
+                i += 2
+            else:
+                i += 1
+        x = np.asarray(self.positions)
+        types = np.asarray(self.types, dtype=np.int32)
+        masses = self._mass_table()
+        m_per_atom = masses[types]
+        units = get_units(self.units_name)
+        if loop == "geom":
+            v = create_velocities_geom(
+                x, m_per_atom, t_target, seed, units, dist=dist,
+                dimension=self.dimension,
+            )
+        else:
+            from .core.velocity import create_velocities_loop_all
+
+            v = create_velocities_loop_all(
+                len(x), m_per_atom, t_target, seed, units, dist=dist,
+                dimension=self.dimension,
+            )
+        self.velocities = v
+
+    def _mass_table(self) -> np.ndarray:
+        if self.data_masses is not None:
+            return self.data_masses
+        tab = np.ones(self.ntypes + 1)
+        for t, m in self.masses.items():
+            tab[t] = m
+        return tab
+
+    # -- style commands ------------------------------------------------------
+
+    def cmd_pair_style(self, a):
+        self.pair_style_words = a
+
+    def cmd_pair_coeff(self, a):
+        self.pair_coeffs.append(a)
+        # EAM potential files carry the element mass (ref: funcfl/setfl
+        # readers set atom->mass); honor it like the reference does
+        name = self.pair_style_words[0] if self.pair_style_words else ""
+        if name == "eam" and len(a) >= 3:
+            from .io.eam_reader import read_funcfl
+
+            t = int(a[0])
+            self.masses.setdefault(t, read_funcfl(a[2]).mass)
+        elif name in ("eam/alloy", "eam/fs") and len(a) >= 4:
+            from .io.eam_reader import read_setfl
+
+            st = read_setfl(a[2], fs=name.endswith("fs"))
+            for t, el in enumerate(a[3:3 + self.ntypes], start=1):
+                if el in st.elements:
+                    self.masses.setdefault(
+                        t, float(st.mass[st.elements.index(el)])
+                    )
+
+    def cmd_pair_modify(self, a):
+        for i in range(0, len(a) - 1, 2):
+            self.pair_modify[a[i]] = a[i + 1]
+
+    def cmd_bond_style(self, a):
+        self.bond_style_name = a[0]
+
+    def cmd_bond_coeff(self, a):
+        self._coeff(self.bond_coeffs, a, self.nbondtypes)
+
+    def cmd_angle_style(self, a):
+        self.angle_style_name = a[0]
+
+    def cmd_angle_coeff(self, a):
+        self._coeff(self.angle_coeffs, a, self.nangletypes)
+
+    def cmd_dihedral_style(self, a):
+        self.dihedral_style_name = a[0]
+
+    def cmd_dihedral_coeff(self, a):
+        self._coeff(self.dihedral_coeffs, a, self.ndihedraltypes)
+
+    def cmd_improper_style(self, a):
+        self.improper_style_name = a[0]
+
+    def cmd_improper_coeff(self, a):
+        self._coeff(self.improper_coeffs, a, self.nimpropertypes)
+
+    @staticmethod
+    def _coeff(store: dict, a: list[str], ntypes: int):
+        vals = tuple(float(x) for x in a[1:])
+        if a[0] == "*":
+            for t in range(1, ntypes + 1):
+                store[t] = vals
+        else:
+            store[int(a[0])] = vals
+
+    def cmd_special_bonds(self, a):
+        if a[0] == "fene":
+            self.special = (0.0, 1.0, 1.0)
+        elif a[0] == "amber":
+            self.special = (0.0, 0.0, 0.5)
+            self.special_coul = (0.0, 0.0, 1.0 / 1.2)
+        elif a[0] == "charmm":
+            self.special = (0.0, 0.0, 0.0)
+        elif a[0] == "lj/coul":
+            self.special = tuple(float(x) for x in a[1:4])
+        elif a[0] == "lj":
+            self.special = tuple(float(x) for x in a[1:4])
+            # coul may follow
+            if "coul" in a:
+                ci = a.index("coul")
+                self.special_coul = tuple(float(x) for x in a[ci + 1:ci + 4])
+        else:
+            self.special = tuple(float(x) for x in a[:3])
+
+    def cmd_kspace_style(self, a):
+        self.kspace_words = None if a[0] == "none" else a
+
+    def cmd_kspace_modify(self, a):
+        for i in range(0, len(a) - 1, 2):
+            self.kspace_modify[a[i]] = a[i + 1]
+
+    def cmd_neighbor(self, a):
+        self.skin = float(a[0])  # bin style implied
+
+    def cmd_neigh_modify(self, a):
+        i = 0
+        while i < len(a) - 1:
+            k, v = a[i], a[i + 1]
+            if k == "every":
+                self.neigh_every = int(v)
+            elif k == "delay":
+                self.neigh_delay = int(v)
+            elif k == "check":
+                self.neigh_check = v == "yes"
+            i += 2
+
+    def cmd_group(self, a):
+        name, style = a[0], a[1]
+        if name not in self.groups:
+            bit = 1 << len(self.groups)
+            self.groups[name] = bit
+        self._group_defs[name] = (style, a[2:])
+
+    def cmd_fix(self, a):
+        self.fixes.append(PendingFix(fid=a[0], group=a[1], style=a[2],
+                                     args=a[3:]))
+
+    def cmd_unfix(self, a):
+        self.fixes = [f for f in self.fixes if f.fid != a[0]]
+
+    def cmd_timestep(self, a):
+        self.dt = float(a[0])
+
+    def cmd_thermo(self, a):
+        self.thermo_every = int(a[0])
+
+    def cmd_thermo_style(self, a):
+        pass  # custom columns later; default table always printed
+
+    def cmd_thermo_modify(self, a):
+        pass
+
+    def cmd_reset_timestep(self, a):
+        self.ntimestep = int(a[0])
+
+    def cmd_dump(self, a):
+        self.dumps[a[0]] = dict(group=a[1], style=a[2], every=int(a[3]),
+                                path=a[4], args=a[5:])
+
+    def cmd_undump(self, a):
+        self.dumps.pop(a[0], None)
+
+    def cmd_dump_modify(self, a):
+        pass
+
+    def cmd_read_data(self, a):
+        from .io.data_reader import read_data
+
+        df = read_data(a[0], atom_style=self.atom_style)
+        self.ntypes = df.natomtypes
+        self.nbondtypes = df.nbondtypes
+        self.nangletypes = df.nangletypes
+        self.ndihedraltypes = df.ndihedraltypes
+        self.nimpropertypes = df.nimpropertypes
+        periodic = tuple(p.startswith("p") for p in self.boundary)
+        tilt = (df.xy, df.xz, df.yz)
+        self.box = Box.create(
+            [df.xlo, df.ylo, df.zlo], [df.xhi, df.yhi, df.zhi],
+            tilt=tilt if any(t != 0 for t in tilt) else None,
+            periodic=periodic, dtype=jnp.float64,
+        )
+        self.positions = df.x.tolist()
+        self.types = df.types.tolist()
+        if df.q is not None:
+            self.charges = df.q.tolist()
+        if df.molecule is not None:
+            self.molecules = df.molecule.tolist()
+        self.images = df.image.tolist()
+        self.velocities = df.v
+        self.data_masses = df.masses
+        self.topology_raw = dict(
+            bonds=df.bonds, angles=df.angles, dihedrals=df.dihedrals,
+            impropers=df.impropers,
+        )
+
+    def cmd_replicate(self, a):
+        nx, ny, nz = int(a[0]), int(a[1]), int(a[2])
+        if not self.positions:
+            raise ScriptError("replicate before atoms exist")
+        x = np.asarray(self.positions)
+        t = np.asarray(self.types)
+        prd = np.asarray(jax.device_get(self.box.prd))
+        reps = []
+        tps = []
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    reps.append(x + prd * np.array([i, j, k]))
+                    tps.append(t)
+        self.positions = np.concatenate(reps).tolist()
+        self.types = np.concatenate(tps).tolist()
+        lo = np.asarray(jax.device_get(self.box.lo))
+        self.box = Box.create(lo, lo + prd * np.array([nx, ny, nz]),
+                              periodic=self.box.periodic, dtype=jnp.float64)
+        self.velocities = (np.tile(self.velocities, (nx * ny * nz, 1))
+                           if self.velocities is not None else None)
+        # topology replication (tag offsets) — supported when needed
+        if self.topology_raw.get("bonds") is not None and nx * ny * nz > 1:
+            raise ScriptError("replicate with topology not yet supported")
+
+    def cmd_run(self, a):
+        nsteps = int(a[0])
+        sim = self._build_simulation()
+        units = get_units(self.units_name)
+        self._emit("Step Temp E_pair E_mol TotEng Press")
+
+        def on_thermo(step_no, row):
+            self._emit(
+                f"{step_no:>8d} {row['temp']:>14.8g} {row['epair']:>14.8g} "
+                f"{row['emol']:>14.8g} {row['etotal']:>14.8g} "
+                f"{row['press']:>14.8g}"
+            )
+            self._write_dumps(step_no)
+
+        t0 = time.perf_counter()
+        rows = sim.run(nsteps, thermo_every=self.thermo_every,
+                       on_thermo=on_thermo)
+        loop = sim.last_loop_time
+        n = rows[-1]["natoms"]
+        rate = nsteps / loop if loop > 0 else float("inf")
+        self._emit(
+            f"Loop time of {loop:.6g} on 1 procs for {nsteps} steps with "
+            f"{n} atoms"
+        )
+        self._emit(
+            f"Performance: {rate:.3f} timesteps/s, "
+            f"{n * nsteps / max(loop, 1e-9) / 1e6:.3f} Matom-step/s"
+        )
+        self.ntimestep += nsteps
+        return rows
+
+    def cmd_write_restart(self, a):
+        from .io.restart import write_restart
+
+        if self.sim is None:
+            self._build_simulation()
+        write_restart(a[0], self.sim)
+
+    def cmd_read_restart(self, a):
+        raise ScriptError("read_restart: use io.restart.read_restart")
+
+    def cmd_write_data(self, a):
+        from .io.dump import write_data
+
+        if self.sim is None:
+            self._build_simulation()
+        write_data(a[0], self.sim)
+
+    def _write_dumps(self, step_no):
+        if not self.dumps or self.sim is None:
+            return
+        from .io.dump import write_dump_frame
+
+        for did, d in self.dumps.items():
+            if d["every"] > 0 and step_no % d["every"] == 0:
+                path = d["path"].replace("*", str(step_no))
+                write_dump_frame(path, self.sim, style=d["style"],
+                                 args=d.get("args", ()), append="*" not in d["path"])
+
+    # -- simulation materialization -----------------------------------------
+
+    def _build_simulation(self):
+        from .runner import Simulation
+
+        if self.sim is not None:
+            return self.sim
+        if self.box is None or not self.positions:
+            raise ScriptError("no system defined before run")
+
+        x = np.asarray(self.positions)
+        types = np.asarray(self.types, dtype=np.int32)
+        n = len(x)
+        masses = self._mass_table()
+        state = create_state(
+            x, self.box,
+            types=types,
+            velocities=self.velocities,
+            masses=masses,
+            charges=np.asarray(self.charges) if self.charges else None,
+            molecules=(np.asarray(self.molecules, dtype=np.int32)
+                       if self.molecules else None),
+            images=np.asarray(self.images, dtype=np.int32)
+            if self.images else None,
+            units_name=self.units_name,
+            dimension=self.dimension,
+            dtype=self.dtype,
+        )
+        cap = state.capacity
+
+        ff = self._build_forcefield(state, cap, n)
+        integ, fixes = self._build_fixes()
+
+        units = get_units(self.units_name)
+        sim = Simulation(
+            state, ff,
+            dt=self.dt,
+            integrator=integ,
+            fixes=fixes,
+            skin=self.skin,
+            neigh_every=self.neigh_every,
+            neigh_delay=self.neigh_delay,
+            neigh_check=self.neigh_check,
+        )
+        sim.setup()
+        sim.ntimestep = self.ntimestep
+        self.sim = sim
+        return sim
+
+    def _build_forcefield(self, state, cap, natoms):
+        from .models.pair_charmm import (
+            PairCoul, PairZero, make_lj_charmm_coul_long, make_lj_cut_coul,
+        )
+        from .models.pair_eam import make_eam_funcfl, make_eam_setfl
+        from .models.pair_lj import make_lj_cut
+        from .models.pair_tersoff import make_tersoff
+
+        pair = None
+        kspace = None
+        g_ewald = float(self.kspace_modify.get("gewald", 0.0))
+
+        if self.kspace_words:
+            kname = self.kspace_words[0]
+            accuracy = float(self.kspace_words[1])
+            if g_ewald == 0.0:
+                from .models.ewald import g_ewald_estimate
+
+                cut = self._pair_cut_guess()
+                g_ewald = g_ewald_estimate(accuracy, cut)
+            if kname == "pppm":
+                from .models.pppm import PPPM
+
+                kspace = PPPM.create(self.box, g_ewald,
+                                     accuracy_rel=accuracy,
+                                     dtype=jnp.float64)
+            elif kname == "ewald":
+                from .models.ewald import Ewald
+
+                kspace = Ewald.create(self.box, g_ewald,
+                                      accuracy_rel=accuracy,
+                                      dtype=jnp.float64)
+            else:
+                raise ScriptError(f"kspace style {kname} unsupported")
+
+        if self.pair_style_words:
+            words = self.pair_style_words
+            name = words[0]
+            args = words[1:]
+            numeric_styles = (
+                "lj/cut", "lj/charmm/coul/long", "lj/cut/coul/long",
+                "lj/cut/coul/cut", "coul/long", "coul/cut",
+            )
+            coeffs = (self._pair_coeff_dict()
+                      if name in numeric_styles else {})
+            mix = self.pair_modify.get("mix", None)
+            shift = self.pair_modify.get("shift", "no") == "yes"
+            dt = self.dtype
+            if name == "lj/cut":
+                pair = make_lj_cut(self.ntypes, coeffs, float(args[0]),
+                                   mix=mix or "geometric", shift=shift,
+                                   dtype=dt)
+            elif name == "lj/charmm/coul/long":
+                cut_coul = float(args[2]) if len(args) > 2 else float(args[1])
+                pair = make_lj_charmm_coul_long(
+                    self.ntypes, coeffs, float(args[0]), float(args[1]),
+                    cut_coul, g_ewald=g_ewald, mix=mix or "arithmetic",
+                    dtype=dt)
+            elif name in ("lj/cut/coul/long", "lj/cut/coul/cut"):
+                mode = "long" if name.endswith("long") else "cut"
+                cut_coul = float(args[1]) if len(args) > 1 else float(args[0])
+                pair = make_lj_cut_coul(
+                    self.ntypes, coeffs, float(args[0]), cut_coul,
+                    g_ewald=g_ewald, coul_mode=mode,
+                    mix=mix or "geometric", dtype=dt)
+            elif name in ("coul/long", "coul/cut"):
+                mode = "long" if name.endswith("long") else "cut"
+                pair = PairCoul.create(self.ntypes, float(args[0]), coeffs,
+                                       g_ewald=g_ewald, coul_mode=mode,
+                                       mix=mix or "geometric", dtype=dt)
+            elif name == "eam":
+                files = {}
+                for c in self.pair_coeffs:
+                    t = int(c[0])
+                    files[t] = c[2]
+                pair = make_eam_funcfl(self.ntypes, files, dtype=dt)
+            elif name in ("eam/alloy", "eam/fs"):
+                c = self.pair_coeffs[0]
+                pair = make_eam_setfl(
+                    self.ntypes, c[2], type_elements=list(c[3:3 + self.ntypes]),
+                    fs=name.endswith("fs"), dtype=dt)
+            elif name == "tersoff":
+                c = self.pair_coeffs[0]
+                pair = make_tersoff(self.ntypes, c[2],
+                                    list(c[3:3 + self.ntypes]), dtype=dt)
+            elif name == "sw":
+                from .models.pair_sw import make_sw
+
+                c = self.pair_coeffs[0]
+                pair = make_sw(self.ntypes, c[2],
+                               list(c[3:3 + self.ntypes]), dtype=dt)
+            elif name in ("morse", "buck", "gauss"):
+                from .models import pair_simple as psim
+
+                maker = {"morse": psim.make_morse, "buck": psim.make_buck,
+                         "gauss": psim.make_gauss}[name]
+                pair = maker(self.ntypes, self._pair_coeff_dict(),
+                             float(args[0]), shift=shift, dtype=dt)
+            elif name == "yukawa":
+                from .models.pair_simple import make_yukawa
+
+                pair = make_yukawa(self.ntypes, float(args[0]),
+                                   self._pair_coeff_dict(), float(args[1]),
+                                   shift=shift, dtype=dt)
+            elif name == "zero":
+                pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
+            else:
+                raise ScriptError(f"pair style {name} unsupported")
+
+        bond = angle = dihedral = improper = None
+        dt = jnp.float64 if self.dtype == jnp.float64 else self.dtype
+        if self.bond_style_name == "harmonic":
+            bond = bonded.make_bond_harmonic(self.nbondtypes,
+                                             self.bond_coeffs, dtype=dt)
+        elif self.bond_style_name == "fene":
+            bond = bonded.make_bond_fene(self.nbondtypes, self.bond_coeffs,
+                                         dtype=dt)
+        if self.angle_style_name == "harmonic":
+            angle = bonded.make_angle_harmonic(self.nangletypes,
+                                               self.angle_coeffs, dtype=dt)
+        elif self.angle_style_name == "charmm":
+            angle = bonded.make_angle_charmm(self.nangletypes,
+                                             self.angle_coeffs, dtype=dt)
+        elif self.angle_style_name == "cosine":
+            angle = bonded.make_angle_cosine(self.nangletypes,
+                                             self.angle_coeffs, dtype=dt)
+        if self.dihedral_style_name == "charmm":
+            dihedral = bonded.make_dihedral_charmm(
+                self.ndihedraltypes,
+                {t: c[:3] for t, c in self.dihedral_coeffs.items()}, dtype=dt)
+        elif self.dihedral_style_name == "harmonic":
+            conv = {t: (c[0], c[2], c[1])
+                    for t, c in self.dihedral_coeffs.items()}
+            k, nn, d = bonded.table(self.ndihedraltypes, conv, 3, dt)
+            dihedral = bonded.DihedralHarmonic(k=k, n=nn, d=d)
+        elif self.dihedral_style_name == "opls":
+            dihedral = bonded.make_dihedral_opls(self.ndihedraltypes,
+                                                 self.dihedral_coeffs,
+                                                 dtype=dt)
+        if self.improper_style_name == "harmonic":
+            improper = bonded.make_improper_harmonic(self.nimpropertypes,
+                                                     self.improper_coeffs,
+                                                     dtype=dt)
+
+        top = None
+        special = None
+        raw = self.topology_raw
+        if raw.get("bonds") is not None:
+            def local(arr):
+                if arr is None:
+                    return None
+                out = np.asarray(arr).copy()
+                out[:, 1:] -= 1
+                return out
+
+            top = pad_topology(
+                cap,
+                bonds=local(raw.get("bonds")),
+                angles=local(raw.get("angles")),
+                dihedrals=local(raw.get("dihedrals")),
+                impropers=local(raw.get("impropers")),
+            )
+            wl = self.special
+            wc = self.special_coul or self.special
+            mode = "mask" if kspace is not None else "exclude"
+            special = build_special(
+                natoms, cap, local(raw["bonds"])[:, 1:],
+                weights_lj=wl, weights_coul=wc, mode=mode,
+            )
+
+        return ForceField(
+            pair=pair, bond=bond, angle=angle, dihedral=dihedral,
+            improper=improper, kspace=kspace, topology=top, special=special,
+        )
+
+    def _pair_coeff_dict(self):
+        coeffs = {}
+        for c in self.pair_coeffs:
+            ii = (range(1, self.ntypes + 1) if c[0] == "*"
+                  else [int(c[0])])
+            jj = (range(1, self.ntypes + 1) if c[1] == "*"
+                  else [int(c[1])])
+            vals = tuple(float(v) for v in c[2:])
+            for i in ii:
+                for j in jj:
+                    if j >= i:
+                        coeffs[(i, j)] = vals
+        return coeffs
+
+    def _pair_cut_guess(self) -> float:
+        if self.pair_style_words and len(self.pair_style_words) > 1:
+            try:
+                return float(self.pair_style_words[-1])
+            except ValueError:
+                pass
+        return 10.0
+
+    def _build_fixes(self):
+        from .integrate.fixes import (
+            FixAddForce, FixEnforce2D, FixLangevin, FixMomentum, FixRecenter,
+            FixSetForce, FixSpring, FixViscous,
+        )
+        from .integrate.nh import FixNPH, FixNPT, FixNVT
+        from .integrate.verlet import Integrator
+
+        units = get_units(self.units_name)
+        dt = self.dt if self.dt is not None else units.dt
+        integ = None
+        fixes = []
+        for f in self.fixes:
+            gbit = self.groups.get(f.group, 1)
+            if f.style == "nve":
+                integ = Integrator(dt=dt, units=units, groupbit=gbit)
+            elif f.style == "nvt":
+                kw = self._nh_kw(f.args)
+                integ = FixNVT(dt=dt, units=units, groupbit=gbit, **kw)
+            elif f.style in ("npt", "nph"):
+                kw = self._nh_kw(f.args)
+                cls = FixNPT if f.style == "npt" else FixNPH
+                integ = cls(dt=dt, units=units, groupbit=gbit, **kw)
+            elif f.style == "langevin":
+                fixes.append(FixLangevin(
+                    t_start=float(f.args[0]), t_stop=float(f.args[1]),
+                    t_period=float(f.args[2]), seed=int(f.args[3]),
+                    dt=dt, units=units, groupbit=gbit,
+                ))
+            elif f.style == "setforce":
+                def fv(s):
+                    return None if s == "NULL" else float(s)
+
+                fixes.append(FixSetForce(fx=fv(f.args[0]), fy=fv(f.args[1]),
+                                         fz=fv(f.args[2]), groupbit=gbit))
+            elif f.style == "addforce":
+                fixes.append(FixAddForce(fx=float(f.args[0]),
+                                         fy=float(f.args[1]),
+                                         fz=float(f.args[2]), groupbit=gbit))
+            elif f.style == "momentum":
+                fixes.append(FixMomentum(every=int(f.args[0]),
+                                         groupbit=gbit))
+            elif f.style == "enforce2d":
+                fixes.append(FixEnforce2D(groupbit=gbit))
+            elif f.style == "viscous":
+                fixes.append(FixViscous(gamma=float(f.args[0]),
+                                        groupbit=gbit))
+            elif f.style == "spring":
+                if f.args[0] == "tether":
+                    fixes.append(FixSpring(
+                        k=float(f.args[1]),
+                        x0=tuple(0.0 if s == "NULL" else float(s)
+                                 for s in f.args[2:5]),
+                        groupbit=gbit))
+            elif f.style == "recenter":
+                fixes.append(FixRecenter(groupbit=gbit))
+            else:
+                raise ScriptError(f"fix style {f.style} unsupported")
+        if integ is None:
+            integ = Integrator(dt=dt, units=units)
+        return integ, tuple(fixes)
+
+    def _nh_kw(self, args: list[str]) -> dict:
+        kw = {}
+        i = 0
+        while i < len(args):
+            k = args[i]
+            if k == "temp":
+                kw["t_start"] = float(args[i + 1])
+                kw["t_stop"] = float(args[i + 2])
+                kw["t_period"] = float(args[i + 3])
+                i += 4
+            elif k in ("iso", "aniso"):
+                p0, p1, pp = (float(args[i + 1]), float(args[i + 2]),
+                              float(args[i + 3]))
+                kw["p_start"] = (p0,) * 3
+                kw["p_stop"] = (p1,) * 3
+                kw["p_period"] = (pp,) * 3
+                kw["pcouple"] = "iso" if k == "iso" else "aniso"
+                i += 4
+            elif k == "tchain":
+                kw["mtchain"] = int(args[i + 1]); i += 2
+            elif k == "pchain":
+                kw["mpchain"] = int(args[i + 1]); i += 2
+            elif k == "drag":
+                kw["drag"] = float(args[i + 1]); i += 2
+            else:
+                i += 1
+        return kw

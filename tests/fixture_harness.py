@@ -162,6 +162,22 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64):
                                mix=opts["mix"] or "geometric", dtype=dtype)
     if name == "zero":
         return PairZero(ntypes=ntypes, cut=args[0])
+    from lammps_kokkos_port_tpu.models.pair_simple import (
+        make_buck, make_gauss, make_morse, make_yukawa,
+    )
+
+    if name == "morse":
+        return make_morse(ntypes, coeffs, args[0], shift=opts["shift"],
+                          dtype=dtype)
+    if name == "buck":
+        return make_buck(ntypes, coeffs, args[0], shift=opts["shift"],
+                         dtype=dtype)
+    if name == "yukawa":
+        return make_yukawa(ntypes, args[0], coeffs, args[1],
+                           shift=opts["shift"], dtype=dtype)
+    if name == "gauss":
+        return make_gauss(ntypes, coeffs, args[0], shift=opts["shift"],
+                          mix=opts["mix"] or "geometric", dtype=dtype)
     raise NotImplementedError(name)
 
 

@@ -31,6 +31,10 @@ PAIR_FIXTURES = [
     "mol-pair-lj_charmm_coul_long.yaml",
     "mol-pair-coul_cut.yaml",
     "mol-pair-coul_long.yaml",
+    "mol-pair-morse.yaml",
+    "mol-pair-buck.yaml",
+    "mol-pair-yukawa.yaml",
+    "mol-pair-gauss.yaml",
 ]
 
 
