@@ -90,8 +90,25 @@ class State:
 
     @property
     def valid_mask(self) -> Array:
-        """[cap] bool: True for real atoms."""
-        return jnp.arange(self.capacity, dtype=jnp.int32) < self.nlocal
+        """[cap] bool: True for existing atoms (owned OR ghost copies).
+
+        Derived from the group bitmask (bit 0 set on creation / ghost pack),
+        so ghost slots at fixed offsets beyond nlocal work in the sharded
+        decomposition (parallel/domain.py) — the analog of nlocal+nghost
+        extents in the reference (ref: src/atom.h:43-46).
+        """
+        return self.mask != 0
+
+    @property
+    def owned_mask(self) -> Array:
+        """[cap] bool: True only for atoms this shard owns (never ghosts).
+
+        Energy/virial tallies sum owned rows only: a cross-shard pair is
+        half-counted by each owner and psum restores the exact global total
+        (the FULL-list newton-off convention, ref: pair_kokkos.h ev_tally).
+        """
+        return (jnp.arange(self.capacity, dtype=jnp.int32) < self.nlocal) \
+            & self.valid_mask
 
     @property
     def per_atom_mass(self) -> Array:

@@ -139,14 +139,15 @@ def compute(
 
     f = jnp.sum(dx * fpair[..., None], axis=1)
 
+    owned = state.owned_mask[:, None]
     pe = None
     if eflag:
-        e = jnp.where(valid, evdwl, 0.0)
+        e = jnp.where(valid & owned, evdwl, 0.0)
         pe = 0.5 * jnp.sum(e)
 
     virial = None
     if vflag:
-        virial = tally_virial(fpair, dx)
+        virial = tally_virial(jnp.where(owned, fpair, 0.0), dx)
 
     return f, pe, virial
 

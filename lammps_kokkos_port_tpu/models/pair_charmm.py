@@ -210,12 +210,14 @@ class PairLJCharmmCoulLong:
         fpair = jnp.where(valid, fpair, 0.0)
         f = jnp.sum(dx * fpair[..., None], axis=1)
 
+        owned = state.owned_mask[:, None]
         evdwl = ecoul = None
         if eflag:
-            evdwl = 0.5 * jnp.sum(jnp.where(lj_on, philj, 0.0))
-            ecoul = 0.5 * jnp.sum(jnp.where(coul_on, ec, 0.0))
+            evdwl = 0.5 * jnp.sum(jnp.where(lj_on & owned, philj, 0.0))
+            ecoul = 0.5 * jnp.sum(jnp.where(coul_on & owned, ec, 0.0))
 
-        virial = tally_virial(fpair, dx) if vflag else None
+        virial = (tally_virial(jnp.where(owned, fpair, 0.0), dx)
+                  if vflag else None)
         return f, evdwl, ecoul, virial
 
 
@@ -394,9 +396,12 @@ class PairCoul:
             forcecoul, ec = coul_cut_terms(r2s, qi * qj, qqrd2e, fcoul, eflag)
         fpair = jnp.where(valid, forcecoul / r2s, 0.0)
         f = jnp.sum(dx * fpair[..., None], axis=1)
-        ecoul = 0.5 * jnp.sum(jnp.where(valid, ec, 0.0)) if eflag else None
+        owned = state.owned_mask[:, None]
+        ecoul = (0.5 * jnp.sum(jnp.where(valid & owned, ec, 0.0))
+                 if eflag else None)
         evdwl = jnp.zeros((), dt) if eflag else None
-        virial = tally_virial(fpair, dx) if vflag else None
+        virial = (tally_virial(jnp.where(owned, fpair, 0.0), dx)
+                  if vflag else None)
         return f, evdwl, ecoul, virial
 
 

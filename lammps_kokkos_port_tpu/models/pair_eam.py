@@ -179,7 +179,7 @@ class PairEAM:
             phi_embed = phi_embed + jnp.where(
                 rho > self.rhomax, fp * (rho - self.rhomax), 0.0
             )
-            e_embed = jnp.sum(jnp.where(state.valid_mask, phi_embed, 0.0))
+            e_embed = jnp.sum(jnp.where(state.owned_mask, phi_embed, 0.0))
 
         # --- force pass (KernelC) ---
         if single:
@@ -204,11 +204,13 @@ class PairEAM:
 
         f = jnp.sum(dx * fpair[..., None], axis=1)
 
+        owned = state.owned_mask[:, None]
         if eflag:
-            e_pair = 0.5 * jnp.sum(jnp.where(valid, phi, 0.0))
+            e_pair = 0.5 * jnp.sum(jnp.where(valid & owned, phi, 0.0))
             pe = e_embed + e_pair
 
-        virial = tally_virial(fpair, dx) if vflag else None
+        virial = (tally_virial(jnp.where(owned, fpair, 0.0), dx)
+                  if vflag else None)
         return f, pe, virial
 
 

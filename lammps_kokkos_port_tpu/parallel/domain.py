@@ -1,0 +1,485 @@
+"""Spatial domain decomposition over a device mesh: shard_map + ppermute.
+
+TPU-native re-design of the reference's MPI domain decomposition
+(ref: src/comm_brick.cpp — forward_comm :538, exchange :652, borders :771;
+device variant src/KOKKOS/comm_kokkos.cpp with zero-host-round-trip
+pack/unpack). Axes map per SURVEY.md §2.12: sub-boxes -> 1D slabs along x
+on a jax Mesh; borders/forward comm -> `lax.ppermute` of fixed-capacity
+ghost slabs; migration (exchange) -> ppermute of fixed-capacity migrant
+buffers with sort-based compaction (no atomics).
+
+Design:
+  - Each shard owns a slab plus two fixed ghost slots at [capS, capS+G)
+    and [capS+G, capS+2G). Ghost SEND LISTS are built at rebuild and
+    replayed every step (the reference's persistent sendlists,
+    comm_brick.cpp:552-560), so neighbor-matrix indices into the extended
+    array stay valid between rebuilds.
+  - Newton off + FULL lists: forces on ghosts are simply discarded — no
+    reverse communication at all (ref: the `newton off` mode the Kokkos
+    GPU path prefers, src/KOKKOS/kokkos.cpp:260-275).
+  - PBC shifts are applied at pack time by the sender (ref: per-swap
+    pbc_flag, comm_brick.cpp:560), so all in-shard displacements are
+    direct; global min_image still wraps the undecomposed y/z dims.
+  - EAM-style styles need ghost neighborhoods complete (the reference
+    mid-compute comms, pair_eam.cpp:224,251): pass ghost_mult=2 to widen
+    the halo to 2x the cutoff instead of communicating mid-force.
+  - Capacity overflows (migrants, ghosts, neighbor width) raise a global
+    flag that the host resolves by growing + redistributing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compute import thermo as thermo_mod
+from ..core.state import State
+from ..ops import neighbor as nbr
+from ..utils.units import get_units
+
+Array = jax.Array
+
+
+def _pack(idx_key: Array, count_cap: int, *arrays):
+    """Sort-based compaction: gather rows whose key is set (key = own index
+    for selected rows, big sentinel otherwise) into fixed [count_cap] slots."""
+    order = jnp.sort(idx_key)[:count_cap]
+    valid = order < idx_key.shape[0]
+    safe = jnp.minimum(order, idx_key.shape[0] - 1)
+    return [jnp.where(valid.reshape([-1] + [1] * (a.ndim - 1)),
+                      a[safe], 0) for a in arrays], valid
+
+
+class ShardedMD:
+    """1D slab-decomposed MD over a device mesh (the CommBrick analog)."""
+
+    def __init__(
+        self,
+        state: State,
+        forcefield,
+        mesh: Mesh | None = None,
+        dt: float | None = None,
+        skin: float | None = None,
+        rebuild_every: int = 10,
+        ghost_mult: float = 1.0,
+        cap_mult: float = 1.4,
+        ghost_cap_mult: float = 2.0,
+        mig_cap: int = 256,
+    ):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("x",))
+        self.mesh = mesh
+        self.ndev = mesh.devices.size
+        self.ff = forcefield
+        self.units = get_units(state.units_name)
+        self.dt = float(dt) if dt is not None else self.units.dt
+        self.skin = float(skin) if skin is not None else self.units.skin
+        self.rebuild_every = rebuild_every
+        self.cutghost = (forcefield.max_cutoff() + self.skin) * ghost_mult
+        self.global_state = state
+        self.mig_cap = mig_cap
+
+        prd = np.asarray(jax.device_get(state.box.prd))
+        if prd[0] / self.ndev <= self.cutghost:
+            raise ValueError(
+                f"slab width {prd[0]/self.ndev:.3f} <= ghost cutoff "
+                f"{self.cutghost:.3f}: too many shards for this box"
+            )
+
+        self._distribute(state, cap_mult, ghost_cap_mult)
+        self._build_runner()
+
+    # -- host-side distribution ----------------------------------------------
+
+    def _distribute(self, state: State, cap_mult, ghost_cap_mult):
+        nd = self.ndev
+        x = np.asarray(jax.device_get(state.x))
+        n = int(jax.device_get(state.nlocal))
+        hinv = np.asarray(jax.device_get(state.box.h_inv))
+        lo = np.asarray(jax.device_get(state.box.lo))
+        lam = (x[:n] - lo) @ hinv.T
+        lamx = lam[:, 0] - np.floor(lam[:, 0])
+        owner = np.minimum((lamx * nd).astype(int), nd - 1)
+
+        counts = np.bincount(owner, minlength=nd)
+        capS = int(np.ceil(counts.max() * cap_mult / 8) * 8)
+        prd = np.asarray(jax.device_get(state.box.prd))
+        dens = n / prd.prod()
+        slab_ghost_vol = prd[1] * prd[2] * self.cutghost
+        G = int(np.ceil(dens * slab_ghost_vol * ghost_cap_mult / 8) * 8)
+        self.capS, self.G = capS, G
+
+        def fill(src, fillval, dtype, ncol=None):
+            shape = (nd, capS) if ncol is None else (nd, capS, ncol)
+            out = np.full(shape, fillval, dtype=dtype)
+            return out
+
+        xs = fill(None, 0.0, np.float64, 3)
+        vs = fill(None, 0.0, np.float64, 3)
+        ts = fill(None, 0, np.int32)
+        tg = fill(None, 0, np.int32)
+        qs = fill(None, 0.0, np.float64) if state.q is not None else None
+        ms = fill(None, 0, np.int32)
+        v_np = np.asarray(jax.device_get(state.v))
+        q_np = (np.asarray(jax.device_get(state.q))
+                if state.q is not None else None)
+        t_np = np.asarray(jax.device_get(state.type))
+        tag_np = np.asarray(jax.device_get(state.tag))
+        nloc = np.zeros(nd, dtype=np.int32)
+        for d in range(nd):
+            sel = np.flatnonzero(owner == d)
+            c = len(sel)
+            xs[d, :c] = x[sel]
+            vs[d, :c] = v_np[sel]
+            ts[d, :c] = t_np[sel]
+            tg[d, :c] = tag_np[sel]
+            if qs is not None:
+                qs[d, :c] = q_np[sel]
+            ms[d, :c] = 1
+            nloc[d] = c
+
+        dt_np = np.dtype(state.dtype)
+        shard = NamedSharding(self.mesh, P("x"))
+        rep = NamedSharding(self.mesh, P())
+        put = lambda a: jax.device_put(jnp.asarray(a), shard)
+        self.xs = put(xs.astype(dt_np))
+        self.vs = put(vs.astype(dt_np))
+        self.ts = put(ts)
+        self.tg = put(tg)
+        self.qs = put(qs.astype(dt_np)) if qs is not None else None
+        self.ms = put(ms)
+        self.nloc = put(nloc)
+        self.fs = put(np.zeros((nd, capS, 3), dtype=dt_np))
+        self.box = jax.device_put(state.box, rep)
+        self.mass = jax.device_put(state.mass, rep)
+        self.natoms_global = n
+
+        # neighbor params for the extended per-shard array
+        cutneigh = self.ff.max_cutoff() + self.skin
+        ext_heights = nbr.box_heights(state.box).copy()
+        ext_heights[0] = prd[0] / nd + 2 * self.cutghost
+        nc = np.maximum(1, np.floor(ext_heights / cutneigh).astype(int))
+        # cells defined over the slab+halo extent along x, global box in y/z
+        # -> v1 uses all-pairs within the extended set when cells would
+        # alias; cell-mode sharded binning arrives with the 3D grid
+        est = 4.0 / 3.0 * np.pi * cutneigh**3 * dens
+        K = int(np.ceil(est * 1.4 / 8) * 8)
+        self.nparams = nbr.NeighborParams(
+            cutneigh=cutneigh, skin=self.skin, every=1, delay=0, check=False,
+            K=min(K, capS + 2 * self.G),
+            cell_cap=capS + 2 * self.G, ncells=(0, 0, 0),
+        )
+
+    # -- device-side step ------------------------------------------------------
+
+    def _build_runner(self):
+        nd = self.ndev
+        capS, G, M = self.capS, self.G, self.mig_cap
+        box = self.box
+        mass = self.mass
+        ff = self.ff
+        units = self.units
+        dtv = self.dt
+        dtf = 0.5 * self.dt * units.ftm2v
+        p = self.nparams
+        perm_l = [(i, (i - 1) % nd) for i in range(nd)]  # send to left
+        perm_r = [(i, (i + 1) % nd) for i in range(nd)]  # send to right
+        has_q = self.qs is not None
+
+        def pseudo_state(x_ext, t_ext, m_ext, q_ext, nloc):
+            return State(
+                x=x_ext, v=jnp.zeros_like(x_ext), f=jnp.zeros_like(x_ext),
+                type=t_ext, tag=jnp.zeros_like(t_ext),
+                image=jnp.zeros(x_ext.shape[:1] + (3,), dtype=jnp.int32),
+                q=q_ext, molecule=None, box=box, mass=mass,
+                nlocal=nloc, mask=m_ext,
+                virial=jnp.zeros(6, dtype=x_ext.dtype),
+                ntimestep=jnp.asarray(0, jnp.int32), aux={},
+                units_name=self.global_state.units_name,
+                dimension=self.global_state.dimension,
+            )
+
+        def shard_body(xs, vs, fs, ts, tg, qs, ms, nloc):
+            # shapes arrive [1, capS, ...] per shard; squeeze
+            x = xs[0]
+            v = vs[0]
+            f = fs[0]
+            typ = ts[0]
+            tag = tg[0]
+            q = qs[0] if has_q else None
+            msk = ms[0]
+            nl_count = nloc[0]
+            me = jax.lax.axis_index("x")
+            prd_x = box.prd[0]
+            overflow = jnp.asarray(False)
+
+            arange = jnp.arange(capS, dtype=jnp.int32)
+
+            def migrate(x, v, typ, tag, q, msk, n, overflow):
+                xw, _ = box.wrap(x, None)
+                x = jnp.where((msk != 0)[:, None], xw, x)
+                lam = box.to_lamda(x)[:, 0]
+                lam = lam - jnp.floor(lam)
+                owner = jnp.minimum((lam * nd).astype(jnp.int32), nd - 1)
+                exists = msk != 0
+                stay = exists & (owner == me)
+                # route by which boundary was crossed (ref: CommBrick
+                # exchange sends per dim-direction) — owner-identity would
+                # double-send when ndev == 2 (left neighbor == right)
+                my_lo_b = me.astype(x.dtype) / nd
+                my_hi_b = (me.astype(x.dtype) + 1.0) / nd
+                dist_l = jnp.mod(my_lo_b - lam, 1.0)  # how far below my slab
+                dist_r = jnp.mod(lam - my_hi_b, 1.0)
+                go_l = exists & ~stay & (dist_l <= dist_r)
+                go_r = exists & ~stay & (dist_r < dist_l)
+                # atoms that hopped beyond the adjacent slab: flagged (the
+                # rebuild cadence must keep moves within one slab)
+                neigh_l = jnp.mod(me - 1, nd)
+                neigh_r = jnp.mod(me + 1, nd)
+                lost = exists & ~stay & ~(
+                    (owner == neigh_l) | (owner == neigh_r)
+                )
+                overflow = overflow | jnp.any(lost)
+
+                def keysort(sel):
+                    return jnp.where(sel, arange, capS)
+
+                arrays = [x, v, typ, tag] + ([q] if has_q else [])
+                packed, kept = _pack(keysort(stay), capS, *arrays)
+                n_new = jnp.sum(stay).astype(jnp.int32)
+
+                out_bufs = {}
+                for dname, sel, perm in (("l", go_l, perm_l),
+                                         ("r", go_r, perm_r)):
+                    send, svalid = _pack(keysort(sel), M, *arrays)
+                    cnt = jnp.sum(sel).astype(jnp.int32)
+                    overflow = overflow | (cnt > M)
+                    recv = [jax.lax.ppermute(b, "x", perm) for b in send]
+                    rvalid = jax.lax.ppermute(
+                        svalid.astype(jnp.int32), "x", perm
+                    )
+                    out_bufs[dname] = (recv, rvalid)
+
+                x2, v2, t2, g2 = packed[0], packed[1], packed[2], packed[3]
+                q2 = packed[4] if has_q else None
+                msk2 = (arange < n_new).astype(jnp.int32)
+
+                # append received migrants at the prefix end
+                def append(bufs, rvalid, x2, v2, t2, g2, q2, msk2, n_new,
+                           overflow):
+                    cnt = jnp.sum(rvalid).astype(jnp.int32)
+                    overflow = overflow | (n_new + cnt > capS)
+                    slot = n_new + jnp.cumsum(rvalid) - rvalid  # target rows
+                    slot = jnp.where(rvalid > 0, slot, capS)
+                    x2 = x2.at[slot].set(bufs[0], mode="drop")
+                    v2 = v2.at[slot].set(bufs[1], mode="drop")
+                    t2 = t2.at[slot].set(bufs[2], mode="drop")
+                    g2 = g2.at[slot].set(bufs[3], mode="drop")
+                    if has_q:
+                        q2 = q2.at[slot].set(bufs[4], mode="drop")
+                    msk2 = msk2.at[slot].set(1, mode="drop")
+                    return x2, v2, t2, g2, q2, msk2, n_new + cnt, overflow
+
+                for dname in ("l", "r"):
+                    bufs, rvalid = out_bufs[dname]
+                    x2, v2, t2, g2, q2, msk2, n_new, overflow = append(
+                        bufs, rvalid, x2, v2, t2, g2, q2, msk2, n_new,
+                        overflow)
+                return x2, v2, t2, g2, q2, msk2, n_new, overflow
+
+            def borders(x, typ, tag, q, msk, n, overflow):
+                """Build ghost send lists + first exchange.
+
+                Returns (send_idx_l/r [G], shift_l/r scalars, ghost arrays).
+                """
+                lam = box.to_lamda(x)[:, 0]
+                lam = lam - jnp.floor(lam)
+                exists = msk != 0
+                my_lo = me.astype(x.dtype) / nd
+                my_hi = (me.astype(x.dtype) + 1.0) / nd
+                gf = self.cutghost / prd_x
+                near_lo = exists & (lam < my_lo + gf)
+                near_hi = exists & (lam > my_hi - gf)
+
+                def mk(sel):
+                    key = jnp.where(sel, arange, capS)
+                    idx = jnp.sort(key)[:G]
+                    cnt = jnp.sum(sel).astype(jnp.int32)
+                    return idx, cnt
+
+                sidx_l, cl = mk(near_lo)
+                sidx_r, cr = mk(near_hi)
+                overflow = overflow | (cl > G) | (cr > G)
+                shift_l = jnp.where(me == 0, prd_x, 0.0).astype(x.dtype)
+                shift_r = jnp.where(me == nd - 1, -prd_x, 0.0).astype(x.dtype)
+                return sidx_l, sidx_r, shift_l, shift_r, overflow
+
+            def ghost_exchange(x, typ, tag, q, msk, sidx_l, sidx_r,
+                               shift_l, shift_r):
+                """Pack + ppermute ghosts both ways; returns extended arrays
+                (positions refresh every step; types/tags only used at
+                rebuild but cheap to resend)."""
+
+                def pack(sidx, shift):
+                    valid = sidx < capS
+                    safe = jnp.minimum(sidx, capS - 1)
+                    gx = jnp.where(valid[:, None],
+                                   x[safe] + jnp.stack(
+                                       [shift, jnp.zeros_like(shift),
+                                        jnp.zeros_like(shift)]),
+                                   0.0)
+                    gt = jnp.where(valid, typ[safe], 0)
+                    gg = jnp.where(valid, tag[safe], 0)
+                    gq = jnp.where(valid, q[safe], 0.0) if has_q else None
+                    gm = valid.astype(jnp.int32)
+                    return gx, gt, gg, gq, gm
+
+                # near-lo ghosts go LEFT; near-hi go RIGHT
+                gl = pack(sidx_l, shift_l)
+                gr = pack(sidx_r, shift_r)
+                recv_from_r = [jax.lax.ppermute(b, "x", perm_l)
+                               for b in gl if b is not None]
+                recv_from_l = [jax.lax.ppermute(b, "x", perm_r)
+                               for b in gr if b is not None]
+                return recv_from_l, recv_from_r
+
+            def extend(x, typ, tag, q, msk, rl, rr):
+                def cat(local, a, b):
+                    return jnp.concatenate([local, a, b], axis=0)
+
+                if has_q:
+                    lx, lt, lg, lq, lm = rl
+                    rx, rt, rg, rq, rm = rr
+                    q_ext = cat(q, lq, rq)
+                else:
+                    lx, lt, lg, lm = rl
+                    rx, rt, rg, rm = rr
+                    q_ext = None
+                return (cat(x, lx, rx), cat(typ, lt, rt), cat(tag, lg, rg),
+                        q_ext, cat(msk, lm, rm))
+
+            def rebuild(carry):
+                (x, v, f, typ, tag, q, msk, n, _, _, _, _, _, overflow) = carry
+                x, v, typ, tag, q, msk, n, overflow = migrate(
+                    x, v, typ, tag, q, msk, n, overflow)
+                sidx_l, sidx_r, shift_l, shift_r, overflow = borders(
+                    x, typ, tag, q, msk, n, overflow)
+                rl, rr = ghost_exchange(x, typ, tag, q, msk, sidx_l, sidx_r,
+                                        shift_l, shift_r)
+                x_ext, t_ext, g_ext, q_ext, m_ext = extend(
+                    x, typ, tag, q, msk, rl, rr)
+                ps = pseudo_state(x_ext, t_ext, m_ext, q_ext, n)
+                nl = nbr.build(ps, p, special=ff.special)
+                overflow = overflow | nl.overflow
+                return (x, v, f, typ, tag, q, msk, n,
+                        sidx_l, sidx_r, shift_l, shift_r, nl, overflow)
+
+            def force_eval(carry):
+                (x, v, f, typ, tag, q, msk, n,
+                 sidx_l, sidx_r, shift_l, shift_r, nl, overflow) = carry
+                rl, rr = ghost_exchange(x, typ, tag, q, msk, sidx_l, sidx_r,
+                                        shift_l, shift_r)
+                x_ext, t_ext, g_ext, q_ext, m_ext = extend(
+                    x, typ, tag, q, msk, rl, rr)
+                ps = pseudo_state(x_ext, t_ext, m_ext, q_ext, n)
+                f_ext, _, _, _ = ff.compute(ps, nl, False, False)
+                f = f_ext[:capS]
+                return (x, v, f, typ, tag, q, msk, n,
+                        sidx_l, sidx_r, shift_l, shift_r, nl, overflow)
+
+            def inner_step(carry, _):
+                (x, v, f, typ, tag, q, msk, n, *rest) = carry
+                gm = (msk != 0)[:, None]
+                minv = 1.0 / mass[typ][:, None]
+                v = v + jnp.where(gm, dtf * f * minv, 0.0)
+                x = x + jnp.where(gm, dtv * v, 0.0)
+                carry = (x, v, f, typ, tag, q, msk, n, *rest)
+                carry = force_eval(carry)
+                (x, v, f, typ, tag, q, msk, n, *rest) = carry
+                f0 = carry[2]
+                v = v + jnp.where(gm, dtf * f0 * minv, 0.0)
+                return (x, v, f0, typ, tag, q, msk, n, *rest), None
+
+            def cycle(carry, _):
+                # R steps on the current list, then re-decompose + rebuild
+                # (list built at steps 0, R, 2R, ... like `every R check no`)
+                carry, _ = jax.lax.scan(
+                    inner_step, carry, None, length=self.rebuild_every
+                )
+                carry = rebuild(carry)
+                carry = force_eval(carry)
+                return carry, None
+
+            dummy_idx = jnp.full(G, capS, dtype=jnp.int32)
+            zero = jnp.zeros((), x.dtype)
+            carry = (x, v, f, typ, tag, q, msk, nl_count,
+                     dummy_idx, dummy_idx, zero, zero, None, overflow)
+            carry = rebuild(carry)
+            carry = force_eval(carry)  # initial forces (Verlet::setup)
+            carry, _ = jax.lax.scan(cycle, carry, None, length=self._ncycles)
+            (x, v, f, typ, tag, q, msk, n, *_, overflow) = carry
+
+            return (x[None], v[None], f[None], typ[None], tag[None],
+                    (q[None] if has_q else qs), msk[None], n[None],
+                    overflow[None])
+
+        self._shard_body = shard_body
+        self._runner_cache = {}
+
+    def _get_runner(self, ncycles: int):
+        fn = self._runner_cache.get(ncycles)
+        if fn is None:
+            self._ncycles = ncycles
+            specs = P("x")
+            body = jax.shard_map(
+                self._shard_body,
+                mesh=self.mesh,
+                in_specs=(specs,) * 8,
+                out_specs=(specs,) * 9,
+                check_vma=False,
+            )
+            fn = jax.jit(body)
+            self._runner_cache[ncycles] = fn
+        return fn
+
+    def run(self, nsteps: int):
+        """Advance nsteps (rounded down to whole rebuild cycles)."""
+        ncycles = max(1, nsteps // self.rebuild_every)
+        runner = self._get_runner(ncycles)
+        out = runner(self.xs, self.vs, self.fs, self.ts, self.tg,
+                     self.qs if self.qs is not None else
+                     jnp.zeros((self.ndev, self.capS), dtype=self.xs.dtype),
+                     self.ms, self.nloc)
+        (self.xs, self.vs, self.fs, self.ts, self.tg, qs, self.ms,
+         self.nloc, overflow) = out
+        if self.qs is not None:
+            self.qs = qs
+        if bool(np.any(jax.device_get(overflow))):
+            raise RuntimeError(
+                "sharded capacity overflow (migrants/ghosts/neighbors): "
+                "increase caps"
+            )
+        return ncycles * self.rebuild_every
+
+    # -- gather / observables --------------------------------------------------
+
+    def gather(self) -> dict:
+        """Collect owned atoms to the host, tag-sorted (the analog of
+        lammps_gather_atoms, ref: src/library.cpp:2477)."""
+        xs = np.asarray(jax.device_get(self.xs))
+        vs = np.asarray(jax.device_get(self.vs))
+        tg = np.asarray(jax.device_get(self.tg))
+        ms = np.asarray(jax.device_get(self.ms))
+        sel = ms != 0
+        tags = tg[sel]
+        order = np.argsort(tags)
+        return {
+            "tag": tags[order],
+            "x": xs[sel][order],
+            "v": vs[sel][order],
+        }

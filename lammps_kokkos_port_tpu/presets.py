@@ -22,7 +22,7 @@ from .utils.units import get_units
 
 
 def lj_melt_state(
-    cells: int = 10,
+    cells=10,
     rho: float = 0.8442,
     t_init: float = 3.0,
     seed: int = 87287,
@@ -30,12 +30,15 @@ def lj_melt_state(
 ) -> State:
     """`lattice fcc rho; region box block 0 n 0 n 0 n; create_atoms; mass 1 1;
     velocity all create T seed loop geom` (ref: examples/melt/in.melt,
-    bench/in.lj with t_init=1.44, cells=20)."""
+    bench/in.lj with t_init=1.44, cells=20). `cells` may be a scalar or a
+    per-dim tuple."""
     units = get_units("lj")
     lat = Lattice(style="fcc", scale=rho, units_name="lj", dimension=3)
     sp = lat.spacing
     lo = np.zeros(3)
-    hi = np.array([cells, cells, cells], dtype=np.float64) * sp
+    if np.isscalar(cells):
+        cells = (cells, cells, cells)
+    hi = np.array(cells, dtype=np.float64) * sp
     x, types = create_atoms(lat, lo, hi, type_id=1)
     masses = np.array([1.0, 1.0])  # slot 0 + type 1
     m_per_atom = masses[types]
