@@ -124,20 +124,25 @@ def make_step(
     """
     vflag = integrator.needs_virial
 
-    def do_rebuild(state: State, nl: nbr.NeighborList):
+    def list_ops(nl):
+        from ..ops import cellforce
+
+        return cellforce if isinstance(nl, cellforce.CellListDense) else nbr
+
+    def do_rebuild(state: State, nl):
         x, image = state.box.wrap(state.x, state.image)
         state = state.replace(x=x, image=image)
-        return state, nbr.rebuild_merge(state, nl, special=special)
+        return state, list_ops(nl).rebuild_merge(state, nl, special=special)
 
-    def no_rebuild(state: State, nl: nbr.NeighborList):
-        return state, nbr.tick(nl)
+    def no_rebuild(state: State, nl):
+        return state, list_ops(nl).tick(nl)
 
-    def step(state: State, nl: nbr.NeighborList):
+    def step(state: State, nl):
         state = state.replace(ntimestep=state.ntimestep + 1)
         for fx in fixes:
             state = fx.initial_integrate(state)
         state = integrator.initial_integrate(state)
-        rebuild = nbr.needs_rebuild(state, nl)
+        rebuild = list_ops(nl).needs_rebuild(state, nl)
         state, nl = jax.lax.cond(rebuild, do_rebuild, no_rebuild, state, nl)
         f, _, _, virial = force_fn(state, nl, False, vflag)
         if vflag:

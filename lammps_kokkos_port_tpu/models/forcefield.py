@@ -50,6 +50,15 @@ class ForceField:
 
     def compute(self, state: State, nl, eflag: bool, vflag: bool):
         """Returns (f, epair, emol, virial6)."""
+        from ..ops import cellforce
+
+        if isinstance(nl, cellforce.CellListDense):
+            # cell-dense fast path: pair-only force fields (see ops/cellforce)
+            f, pe, vir = cellforce.compute(self.pair, state, nl, eflag, vflag)
+            z = jnp.zeros((), dtype=state.dtype)
+            return (f, pe if eflag else None,
+                    z if eflag else None, vir)
+
         z = jnp.zeros((), dtype=state.dtype)
         f = jnp.zeros_like(state.x)
         epair = z if eflag else None

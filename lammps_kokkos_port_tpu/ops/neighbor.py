@@ -434,6 +434,7 @@ def size_for_system(
     k_pad: float = 1.25,
     cell_pad: float = 1.6,
     k_round: int = 8,
+    cell_round: int = 4,
 ) -> NeighborParams:
     """Pick initial padded capacities from host-side counting + density.
 
@@ -474,7 +475,7 @@ def size_for_system(
         minlength=ncells[0] * ncells[1] * ncells[2] + 1,
     )
     max_cell = int(counts[:-1].max()) if len(counts) > 1 else int(counts.max())
-    cell_cap = round_up(max(int(max_cell * cell_pad) + 1, 4), 4)
+    cell_cap = round_up(max(int(max_cell * cell_pad) + 1, 4), cell_round)
 
     # density-based neighbor estimate (max cell occupancy bounds local density)
     vol = float(np.prod(box_heights(state.box)))

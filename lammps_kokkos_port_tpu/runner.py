@@ -42,7 +42,9 @@ class Simulation:
         neigh_delay: int = 0,
         neigh_check: bool = True,
         extra_dof: int | None = None,
+        list_mode: str = "auto",
     ):
+        self._list_mode_req = list_mode
         self.state = state
         from .models.forcefield import ForceField, from_pair
 
@@ -90,7 +92,16 @@ class Simulation:
         )
         x, image = self.state.box.wrap(self.state.x, self.state.image)
         self.state = self.state.replace(x=x, image=image)
-        self.nl = nbr.build(self.state, params, special=self.forcefield.special)
+        self._pick_list_mode(params)
+        if self.list_mode == "cell":
+            # dense-path cost scales with cell_cap^2: size tightly and let
+            # the overflow-retry loop absorb density fluctuations
+            params = nbr.size_for_system(
+                self.state, cutneigh=cutneigh, skin=self.skin,
+                every=self.neigh_every, delay=self.neigh_delay,
+                check=self.neigh_check, cell_pad=1.12, cell_round=2,
+            )
+        self.nl = self._build_list(self.state, params)
         self._check_overflow_and_grow()
         vflag = self.integrator.needs_virial
         f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
@@ -99,12 +110,37 @@ class Simulation:
             self.state = self.state.replace(virial=virial)
         self._segment_cache.clear()
 
+    def _pick_list_mode(self, params):
+        """Cell-dense path when the force field is a bare pair_terms style
+        with no special bonds / kspace / bonded terms (the bench hot path);
+        otherwise the [N,K] matrix engine."""
+        ff = self.forcefield
+        if self._list_mode_req != "auto":
+            self.list_mode = self._list_mode_req
+            return
+        self.list_mode = "cell" if (
+            ff.pair is not None
+            and hasattr(ff.pair, "pair_terms")
+            and ff.special is None
+            and ff.kspace is None
+            and ff.bond is None and ff.angle is None
+            and ff.dihedral is None and ff.improper is None
+            and not params.all_pairs
+        ) else "matrix"
+
+    def _build_list(self, state, params):
+        if self.list_mode == "cell":
+            from .ops import cellforce
+
+            return cellforce.build_cell(state, params)
+        return nbr.build(state, params, special=self.forcefield.special)
+
     def _check_overflow_and_grow(self, max_tries: int = 8):
         for _ in range(max_tries):
             if not bool(jax.device_get(self.nl.overflow)):
                 return
             params = nbr.grow(self.nl.params)
-            self.nl = nbr.build(self.state, params, special=self.forcefield.special)
+            self.nl = self._build_list(self.state, params)
         raise RuntimeError("neighbor capacity growth did not converge")
 
     # -- run ----------------------------------------------------------------
@@ -200,7 +236,7 @@ class Simulation:
             params = nbr.grow(snap_nl.params)
             self.state = snap_state
             self.nl = dataclasses.replace(
-                nbr.build(snap_state, params, special=self.forcefield.special),
+                self._build_list(snap_state, params),
                 nbuilds=snap_nl.nbuilds,
                 ndanger=snap_nl.ndanger,
             )

@@ -24,9 +24,32 @@ GOLDEN_250 = dict(temp=1.6645597, epair=-4.7774327, etotal=-2.2812174, press=5.7
 
 @pytest.fixture(scope="module")
 def melt_sim():
+    # matrix list mode: trajectory goldens depend on the reference's
+    # frozen-list missed-pair pattern under `every 20 check no`; the
+    # cell-dense path sees pairs entering the cutoff between rebuilds
+    # (physically tighter, but a different trajectory)
     sim = lj_melt_sim(cells=10, t_init=3.0, seed=87287, dtype=jnp.float64)
+    sim.forcefield = sim.forcefield  # noqa - explicitness
+    sim._list_mode_req = "matrix"
     sim.setup()
     return sim
+
+
+def test_cell_dense_matches_matrix_with_fresh_lists():
+    """With every-step rebuilds both engines see identical pair sets, so
+    trajectories must agree to roundoff."""
+    results = {}
+    for mode in ("matrix", "cell"):
+        sim = lj_melt_sim(cells=6, t_init=1.44, dtype=jnp.float64,
+                          every=1, delay=0, check=False)
+        sim._list_mode_req = mode
+        sim.setup()
+        rows = sim.run(20)
+        results[mode] = (np.asarray(sim.state.x).copy(), rows[-1]["etotal"])
+    np.testing.assert_allclose(results["cell"][0], results["matrix"][0],
+                               atol=1e-11)
+    assert results["cell"][1] == pytest.approx(results["matrix"][1],
+                                               rel=1e-12)
 
 
 class TestMeltGolden:
@@ -46,12 +69,10 @@ class TestMeltGolden:
         st, nl = sim.state, sim.nl
 
         def energy(x):
-            f, pe, _ = pair_mod.compute(
-                sim.pair_style, st.replace(x=x), nl, eflag=True, vflag=False
-            )
+            _, pe, _, _ = sim.force_fn(st.replace(x=x), nl, True, False)
             return pe
 
-        f, _, _ = pair_mod.compute(sim.pair_style, st, nl, eflag=False, vflag=False)
+        f, _, _, _ = sim.force_fn(st, nl, False, False)
         f_ad = -jax.grad(energy)(st.x)
         np.testing.assert_allclose(np.asarray(f), np.asarray(f_ad), atol=1e-9)
 
