@@ -726,6 +726,25 @@ class LammpsScript:
                 c = self.pair_coeffs[0]
                 pair = make_sw(self.ntypes, c[2],
                                list(c[3:3 + self.ntypes]), dtype=dt)
+            elif name == "snap":
+                from .models.pair_snap import make_snap
+
+                c = self.pair_coeffs[0]
+                pair = make_snap(self.ntypes, c[2], c[3],
+                                 list(c[4:4 + self.ntypes]), dtype=dt)
+            elif name == "zbl":
+                from .models.pair_zbl import make_zbl
+
+                zmap = {}
+                for c in self.pair_coeffs:
+                    ii = (range(1, self.ntypes + 1) if c[0] == "*"
+                          else [int(c[0])])
+                    for t in ii:
+                        zmap[t] = float(c[2])
+                pair = make_zbl(self.ntypes, float(args[0]), float(args[1]),
+                                zmap,
+                                qqr2e=get_units(self.units_name).qqr2e,
+                                dtype=dt)
             elif name in ("morse", "buck", "gauss"):
                 from .models import pair_simple as psim
 

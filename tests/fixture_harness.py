@@ -32,6 +32,17 @@ from lammps_kokkos_port_tpu.models.pair_lj import make_lj_cut
 from lammps_kokkos_port_tpu.ops import neighbor as nbr
 
 TESTS_DIR = "/root/reference/unittest/force-styles/tests"
+POTENTIALS_DIR = "/root/reference/potentials"
+
+
+def _potfile(name: str) -> str:
+    import os
+
+    for d in (TESTS_DIR, POTENTIALS_DIR):
+        p = f"{d}/{name}"
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(name)
 
 # in.fourmol settings (ref: unittest/force-styles/tests/in.fourmol)
 FOURMOL_SPECIAL = (0.10, 0.25, 0.50)
@@ -278,6 +289,111 @@ def run_bonded_fixture(kind: str, name: str, dtype=jnp.float64):
     want = dict(
         forces=parse_forces(fix["init_forces"], n),
         energy=float(fix["init_energy"]),
+        stress=parse_stress(fix["init_stress"]),
+    )
+    return got, want
+
+
+# ---------------------------------------------------------------------------
+# manybody fixtures (in.manybody: metal units, atomic style, data.manybody)
+# ---------------------------------------------------------------------------
+
+
+def build_manybody(dtype=jnp.float64):
+    df = read_data(f"{TESTS_DIR}/data.manybody", atom_style="atomic")
+    box = Box.create([df.xlo, df.ylo, df.zlo], [df.xhi, df.yhi, df.zhi],
+                     dtype=jnp.float64)
+    state = create_state(
+        df.x, box, types=df.types, velocities=df.v, masses=df.masses,
+        tags=df.tags, images=df.image, units_name="metal", dtype=dtype,
+    )
+    return df, state
+
+
+def build_manybody_pair(fix: dict, ntypes: int, dtype=jnp.float64):
+    words = fix["pair_style"].split()
+    name = words[0]
+    rows = parse_rows(fix.get("pair_coeff", ""))
+
+    def one_style(name, args, crow):
+        if name == "tersoff":
+            from lammps_kokkos_port_tpu.models.pair_tersoff import make_tersoff
+
+            return make_tersoff(ntypes, _potfile(crow[0]),
+                                crow[1:1 + ntypes], dtype=dtype)
+        if name == "sw":
+            from lammps_kokkos_port_tpu.models.pair_sw import make_sw
+
+            return make_sw(ntypes, _potfile(crow[0]),
+                           crow[1:1 + ntypes], dtype=dtype)
+        if name == "snap":
+            from lammps_kokkos_port_tpu.models.pair_snap import make_snap
+
+            return make_snap(ntypes, _potfile(crow[0]),
+                             _potfile(crow[1]),
+                             crow[2:2 + ntypes], dtype=dtype)
+        if name == "zbl":
+            from lammps_kokkos_port_tpu.models.pair_zbl import make_zbl
+
+            zi, zj = float(crow[0]), float(crow[1])
+            zmap = {t: zi for t in range(1, ntypes + 1)}
+            return make_zbl(ntypes, float(args[0]), float(args[1]), zmap,
+                            dtype=dtype)
+        raise NotImplementedError(name)
+
+    if name == "hybrid/overlay":
+        from lammps_kokkos_port_tpu.models.pair_zbl import PairHybridOverlay
+
+        # parse sub-style args from the style line
+        subs = []
+        toks = words[1:]
+        i = 0
+        order = []
+        while i < len(toks):
+            sub = toks[i]
+            args = []
+            i += 1
+            while i < len(toks):
+                try:
+                    float(toks[i])
+                    args.append(toks[i])
+                    i += 1
+                except ValueError:
+                    break
+            order.append((sub, args))
+        for sub, args in order:
+            crow = None
+            for r in rows:
+                # pair_coeff rows: <t1> <t2> <substyle> args...
+                if len(r) > 2 and r[2] == sub:
+                    crow = r[3:]
+                    break
+            if crow is None:
+                raise ValueError(f"no pair_coeff for substyle {sub}")
+            subs.append(one_style(sub, args, crow))
+        return PairHybridOverlay(styles=tuple(subs), ntypes=ntypes)
+
+    crow = rows[0][2:]  # drop the '* *'
+    return one_style(name, words[1:], crow)
+
+
+def run_manybody_fixture(name: str, dtype=jnp.float64, skin=0.5):
+    fix = load_fixture(name)
+    df, state = build_manybody(dtype=dtype)
+    pair = build_manybody_pair(fix, df.natomtypes, dtype=dtype)
+    p = nbr.size_for_system(state, cutneigh=pair.max_cutoff() + skin,
+                            skin=skin)
+    nl = nbr.build(state, p)
+    while bool(nl.overflow):
+        p = nbr.grow(p)
+        nl = nbr.build(state, p)
+    f, e, virial = pair.compute(state, nl, True, True)
+    n = df.natoms
+    got = dict(forces=np.asarray(f)[:n], vdwl=float(e),
+               stress=np.asarray(virial))
+    want = dict(
+        forces=parse_forces(fix["init_forces"], n),
+        vdwl=float(fix["init_vdwl"]),
         stress=parse_stress(fix["init_stress"]),
     )
     return got, want

@@ -63,3 +63,24 @@ def test_bonded_fixture(kind, name):
     got, want = run_bonded_fixture(kind, name)
     assert got["energy"] == pytest.approx(want["energy"], rel=1e-9, abs=1e-9)
     check(got, want)
+
+
+MANYBODY_FIXTURES = [
+    "manybody-pair-tersoff.yaml",
+    "manybody-pair-sw.yaml",
+    "manybody-pair-snap.yaml",  # hybrid/overlay zbl + snap
+]
+
+
+@pytest.mark.parametrize("name", MANYBODY_FIXTURES)
+def test_manybody_fixture(name):
+    from fixture_harness import run_manybody_fixture
+
+    got, want = run_manybody_fixture(name)
+    assert got["vdwl"] == pytest.approx(want["vdwl"], rel=1e-11)
+    scale = np.abs(want["forces"]).max()
+    np.testing.assert_allclose(got["forces"], want["forces"],
+                               atol=scale * 1e-11, rtol=0)
+    sscale = np.abs(want["stress"]).max()
+    np.testing.assert_allclose(got["stress"], want["stress"],
+                               atol=sscale * 1e-9, rtol=0)
