@@ -101,6 +101,11 @@ class AuxFix:
     def initial_integrate(self, state: State) -> State:
         return state
 
+    def post_integrate(self, state: State) -> State:
+        """After the position update, before neighboring (ref:
+        Fix::post_integrate — SHAKE's slot)."""
+        return state
+
     def final_integrate(self, state: State) -> State:
         return state
 
@@ -142,6 +147,8 @@ def make_step(
         for fx in fixes:
             state = fx.initial_integrate(state)
         state = integrator.initial_integrate(state)
+        for fx in fixes:
+            state = fx.post_integrate(state)
         rebuild = list_ops(nl).needs_rebuild(state, nl)
         state, nl = jax.lax.cond(rebuild, do_rebuild, no_rebuild, state, nl)
         f, _, _, virial = force_fn(state, nl, False, vflag)
