@@ -77,7 +77,14 @@ def _strip(line: str) -> str:
     return line.strip()
 
 
-def read_data(path: str, atom_style: str = "full") -> DataFile:
+def read_data(path: str, atom_style: str = "full",
+              use_native: bool = True) -> DataFile:
+    if use_native:
+        from .native import read_data_native
+
+        df = read_data_native(path, atom_style)
+        if df is not None:
+            return df
     with open(path) as f:
         lines = f.read().splitlines()
 

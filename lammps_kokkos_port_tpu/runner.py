@@ -174,9 +174,17 @@ class Simulation:
         thermo_every: int = 0,
         on_thermo: Callable[[int, dict], None] | None = None,
         print_thermo: bool = False,
+        halt: Callable[[dict], bool] | None = None,
+        timeout_s: float | None = None,
     ) -> list[dict]:
         """Advance nsteps; emit thermo rows at the cadence (incl. first/last),
-        like Output::setup/write (ref: src/output.cpp:189,339)."""
+        like Output::setup/write (ref: src/output.cpp:189,339).
+
+        Failure detection (SURVEY.md §5): non-finite thermo raises
+        immediately (the lost-atom / NaN guard analog of
+        thermo_modify lost error); `halt` mirrors `fix halt` (condition
+        checked at output cadence); `timeout_s` mirrors `timer timeout`
+        (graceful stop past the wall-clock budget)."""
         if self.nl is None:
             self.setup()
 
@@ -193,12 +201,24 @@ class Simulation:
 
         rows = []
 
+        import math
+
+        halted = {"flag": False}
+
         def emit(step_no):
             row = self.thermo()
             row["step"] = step_no
             rows.append(row)
             if print_thermo:
                 _print_thermo_row(row)
+            if not all(math.isfinite(v) for k, v in row.items()
+                       if isinstance(v, float)):
+                raise RuntimeError(
+                    f"non-finite thermo at step {step_no}: {row} "
+                    "(simulation unstable — lost atoms or bad dynamics)"
+                )
+            if halt is not None and halt(row):
+                halted["flag"] = True
             if on_thermo is not None:
                 on_thermo(step_no, row)
 
@@ -218,6 +238,11 @@ class Simulation:
             done = next_out
             self.ntimestep += seg
             emit(self.ntimestep)
+            if halted["flag"]:
+                break
+            if timeout_s is not None and (
+                    time.perf_counter() - t0) > timeout_s:
+                break
 
         self.state.x.block_until_ready()
         self.last_loop_time = time.perf_counter() - t0
