@@ -164,6 +164,77 @@ def make_zbl(ntypes: int, cut_inner: float, cut_global: float,
 
 
 @partial(jax.tree_util.register_dataclass,
+         data_fields=["styles", "pairmask"], meta_fields=["ntypes"])
+@dataclasses.dataclass(frozen=True)
+class PairHybrid:
+    """pair_style hybrid: one sub-style per type pair
+    (ref: src/pair_hybrid.cpp:90-240 — sub-lists become per-pair masks on
+    the shared FULL list here).
+
+    pairmask: [nstyles, nt+1, nt+1] 0/1 selecting which pairs each
+    sub-style handles.
+    """
+
+    styles: tuple
+    pairmask: Array
+    ntypes: int
+
+    def cutsq_table(self) -> Array:
+        tabs = [s.cutsq_table() * self.pairmask[k]
+                for k, s in enumerate(self.styles)]
+        out = tabs[0]
+        for t in tabs[1:]:
+            out = jnp.maximum(out, t)
+        return out
+
+    def max_cutoff(self) -> float:
+        return max(s.max_cutoff() for s in self.styles)
+
+    def compute(self, state, nl, eflag, vflag, special_lj=None,
+                special_coul=None):
+        import dataclasses as _dc
+
+        f = jnp.zeros_like(state.x)
+        pe = jnp.zeros((), state.dtype) if eflag else None
+        virial = jnp.zeros(6, state.dtype) if vflag else None
+        for k, s in enumerate(self.styles):
+            # mask the sub-style's cutoffs to its assigned type pairs
+            masked = _dc.replace(
+                s, cutsq=s.cutsq_table() * self.pairmask[k]
+            ) if hasattr(s, "cutsq") else s
+            try:
+                fs, es, vs = masked.compute(state, nl, eflag, vflag,
+                                            special_lj=special_lj,
+                                            special_coul=special_coul)
+            except TypeError:
+                fs, es, vs = masked.compute(state, nl, eflag, vflag)
+            f = f + fs
+            if eflag and es is not None:
+                pe = pe + es
+            if vflag and vs is not None:
+                virial = virial + vs
+        return f, pe, virial
+
+
+def make_hybrid(ntypes: int, assignments: list) -> PairHybrid:
+    """assignments: list of (style, [(i, j), ...]) with 1-based type pairs
+    ('*' handled by the caller expanding to all)."""
+    import numpy as np
+
+    masks = []
+    styles = []
+    for style, pairs in assignments:
+        m = np.zeros((ntypes + 1, ntypes + 1))
+        for (i, j) in pairs:
+            m[i, j] = 1.0
+            m[j, i] = 1.0
+        masks.append(m)
+        styles.append(style)
+    return PairHybrid(styles=tuple(styles),
+                      pairmask=jnp.asarray(np.stack(masks)), ntypes=ntypes)
+
+
+@partial(jax.tree_util.register_dataclass,
          data_fields=["styles"], meta_fields=["ntypes"])
 @dataclasses.dataclass(frozen=True)
 class PairHybridOverlay:

@@ -146,3 +146,41 @@ class TestChainGolden:
         assert r["epair"] == pytest.approx(CHAIN100["epair"], abs=0.02)
         assert r["emol"] == pytest.approx(CHAIN100["emol"], abs=0.05)
         assert r["etotal"] == pytest.approx(CHAIN100["etotal"], abs=0.05)
+
+
+class TestPairHybrid:
+    def test_hybrid_matches_single_style(self, rng=None):
+        """hybrid with lj/cut per pair-type == one lj/cut with the same
+        coeffs."""
+        import numpy as np
+        from lammps_kokkos_port_tpu.core.box import Box
+        from lammps_kokkos_port_tpu.core.state import create_state
+        from lammps_kokkos_port_tpu.models.pair_lj import make_lj_cut
+        from lammps_kokkos_port_tpu.models.pair_zbl import make_hybrid
+        from lammps_kokkos_port_tpu.ops import neighbor as nbr
+
+        r = np.random.default_rng(5)
+        box = Box.create([0, 0, 0], [12.0] * 3, dtype=jnp.float64)
+        x = r.uniform(0, 12, (120, 3))
+        types = r.integers(1, 3, 120).astype(np.int32)
+        st = create_state(x, box, types=types, dtype=jnp.float64)
+
+        coeffs = {(1, 1): (1.0, 1.0), (2, 2): (0.6, 1.2), (1, 2): (0.8, 1.1)}
+        ref = make_lj_cut(2, coeffs, 2.5, dtype=jnp.float64)
+
+        s11 = make_lj_cut(2, coeffs, 2.5, dtype=jnp.float64)
+        s22 = make_lj_cut(2, coeffs, 2.5, dtype=jnp.float64)
+        s12 = make_lj_cut(2, coeffs, 2.5, dtype=jnp.float64)
+        hyb = make_hybrid(2, [(s11, [(1, 1)]), (s22, [(2, 2)]),
+                              (s12, [(1, 2)])])
+
+        p = nbr.size_for_system(st, cutneigh=2.8, skin=0.3)
+        nl = nbr.build(st, p)
+        while bool(nl.overflow):
+            p = nbr.grow(p)
+            nl = nbr.build(st, p)
+        f1, e1, v1 = ref.compute(st, nl, True, True)
+        f2, e2, v2 = hyb.compute(st, nl, True, True)
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-10)
+        assert float(e2) == pytest.approx(float(e1), rel=1e-12)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-10)
