@@ -84,6 +84,12 @@ class ShardedMD:
         self.global_state = state
         self.mig_cap = mig_cap
 
+        if self.ndev < 2:
+            raise ValueError(
+                "ShardedMD needs >= 2 shards (with one device the halo "
+                "copies would double-count the x-periodic images; use the "
+                "single-chip Simulation instead)"
+            )
         prd = np.asarray(jax.device_get(state.box.prd))
         if prd[0] / self.ndev <= self.cutghost:
             raise ValueError(
