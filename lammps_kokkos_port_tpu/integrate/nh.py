@@ -250,6 +250,9 @@ class FixNPT(FixNVT):
             "etap_dot": jnp.zeros(self.mpchain + 1, dtype=dt),
             "omega": jnp.zeros(6, dtype=dt),
             "omega_dot": jnp.zeros(6, dtype=dt),
+            # reference volume for the PV strain-energy term
+            # (ref: FixNH::setup vol0 / compute_scalar)
+            "vol0": state.box.volume.astype(dt),
         })
         aux[AUX_KEY] = nh
         return state.replace(aux=aux)
@@ -455,6 +458,33 @@ class FixNPT(FixNVT):
         aux = dict(state.aux)
         aux[AUX_KEY] = {**nh, "omega": omega}
         return state.replace(x=x, box=new_box, aux=aux)
+
+    def barostat_energy(self, state: State) -> Array:
+        """Barostat contribution to the conserved quantity
+        (ref: FixNH::compute_scalar barostat block): pressure-thermostat
+        chain potential+kinetic, cell kinetic energy, and the PV strain
+        term p_hydro*(V - V0)/nktv2p."""
+        boltz, nktv2p = self.units.boltz, self.units.nktv2p
+        nh = state.aux[AUX_KEY]
+        t_target = self._t_target(state)
+        kt = boltz * t_target
+        lkt_press = kt if self.pcouple == "iso" else self.pdim * kt
+        em = kt / (self.p_freq_max * self.p_freq_max)
+
+        e = lkt_press * nh["etap"][0] + 0.5 * em * nh["etap_dot"][0] ** 2
+        for ich in range(1, self.mpchain):
+            e = e + kt * nh["etap"][ich] + 0.5 * em * nh["etap_dot"][ich] ** 2
+
+        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
+        pfreq = jnp.asarray(self.p_freq, state.dtype)
+        omega_mass = nkt / (pfreq * pfreq)
+        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        od = nh["omega_dot"][:3]
+        e = e + jnp.sum(flags * 0.5 * omega_mass * od * od)
+
+        _, p_hydro = self._p_target(state)
+        e = e + p_hydro * (state.box.volume - nh["vol0"]) / nktv2p
+        return e
 
     # -- hooks (order per fix_nh.cpp:828-884) --------------------------------
 

@@ -41,7 +41,7 @@ AUX_X0 = "shake_x0"
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ci", "cj", "d0"],
-    meta_fields=["iters", "viters", "groupbit"],
+    meta_fields=["iters", "viters", "groupbit", "ncons"],
 )
 @dataclasses.dataclass(frozen=True)
 class FixShake(AuxFix):
@@ -53,6 +53,8 @@ class FixShake(AuxFix):
     iters: int = 50
     viters: int = 50
     groupbit: int = 1
+    ncons: int = 0  # true (unpadded) count; removes one DOF each
+                    # (ref: FixShake::dof, src/RIGID/fix_shake.cpp)
 
     # -- hooks ---------------------------------------------------------------
 
@@ -131,7 +133,7 @@ class FixShake(AuxFix):
 
     @property
     def n_constraints(self) -> int:
-        return self.ci.shape[0]
+        return self.ncons
 
 
 def make_shake(
@@ -184,5 +186,5 @@ def make_shake(
     a_d0[:n] = d0
     return FixShake(
         ci=jnp.asarray(a_ci), cj=jnp.asarray(a_cj),
-        d0=jnp.asarray(a_d0, dtype=dtype),
+        d0=jnp.asarray(a_d0, dtype=dtype), ncons=n,
     )

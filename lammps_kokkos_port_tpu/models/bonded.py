@@ -233,24 +233,48 @@ def _dihedral_phi(vb1, vb2, vb3):
     )
     c = jnp.dot(a, b) / norm
     b2len = jnp.sqrt(jnp.maximum(jnp.sum(b2m * b2m), 1e-30))
-    s = jnp.dot(jnp.cross(a, b), b2m) / (norm * b2len)
+    # s = rg * rabinv * (a . vb3), ref: dihedral_charmm.cpp:141
+    # ((a x b) . vb2m flips the sign: asymmetric phases d expose it)
+    s = jnp.dot(a, b3) * b2len / norm
     return jnp.arctan2(s, c)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k", "n", "d"], meta_fields=[])
+         data_fields=["k", "n", "d", "weight",
+                      "lj14_1", "lj14_2", "lj14_3", "lj14_4"],
+         meta_fields=["qqr2e", "weightflag"])
 @dataclasses.dataclass(frozen=True)
 class DihedralCharmm:
-    """E = K [1 + cos(n phi - d)] (ref: src/MOLECULE/dihedral_charmm.cpp:63;
-    the 1-4 pair term is handled by the pair style / special weights)."""
+    """E = K [1 + cos(n phi - d)] plus the weighted 1-4 LJ/Coulomb pair
+    between atoms 1 and 4 using the pair style's lj14 tables
+    (ref: src/MOLECULE/dihedral_charmm.cpp:63 and :245-281 — plain 1/r
+    Coulomb, lj14_{1..4} extracted from the CHARMM pair style, energies
+    tallied into the PAIR accumulators via force->pair->ev_tally)."""
 
     k: Array
     n: Array  # integer multiplicity as float table
     d: Array  # phase in radians
+    weight: Array  # [ndihedraltypes+1] 1-4 weights
+    lj14_3: Array  # [natomtypes+1]^2: 4 eps14 sigma14^12
+    lj14_4: Array  # 4 eps14 sigma14^6
+    lj14_1: Array  # 48 eps14 sigma14^12 (unused: grad derives the force)
+    lj14_2: Array  # 24 eps14 sigma14^6
+    qqr2e: float = 0.0
+    weightflag: bool = False
 
     def energy_one(self, vb1, vb2, vb3, t):
         phi = _dihedral_phi(vb1, vb2, vb3)
         return self.k[t] * (1.0 + jnp.cos(self.n[t] * phi - self.d[t]))
+
+    def energy_14(self, dx, t, it, jt, qi, qj):
+        """weight * (plain-Coulomb + 12-6 LJ with the 14 coeffs)
+        (ref: dihedral_charmm.cpp:245-266)."""
+        r2 = jnp.sum(dx * dx)
+        rinv = jax.lax.rsqrt(r2)
+        r6inv = (rinv * rinv) ** 3
+        ecoul = self.qqr2e * qi * qj * rinv
+        evdwl = r6inv * (self.lj14_3[it, jt] * r6inv - self.lj14_4[it, jt])
+        return self.weight[t] * (ecoul + evdwl)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -366,7 +390,29 @@ def compute_dihedrals(style, state: State, top: Topology, eflag, vflag,
             + jnp.einsum("na,nb->ab", vb2, f3)
             + jnp.einsum("na,nb->ab", vb2 + vb3, f4)
         )
-    return f, energy, virial
+
+    # CHARMM 1-4 pair term between atoms 1 and 4 — energy AND virial are
+    # tallied into the PAIR accumulators in the reference
+    # (ref: dihedral_charmm.cpp:281 force->pair->ev_tally), so they are
+    # returned separately from the torsion's.
+    extra14 = None
+    if getattr(style, "weightflag", False):
+        dx14 = state.box.min_image(x1 - x4)
+        it = state.type[jnp.clip(a1, 0, cap - 1)]
+        jt = state.type[jnp.clip(a4, 0, cap - 1)]
+        qi = state.q[jnp.clip(a1, 0, cap - 1)]
+        qj = state.q[jnp.clip(a4, 0, cap - 1)]
+        ev, gv = jax.vmap(jax.value_and_grad(style.energy_14))(
+            dx14, t, it, jt, qi, qj
+        )
+        gv = jnp.where(valid[:, None], gv, 0.0)
+        f = f.at[a1].add(-gv, mode="drop")
+        f = f.at[a4].add(gv, mode="drop")
+        e14 = jnp.sum(jnp.where(valid, ev, 0.0)) if eflag else None
+        v14 = (_voigt(jnp.einsum("na,nb->ab", dx14, -gv))
+               if vflag else None)
+        extra14 = (e14, v14)
+    return f, energy, virial, extra14
 
 
 # ---------------------------------------------------------------------------
@@ -409,10 +455,34 @@ def make_angle_charmm(ntypes, coeffs, dtype=jnp.float64) -> AngleCharmm:
     return AngleCharmm(k=k, theta0=th * (np.pi / 180.0), k_ub=kub, r_ub=rub)
 
 
-def make_dihedral_charmm(ntypes, coeffs, dtype=jnp.float64) -> DihedralCharmm:
-    """coeffs: (K, n, d_degrees[, weight]) per type."""
+def make_dihedral_charmm(ntypes, coeffs, dtype=jnp.float64,
+                         pair=None, qqr2e: float = 0.0) -> DihedralCharmm:
+    """coeffs: (K, n, d_degrees[, weight]) per type. A nonzero weight
+    requires a CHARMM pair style providing lj14 tables (ref:
+    dihedral_charmm.cpp:360-379 extract("lj14_*"))."""
     k, n, d = table(ntypes, {t: c[:3] for t, c in coeffs.items()}, 3, dtype)
-    return DihedralCharmm(k=k, n=n, d=d * (np.pi / 180.0))
+    w = np.zeros(ntypes + 1)
+    for t, c in coeffs.items():
+        w[t] = c[3] if len(c) > 3 else 0.0
+    weightflag = bool((w != 0.0).any())
+    if weightflag:
+        if pair is None or not hasattr(pair, "lj14_1"):
+            raise ValueError(
+                "dihedral_style charmm with nonzero 1-4 weight requires a "
+                "CHARMM pair style with lj14 coeffs (ref: "
+                "dihedral_charmm.cpp:361 'must be set to charmm pair style')"
+            )
+        l1, l2, l3, l4 = (pair.lj14_1, pair.lj14_2, pair.lj14_3, pair.lj14_4)
+        l1, l2, l3, l4 = (jnp.asarray(a, dtype=dtype) for a in (l1, l2, l3, l4))
+    else:
+        z = jnp.zeros((1, 1), dtype=dtype)
+        l1 = l2 = l3 = l4 = z
+    return DihedralCharmm(
+        k=k, n=n, d=d * (np.pi / 180.0),
+        weight=jnp.asarray(w, dtype=dtype),
+        lj14_1=l1, lj14_2=l2, lj14_3=l3, lj14_4=l4,
+        qqr2e=float(qqr2e), weightflag=weightflag,
+    )
 
 
 def make_dihedral_opls(ntypes, coeffs, dtype=jnp.float64) -> DihedralOPLS:

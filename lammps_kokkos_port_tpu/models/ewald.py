@@ -53,12 +53,18 @@ def choose_kmax(g_ewald: float, prd: np.ndarray, accuracy_rel: float
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["nvec", "ug", "ksq", "kunit"],
-    meta_fields=["g_ewald", "accuracy"],
+    meta_fields=["g_ewald", "accuracy", "dynamic"],
 )
 @dataclasses.dataclass(frozen=True)
 class Ewald:
     """Static k-space tables. nvec: [nk,3] integer modes (half-space, the
-    conjugate half is folded into a factor 2 in ug)."""
+    conjugate half is folded into a factor 2 in ug).
+
+    With `dynamic` set (barostat active), the k vectors and mode energies
+    are re-derived from state.box at every force evaluation — the analog of
+    the reference re-running KSpace::setup() after each NPT box remap
+    (ref: src/fix_nh.cpp:874-876). The INTEGER mode set stays the one
+    selected for the creation box (valid for modest volume drift)."""
 
     nvec: Array  # [nk, 3] float (integer values)
     ug: Array  # [nk] 4*pi/V * exp(-k^2/4g^2)/k^2 * (2 for half-space)
@@ -66,10 +72,11 @@ class Ewald:
     kunit: Array  # [nk, 3] k vectors
     g_ewald: float
     accuracy: float
+    dynamic: bool = False
 
     @staticmethod
     def create(box, g_ewald: float, accuracy_rel: float = 1e-6,
-               dtype=jnp.float64) -> "Ewald":
+               dtype=jnp.float64, dynamic: bool = False) -> "Ewald":
         hinv = np.asarray(jax.device_get(box.h_inv))
         prd = np.asarray(jax.device_get(box.prd))
         vol = float(np.asarray(jax.device_get(box.volume)))
@@ -102,18 +109,29 @@ class Ewald:
             kunit=jnp.asarray(kvec, dtype=dtype),
             g_ewald=float(g_ewald),
             accuracy=float(accuracy_rel),
+            dynamic=dynamic,
         )
 
     # -- energy/forces -------------------------------------------------------
 
-    def _kspace_energy(self, x: Array, state: State) -> Array:
+    def _tables(self, state: State):
+        """(ug, ksq, kunit) for the CURRENT box (traced when dynamic)."""
+        if not self.dynamic:
+            return self.ug, self.ksq, self.kunit
+        kvec = 2.0 * jnp.pi * (self.nvec @ state.box.h_inv)
+        ksq = jnp.sum(kvec * kvec, axis=1)
+        ug = (2.0 * 4.0 * jnp.pi / state.box.volume
+              * jnp.exp(-ksq / (4.0 * self.g_ewald**2)) / ksq)
+        return ug, ksq, kvec
+
+    def _kspace_energy(self, x: Array, state: State, ug: Array) -> Array:
         """0.5 * sum_k u_k |S(k)|^2 (both half-spaces via the 2 in ug)."""
         q = jnp.where(state.valid_mask, state.q, 0.0)
         lam = state.box.to_lamda(x)
         phase = 2.0 * jnp.pi * (lam @ self.nvec.T)  # [cap, nk]
         re = q @ jnp.cos(phase)
         im = q @ jnp.sin(phase)
-        return 0.5 * jnp.sum(self.ug * (re * re + im * im))
+        return 0.5 * jnp.sum(ug * (re * re + im * im))
 
     def _corrections(self, state: State) -> Array:
         """Self-energy + charged-background terms (ref: ewald.cpp compute)."""
@@ -128,9 +146,10 @@ class Ewald:
 
     def compute(self, state: State, eflag: bool, vflag: bool):
         qqrd2e = get_units(state.units_name).qqr2e
+        ug, ksq, kunit = self._tables(state)
 
         def energy_of(x):
-            return qqrd2e * self._kspace_energy(x, state)
+            return qqrd2e * self._kspace_energy(x, state, ug)
 
         e_k, neg_f = jax.value_and_grad(energy_of)(state.x)
         f = -neg_f
@@ -148,9 +167,9 @@ class Ewald:
             re = q @ jnp.cos(phase)
             im = q @ jnp.sin(phase)
             s2 = re * re + im * im
-            uk = 0.5 * self.ug * s2 * qqrd2e
-            vterm = -2.0 * (1.0 / self.ksq + 0.25 / (self.g_ewald**2))
-            k = self.kunit
+            uk = 0.5 * ug * s2 * qqrd2e
+            vterm = -2.0 * (1.0 / ksq + 0.25 / (self.g_ewald**2))
+            k = kunit
             v = []
             for a, b in ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)):
                 delta = 1.0 if a == b else 0.0

@@ -103,16 +103,21 @@ class ForceField:
                 self.dihedral, state, top, eflag, vflag, which="dihedrals"
             )
             if out is not None:
-                df, de, dv = out
+                df, de, dv, extra14 = out
                 f = f + df
                 emol = acc(emol, de)
                 virial = acc(virial, dv)
+                if extra14 is not None:
+                    # the CHARMM 1-4 pair term is PAIR energy/virial in the
+                    # reference (dihedral_charmm.cpp:281 pair->ev_tally)
+                    epair = acc(epair, extra14[0])
+                    virial = acc(virial, extra14[1])
         if self.improper is not None and top is not None:
             out = bonded_mod.compute_dihedrals(
                 self.improper, state, top, eflag, vflag, which="impropers"
             )
             if out is not None:
-                if_, ie, iv = out
+                if_, ie, iv, _ = out
                 f = f + if_
                 emol = acc(emol, ie)
                 virial = acc(virial, iv)

@@ -74,7 +74,7 @@ def coul_cut_terms(r2, qiqj, qqrd2e, factor_coul, eflag):
 _CHARMM_FIELDS = ["lj1", "lj2", "lj3", "lj4", "lj14_1", "lj14_2", "lj14_3",
                   "lj14_4", "eps", "sigma"]
 _CHARMM_META = ["ntypes", "cut_lj_inner", "cut_lj", "cut_coul", "g_ewald",
-                "coul_mode", "lj_switch"]
+                "coul_mode", "lj_switch", "cut_coul_inner"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -83,7 +83,9 @@ _CHARMM_META = ["ntypes", "cut_lj_inner", "cut_lj", "cut_coul", "g_ewald",
 class PairLJCharmmCoulLong:
     """CHARMM LJ (inner/outer energy switching) + coulomb.
 
-    coul_mode: 'long' (real-space Ewald erfc), 'cut', or 'none'.
+    coul_mode: 'long' (real-space Ewald erfc), 'cut', 'charmm' (CHARMM
+    energy-switched plain coulomb, ref:
+    src/MOLECULE/pair_lj_charmm_coul_charmm.cpp:120-131), or 'none'.
     lj_switch: True = CHARMM switching between inner/outer cutoffs
     (ref: pair_lj_charmm_coul_long.cpp denom_lj switch1/switch2 math);
     False = plain truncation at cut_lj (the lj/cut/coul/* family).
@@ -106,6 +108,7 @@ class PairLJCharmmCoulLong:
     g_ewald: float
     coul_mode: str
     lj_switch: bool
+    cut_coul_inner: float = 0.0
 
     def cutsq_table(self) -> Array:
         cut = max(self.cut_lj, self.cut_coul if self.coul_mode != "none" else 0.0)
@@ -197,6 +200,19 @@ class PairLJCharmmCoulLong:
                 forcecoul, ec = coul_long_terms(
                     r2s, qiqj, qqrd2e, self.g_ewald, fcoul, eflag
                 )
+            elif self.coul_mode == "charmm":
+                # CHARMM energy-switched plain coulomb: FORCE is scaled by
+                # the same switch (not energy-consistent, by reference
+                # design — pair_lj_charmm_coul_charmm.cpp:123-131)
+                pref = qqrd2e * qiqj * jnp.sqrt(r2inv)
+                in_sq = self.cut_coul_inner * self.cut_coul_inner
+                denom_coul = (cut_coulsq - in_sq) ** 3
+                sw1 = ((cut_coulsq - r2s) ** 2
+                       * (cut_coulsq + 2.0 * r2s - 3.0 * in_sq) / denom_coul)
+                pref = jnp.where(r2s > in_sq, pref * sw1, pref)
+                fc = fcoul if fcoul is not None else 1.0
+                forcecoul = pref * fc
+                ec = forcecoul if eflag else None
             else:
                 forcecoul, ec = coul_cut_terms(r2s, qiqj, qqrd2e, fcoul, eflag)
             coul_on = valid & (r2 < cut_coulsq)
@@ -294,6 +310,30 @@ def make_lj_charmm_coul_long(
         ntypes=ntypes, cut_lj_inner=float(cut_lj_inner), cut_lj=float(cut_lj),
         cut_coul=float(cut_coul), g_ewald=float(g_ewald),
         coul_mode=coul_mode, lj_switch=True,
+    )
+
+
+def make_lj_charmm_coul_charmm(
+    ntypes: int,
+    coeffs: dict,
+    cut_lj_inner: float,
+    cut_lj: float,
+    cut_coul_inner: float | None = None,
+    cut_coul: float | None = None,
+    mix: str = "arithmetic",
+    dtype=jnp.float64,
+) -> PairLJCharmmCoulLong:
+    """pair_style lj/charmm/coul/charmm inner outer [coul_inner coul_outer]
+    (ref: src/MOLECULE/pair_lj_charmm_coul_charmm.cpp settings())."""
+    style = make_lj_charmm_coul_long(
+        ntypes, coeffs, cut_lj_inner, cut_lj,
+        cut_coul if cut_coul is not None else cut_lj,
+        coul_mode="charmm", mix=mix, dtype=dtype,
+    )
+    return dataclasses.replace(
+        style,
+        cut_coul_inner=float(cut_coul_inner if cut_coul_inner is not None
+                             else cut_lj_inner),
     )
 
 

@@ -80,23 +80,44 @@ def _fft_friendly(n: int) -> bool:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gf"],
-    meta_fields=["ngrid", "order", "g_ewald", "accuracy"],
+    data_fields=["gf", "wx2", "wy2", "wz2", "den", "fvec", "alias_idx"],
+    meta_fields=["ngrid", "order", "g_ewald", "accuracy", "nalias",
+                 "dynamic"],
 )
 @dataclasses.dataclass(frozen=True)
 class PPPM:
-    """gf: [nx, ny, nz] optimal influence function (includes 1/(2V))."""
+    """gf: [nx, ny, nz] optimal influence function (includes 1/(2V)),
+    valid for the box it was created with.
+
+    When `dynamic` is set (a barostat is active), gf is recomputed from
+    state.box inside the jitted step every force evaluation — the analog of
+    FixNH calling kspace->setup() after each box remap
+    (ref: src/fix_nh.cpp:874-876, src/KSPACE/pppm.cpp:297-330). The
+    B-spline aliasing factors |W(k)|^2 depend only on the INTEGER mode
+    index (k*h/2 = pi*(m + b*n)/n), so they are box-independent tables
+    (wx2/wy2/wz2, den); only 1/|k+b|^2, the Gaussian filter, and 1/(2V)
+    are box-dependent and cheap to re-derive in closed form.
+    """
 
     gf: Array
+    wx2: Array  # [2*nalias+1, nx] |W|^2 at aliased integer freqs
+    wy2: Array
+    wz2: Array
+    den: Array  # [nx, ny, nz] aliasing denominator (box-independent)
+    fvec: tuple  # (fx [nx], fy [ny], fz [nz]) integer FFT frequencies
+    alias_idx: Array  # [(2a+1)^3, 3] int32 alias-table indices
     ngrid: tuple
     order: int
     g_ewald: float
     accuracy: float
+    nalias: int = 2
+    dynamic: bool = False
 
     @staticmethod
     def create(box, g_ewald: float, accuracy_rel: float = 1e-4,
                grid: tuple | None = None, order: int = 5,
-               nalias: int = 2, dtype=jnp.float64) -> "PPPM":
+               nalias: int = 2, dtype=jnp.float64,
+               dynamic: bool = False) -> "PPPM":
         prd = np.asarray(jax.device_get(box.prd))
         vol = float(np.asarray(jax.device_get(box.volume)))
         if grid is None:
@@ -142,13 +163,78 @@ class PPPM:
         gf = num / den / (2.0 * vol)
         gf[0, 0, 0] = 0.0
 
+        # box-independent alias tables for the dynamic (NPT) path:
+        # |W((k+2pi b/h) h/2)|^2 = |W(pi (m + b n)/n)|^2 — pure integers
+        fx = np.fft.fftfreq(nx, d=1.0 / nx)
+        fy = np.fft.fftfreq(ny, d=1.0 / ny)
+        fz = np.fft.fftfreq(nz, d=1.0 / nz)
+
+        def w2_rows(f, n):
+            rows = []
+            for b in range(-nalias, nalias + 1):
+                xarg = np.pi * (f + b * n) / n
+                s = np.ones_like(xarg)
+                nz_ = xarg != 0.0
+                s[nz_] = np.sin(xarg[nz_]) / xarg[nz_]
+                rows.append(s ** (2 * order))
+            return np.stack(rows)
+
+        aset = range(2 * nalias + 1)
+        alias_idx = np.array(
+            [(i, j, k) for i in aset for j in aset for k in aset],
+            dtype=np.int32,
+        )
+
         return PPPM(
             gf=jnp.asarray(gf, dtype=dtype),
+            wx2=jnp.asarray(w2_rows(fx, nx), dtype=dtype),
+            wy2=jnp.asarray(w2_rows(fy, ny), dtype=dtype),
+            wz2=jnp.asarray(w2_rows(fz, nz), dtype=dtype),
+            den=jnp.asarray(den, dtype=dtype),
+            fvec=(jnp.asarray(fx, dtype=dtype), jnp.asarray(fy, dtype=dtype),
+                  jnp.asarray(fz, dtype=dtype)),
+            alias_idx=jnp.asarray(alias_idx),
             ngrid=(nx, ny, nz),
             order=order,
             g_ewald=float(g_ewald),
             accuracy=float(accuracy_rel),
+            nalias=nalias,
+            dynamic=dynamic,
         )
+
+    def influence(self, box) -> Array:
+        """Traced optimal influence function G(k) for the CURRENT box
+        (incl. 1/(2V)) — the jit-compatible twin of the create()-time
+        numpy computation (ref: pppm.cpp compute_gf_ik + setup())."""
+        nx, ny, nz = self.ngrid
+        fx, fy, fz = self.fvec
+        na = self.nalias
+        prd = box.prd
+        two_pi = 2.0 * jnp.pi
+        g2inv4 = 1.0 / (4.0 * self.g_ewald * self.g_ewald)
+
+        def body(num, ab):
+            bi, bj, bk = ab[0], ab[1], ab[2]
+            kxa = (fx + (bi - na).astype(fx.dtype) * nx) * (two_pi / prd[0])
+            kya = (fy + (bj - na).astype(fy.dtype) * ny) * (two_pi / prd[1])
+            kza = (fz + (bk - na).astype(fz.dtype) * nz) * (two_pi / prd[2])
+            k2 = ((kxa * kxa)[:, None, None]
+                  + (kya * kya)[None, :, None]
+                  + (kza * kza)[None, None, :])
+            k2s = jnp.where(k2 == 0.0, 1.0, k2)
+            w2 = (self.wx2[bi][:, None, None]
+                  * self.wy2[bj][None, :, None]
+                  * self.wz2[bk][None, None, :])
+            term = w2 * (4.0 * jnp.pi / k2s) * jnp.exp(-k2s * g2inv4)
+            return num + jnp.where(k2 == 0.0, 0.0, term), None
+
+        num0 = jnp.zeros((nx, ny, nz), dtype=self.gf.dtype)
+        num, _ = jax.lax.scan(body, num0, self.alias_idx)
+        gf = num / self.den / (2.0 * box.volume)
+        return gf.at[0, 0, 0].set(0.0)
+
+    def _gf(self, state: State) -> Array:
+        return self.influence(state.box) if self.dynamic else self.gf
 
     # -- charge spreading ----------------------------------------------------
 
@@ -195,10 +281,10 @@ class PPPM:
         )
         return grid
 
-    def _mesh_energy(self, x: Array, state: State) -> Array:
+    def _mesh_energy(self, x: Array, state: State, gf: Array) -> Array:
         rho = self._spread(x, state)
         rho_k = jnp.fft.fftn(rho)
-        return jnp.sum(self.gf * jnp.abs(rho_k) ** 2)
+        return jnp.sum(gf * jnp.abs(rho_k) ** 2)
 
     def _corrections(self, state: State) -> Array:
         q = jnp.where(state.valid_mask, state.q, 0.0)
@@ -211,9 +297,10 @@ class PPPM:
 
     def compute(self, state: State, eflag: bool, vflag: bool):
         qqrd2e = get_units(state.units_name).qqr2e
+        gf = self._gf(state)
 
         def energy_of(xx):
-            return qqrd2e * self._mesh_energy(xx, state)
+            return qqrd2e * self._mesh_energy(xx, state, gf)
 
         e_k, neg_f = jax.value_and_grad(energy_of)(state.x)
         f = -neg_f
@@ -240,7 +327,7 @@ class PPPM:
             k2 = jnp.where(k2 == 0.0, 1.0, k2)
             rho = self._spread(state.x, state)
             rho_k = jnp.fft.fftn(rho)
-            uk = qqrd2e * self.gf * jnp.abs(rho_k) ** 2
+            uk = qqrd2e * gf * jnp.abs(rho_k) ** 2
             vterm = -2.0 * (1.0 / k2 + 0.25 / (self.g_ewald**2))
             comps = []
             for (a_arr, b_arr, delta) in (

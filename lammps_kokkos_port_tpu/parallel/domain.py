@@ -96,16 +96,41 @@ class ShardedMD:
                 f"slab width {prd[0]/self.ndev:.3f} <= ghost cutoff "
                 f"{self.cutghost:.3f}: too many shards for this box"
             )
+        if self.ndev == 2 and prd[0] / self.ndev <= 2.0 * self.cutghost:
+            # with 2 shards the left and right neighbor are the SAME device:
+            # an atom inside both face bands would arrive twice and the
+            # x-periodic min-image would double-count its pair forces
+            raise ValueError(
+                f"2-shard slab width {prd[0]/2:.3f} must exceed twice the "
+                f"ghost cutoff {self.cutghost:.3f} (near-lo/near-hi bands "
+                "must not overlap when both neighbors are the same device)"
+            )
 
+        self.cap_mult = cap_mult
+        self.ghost_cap_mult = ghost_cap_mult
+        self.k_mult = 1.4
         self._distribute(state, cap_mult, ghost_cap_mult)
         self._build_runner()
 
     # -- host-side distribution ----------------------------------------------
 
     def _distribute(self, state: State, cap_mult, ghost_cap_mult):
-        nd = self.ndev
-        x = np.asarray(jax.device_get(state.x))
         n = int(jax.device_get(state.nlocal))
+        self._distribute_arrays(
+            np.asarray(jax.device_get(state.x))[:n],
+            np.asarray(jax.device_get(state.v))[:n],
+            np.asarray(jax.device_get(state.type))[:n],
+            np.asarray(jax.device_get(state.tag))[:n],
+            (np.asarray(jax.device_get(state.q))[:n]
+             if state.q is not None else None),
+            cap_mult, ghost_cap_mult,
+        )
+
+    def _distribute_arrays(self, x, v_np, t_np, tag_np, q_np,
+                           cap_mult, ghost_cap_mult):
+        state = self.global_state
+        nd = self.ndev
+        n = len(x)
         hinv = np.asarray(jax.device_get(state.box.h_inv))
         lo = np.asarray(jax.device_get(state.box.lo))
         lam = (x[:n] - lo) @ hinv.T
@@ -129,13 +154,8 @@ class ShardedMD:
         vs = fill(None, 0.0, np.float64, 3)
         ts = fill(None, 0, np.int32)
         tg = fill(None, 0, np.int32)
-        qs = fill(None, 0.0, np.float64) if state.q is not None else None
+        qs = fill(None, 0.0, np.float64) if q_np is not None else None
         ms = fill(None, 0, np.int32)
-        v_np = np.asarray(jax.device_get(state.v))
-        q_np = (np.asarray(jax.device_get(state.q))
-                if state.q is not None else None)
-        t_np = np.asarray(jax.device_get(state.type))
-        tag_np = np.asarray(jax.device_get(state.tag))
         nloc = np.zeros(nd, dtype=np.int32)
         for d in range(nd):
             sel = np.flatnonzero(owner == d)
@@ -174,7 +194,7 @@ class ShardedMD:
         # -> v1 uses all-pairs within the extended set when cells would
         # alias; cell-mode sharded binning arrives with the 3D grid
         est = 4.0 / 3.0 * np.pi * cutneigh**3 * dens
-        K = int(np.ceil(est * 1.4 / 8) * 8)
+        K = int(np.ceil(est * self.k_mult / 8) * 8)
         self.nparams = nbr.NeighborParams(
             cutneigh=cutneigh, skin=self.skin, every=1, delay=0, check=False,
             K=min(K, capS + 2 * self.G),
@@ -428,6 +448,10 @@ class ShardedMD:
             carry = rebuild(carry)
             carry = force_eval(carry)  # initial forces (Verlet::setup)
             carry, _ = jax.lax.scan(cycle, carry, None, length=self._ncycles)
+            # remainder steps on the current list (run(nsteps) advances
+            # EXACTLY nsteps; a trailing partial cycle skips the rebuild)
+            carry, _ = jax.lax.scan(inner_step, carry, None,
+                                    length=self._tail)
             (x, v, f, typ, tag, q, msk, n, *_, overflow) = carry
 
             return (x[None], v[None], f[None], typ[None], tag[None],
@@ -437,10 +461,11 @@ class ShardedMD:
         self._shard_body = shard_body
         self._runner_cache = {}
 
-    def _get_runner(self, ncycles: int):
-        fn = self._runner_cache.get(ncycles)
+    def _get_runner(self, ncycles: int, tail: int):
+        fn = self._runner_cache.get((ncycles, tail))
         if fn is None:
             self._ncycles = ncycles
+            self._tail = tail
             specs = P("x")
             body = jax.shard_map(
                 self._shard_body,
@@ -450,42 +475,70 @@ class ShardedMD:
                 check_vma=False,
             )
             fn = jax.jit(body)
-            self._runner_cache[ncycles] = fn
+            self._runner_cache[(ncycles, tail)] = fn
         return fn
 
-    def run(self, nsteps: int):
-        """Advance nsteps (rounded down to whole rebuild cycles)."""
-        ncycles = max(1, nsteps // self.rebuild_every)
-        runner = self._get_runner(ncycles)
-        out = runner(self.xs, self.vs, self.fs, self.ts, self.tg,
-                     self.qs if self.qs is not None else
-                     jnp.zeros((self.ndev, self.capS), dtype=self.xs.dtype),
-                     self.ms, self.nloc)
-        (self.xs, self.vs, self.fs, self.ts, self.tg, qs, self.ms,
-         self.nloc, overflow) = out
-        if self.qs is not None:
-            self.qs = qs
-        if bool(np.any(jax.device_get(overflow))):
-            raise RuntimeError(
-                "sharded capacity overflow (migrants/ghosts/neighbors): "
-                "increase caps"
-            )
-        return ncycles * self.rebuild_every
+    def run(self, nsteps: int, max_grows: int = 6):
+        """Advance exactly nsteps. Capacity overflows (migrants / ghosts /
+        neighbor width) trigger the grow-and-retry loop from the pre-run
+        snapshot — the sharded analog of the Kokkos resize idiom
+        (ref: src/KOKKOS/npair_kokkos.cpp:225-330)."""
+        if nsteps <= 0:
+            return 0
+        ncycles, tail = divmod(nsteps, self.rebuild_every)
+        for _ in range(max_grows + 1):
+            runner = self._get_runner(ncycles, tail)
+            out = runner(self.xs, self.vs, self.fs, self.ts, self.tg,
+                         self.qs if self.qs is not None else
+                         jnp.zeros((self.ndev, self.capS),
+                                   dtype=self.xs.dtype),
+                         self.ms, self.nloc)
+            overflow = bool(np.any(jax.device_get(out[8])))
+            if not overflow:
+                (self.xs, self.vs, self.fs, self.ts, self.tg, qs, self.ms,
+                 self.nloc, _) = out
+                if self.qs is not None:
+                    self.qs = qs
+                return nsteps
+            self._grow()
+        raise RuntimeError("sharded capacity growth did not converge")
+
+    def _grow(self, factor: float = 1.3):
+        """Grow every fixed capacity and redistribute the (pre-run) owned
+        atoms; compiled runners are shape-specialized so the cache drops."""
+        full = self._gather_arrays()
+        self.cap_mult *= factor
+        self.ghost_cap_mult *= factor
+        self.k_mult *= factor
+        self.mig_cap = int(np.ceil(self.mig_cap * factor / 8) * 8)
+        self._distribute_arrays(full["x"], full["v"], full["type"],
+                                full["tag"], full["q"],
+                                self.cap_mult, self.ghost_cap_mult)
+        self._runner_cache.clear()
+        self._build_runner()
 
     # -- gather / observables --------------------------------------------------
+
+    def _gather_arrays(self) -> dict:
+        """Full owned-atom payload on the host, file order (unsorted)."""
+        ms = np.asarray(jax.device_get(self.ms))
+        sel = ms != 0
+        return {
+            "x": np.asarray(jax.device_get(self.xs))[sel],
+            "v": np.asarray(jax.device_get(self.vs))[sel],
+            "type": np.asarray(jax.device_get(self.ts))[sel],
+            "tag": np.asarray(jax.device_get(self.tg))[sel],
+            "q": (np.asarray(jax.device_get(self.qs))[sel]
+                  if self.qs is not None else None),
+        }
 
     def gather(self) -> dict:
         """Collect owned atoms to the host, tag-sorted (the analog of
         lammps_gather_atoms, ref: src/library.cpp:2477)."""
-        xs = np.asarray(jax.device_get(self.xs))
-        vs = np.asarray(jax.device_get(self.vs))
-        tg = np.asarray(jax.device_get(self.tg))
-        ms = np.asarray(jax.device_get(self.ms))
-        sel = ms != 0
-        tags = tg[sel]
-        order = np.argsort(tags)
+        full = self._gather_arrays()
+        order = np.argsort(full["tag"])
         return {
-            "tag": tags[order],
-            "x": xs[sel][order],
-            "v": vs[sel][order],
+            "tag": full["tag"][order],
+            "x": full["x"][order],
+            "v": full["v"][order],
         }

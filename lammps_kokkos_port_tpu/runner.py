@@ -62,8 +62,16 @@ class Simulation:
         self.extra_dof = extra_dof
         if integrator is None:
             integrator = Integrator(dt=self.dt, units=self.units)
-        self.integrator = integrator
         self.fixes = tuple(fixes)
+        # constraints remove DOF from the thermostat's temperature
+        # (ref: Compute::adjust_dof_fix; fix_nh holds a temperature compute)
+        fdof = self.fix_dof()
+        if (fdof and hasattr(integrator, "extra_dof")
+                and integrator.extra_dof is None):
+            integrator = dataclasses.replace(
+                integrator, extra_dof=state.dimension + fdof
+            )
+        self.integrator = integrator
 
         self.nl: nbr.NeighborList | None = None
         self.ntimestep = 0
@@ -270,6 +278,17 @@ class Simulation:
 
     # -- observables --------------------------------------------------------
 
+    def fix_dof(self) -> int:
+        """DOF removed by constraints (ref: Compute::adjust_dof_fix sums
+        fix->dof() over fixes; FixShake removes one per constraint)."""
+        return sum(int(getattr(fx, "n_constraints", 0) or 0)
+                   for fx in self.fixes)
+
+    def total_extra_dof(self) -> int:
+        base = (self.extra_dof if self.extra_dof is not None
+                else self.state.dimension)
+        return base + self.fix_dof()
+
     def thermo(self) -> dict:
         """Current thermo keywords (ref: src/thermo.cpp:815-905 subset)."""
         u = self.units
@@ -279,9 +298,10 @@ class Simulation:
             epair = jnp.zeros((), st.dtype)
         if emol is None:
             emol = jnp.zeros((), st.dtype)
-        t = thermo_mod.temperature(st, u, self.extra_dof)
+        extra = self.total_extra_dof()
+        t = thermo_mod.temperature(st, u, extra)
         ke = thermo_mod.kinetic_energy(st, u)
-        press = thermo_mod.pressure(st, virial, u, t, self.extra_dof)
+        press = thermo_mod.pressure(st, virial, u, t, extra)
         n = jax.device_get(st.nlocal)
         norm = u.norm_default
         ep_v, em_v, ke_v, t_v, p_v = jax.device_get((epair, emol, ke, t, press))

@@ -647,6 +647,12 @@ class LammpsScript:
         kspace = None
         g_ewald = float(self.kspace_modify.get("gewald", 0.0))
 
+        # a barostat rescales the box every half-step: the kspace solver
+        # must re-derive G(k)/u(k) from the live box inside the step
+        # (ref: FixNH::initial_integrate -> kspace->setup(),
+        # src/fix_nh.cpp:874-876)
+        dynamic_box = any(f.style in ("npt", "nph") for f in self.fixes)
+
         if self.kspace_words:
             kname = self.kspace_words[0]
             accuracy = float(self.kspace_words[1])
@@ -660,13 +666,15 @@ class LammpsScript:
 
                 kspace = PPPM.create(self.box, g_ewald,
                                      accuracy_rel=accuracy,
-                                     dtype=jnp.float64)
+                                     dtype=jnp.float64,
+                                     dynamic=dynamic_box)
             elif kname == "ewald":
                 from .models.ewald import Ewald
 
                 kspace = Ewald.create(self.box, g_ewald,
                                       accuracy_rel=accuracy,
-                                      dtype=jnp.float64)
+                                      dtype=jnp.float64,
+                                      dynamic=dynamic_box)
             else:
                 raise ScriptError(f"kspace style {kname} unsupported")
 
@@ -782,8 +790,8 @@ class LammpsScript:
                                              self.angle_coeffs, dtype=dt)
         if self.dihedral_style_name == "charmm":
             dihedral = bonded.make_dihedral_charmm(
-                self.ndihedraltypes,
-                {t: c[:3] for t, c in self.dihedral_coeffs.items()}, dtype=dt)
+                self.ndihedraltypes, self.dihedral_coeffs, dtype=dt,
+                pair=pair, qqr2e=get_units(self.units_name).qqr2e)
         elif self.dihedral_style_name == "harmonic":
             conv = {t: (c[0], c[2], c[1])
                     for t, c in self.dihedral_coeffs.items()}

@@ -25,6 +25,7 @@ from lammps_kokkos_port_tpu.models.forcefield import ForceField
 from lammps_kokkos_port_tpu.models.pair_charmm import (
     PairCoul,
     PairZero,
+    make_lj_charmm_coul_charmm,
     make_lj_charmm_coul_long,
     make_lj_cut_coul,
 )
@@ -81,7 +82,8 @@ def _post_command_opts(fix: dict) -> dict:
     return opts
 
 
-def build_fourmol(data_file: str = "data.fourmol", dtype=jnp.float64):
+def build_fourmol(data_file: str = "data.fourmol", dtype=jnp.float64,
+                  special_weights=FOURMOL_SPECIAL, special_mode="mask"):
     """State + topology + special bonds for the 29-atom fixture system."""
     df = read_data(f"{TESTS_DIR}/{data_file}", atom_style="full")
     box = Box.create([df.xlo, df.ylo, df.zlo], [df.xhi, df.yhi, df.zhi],
@@ -110,8 +112,8 @@ def build_fourmol(data_file: str = "data.fourmol", dtype=jnp.float64):
     bonds_ij = (df.bonds[:, 1:] - 1) if df.bonds is not None else np.zeros((0, 2), int)
     special = build_special(
         df.natoms, cap, bonds_ij,
-        weights_lj=FOURMOL_SPECIAL, weights_coul=FOURMOL_SPECIAL,
-        mode="mask",
+        weights_lj=special_weights, weights_coul=special_weights,
+        mode=special_mode,
     )
     return df, state, top, special
 
@@ -149,8 +151,12 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64):
             mix=opts["mix"] or "arithmetic", dtype=dtype,
         )
     if name == "lj/charmm/coul/charmm":
-        # coulomb switching not yet implemented; cut mode approximation
-        raise NotImplementedError(name)
+        return make_lj_charmm_coul_charmm(
+            ntypes, coeffs, cut_lj_inner=args[0], cut_lj=args[1],
+            cut_coul_inner=args[2] if len(args) > 2 else None,
+            cut_coul=args[3] if len(args) > 3 else None,
+            mix=opts["mix"] or "arithmetic", dtype=dtype,
+        )
     if name == "lj/cut/coul/long":
         cut_coul = args[1] if len(args) > 1 else args[0]
         return make_lj_cut_coul(
@@ -282,10 +288,70 @@ def run_bonded_fixture(kind: str, name: str, dtype=jnp.float64):
     else:
         out = bonded.compute_dihedrals(style, state, top, True, True,
                                        which="impropers")
-    f, e, virial = out
+    f, e, virial = out[0], out[1], out[2]
     n = df.natoms
     got = dict(forces=np.asarray(f)[:n], energy=float(e),
                stress=np.asarray(virial))
+    want = dict(
+        forces=parse_forces(fix["init_forces"], n),
+        energy=float(fix["init_energy"]),
+        stress=parse_stress(fix["init_stress"]),
+    )
+    return got, want
+
+
+def run_dihedral_charmm_14_fixture(name: str = "dihedral-charmm.yaml",
+                                   dtype=jnp.float64):
+    """dihedral charmm with NONZERO 1-4 weights: the fixture's post_commands
+    activate `special_bonds charmm` + `pair_style lj/charmm/coul/charmm`,
+    and its init_forces are the TOTAL forces (pair + torsion + weighted 1-4
+    term), while init_energy/init_stress are the torsion's own
+    (ref: test_dihedral_style.cpp:276-291 — f is atom->f, energy is
+    dihedral->energy; the 1-4 part tallies into the pair accumulators,
+    dihedral_charmm.cpp:281)."""
+    from lammps_kokkos_port_tpu.utils.units import get_units
+
+    fix = load_fixture(name)
+    # post_commands: special_bonds charmm -> all weights zero, so excluded
+    # pairs leave the list entirely (plain-coulomb style, no kspace)
+    pair_words = pair_coeff_rows = None
+    for ln in (fix.get("post_commands") or "").splitlines():
+        t = ln.split()
+        if not t:
+            continue
+        if t[0] == "pair_style":
+            pair_words = t[1:]
+        elif t[0] == "pair_coeff":
+            pair_coeff_rows = " ".join(t[1:])
+    assert pair_words and pair_words[0] == "lj/charmm/coul/charmm"
+
+    df, state, top, special = build_fourmol(
+        dtype=dtype, special_weights=(0.0, 0.0, 0.0), special_mode="exclude",
+    )
+    pair_fix = {"pair_style": " ".join(pair_words),
+                "pair_coeff": pair_coeff_rows, "post_commands": ""}
+    pair = build_pair_style(pair_fix, df.natomtypes, dtype=dtype)
+
+    rows = parse_rows(fix.get("dihedral_coeff", ""))
+    coeffs = {int(r[0]): tuple(float(x) for x in r[1:]) for r in rows}
+    style = bonded.make_dihedral_charmm(
+        df.ndihedraltypes, coeffs, dtype=dtype, pair=pair,
+        qqr2e=get_units("real").qqr2e,
+    )
+
+    p = nbr.size_for_system(state, cutneigh=pair.max_cutoff() + 2.0, skin=2.0)
+    nl = nbr.build(state, p, special=special)
+    while bool(nl.overflow):
+        p = nbr.grow(p)
+        nl = nbr.build(state, p, special=special)
+
+    fp, _, _ = pair.compute(state, nl, False, False)
+    fd, e_torsion, v_torsion, _ = bonded.compute_dihedrals(
+        style, state, top, True, True, which="dihedrals"
+    )
+    n = df.natoms
+    got = dict(forces=np.asarray(fp + fd)[:n], energy=float(e_torsion),
+               stress=np.asarray(v_torsion))
     want = dict(
         forces=parse_forces(fix["init_forces"], n),
         energy=float(fix["init_energy"]),

@@ -65,6 +65,17 @@ def test_bonded_fixture(kind, name):
     check(got, want)
 
 
+def test_dihedral_charmm_14_weights():
+    """Nonzero 1-4 weights: total forces (pair lj/charmm/coul/charmm +
+    torsion + weighted 1-4 LJ/coul) vs the reference golden
+    (dihedral-charmm.yaml; ref: dihedral_charmm.cpp:245-281)."""
+    from fixture_harness import run_dihedral_charmm_14_fixture
+
+    got, want = run_dihedral_charmm_14_fixture()
+    assert got["energy"] == pytest.approx(want["energy"], rel=1e-10)
+    check(got, want)
+
+
 MANYBODY_FIXTURES = [
     "manybody-pair-tersoff.yaml",
     "manybody-pair-sw.yaml",

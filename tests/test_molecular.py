@@ -91,7 +91,7 @@ class TestBondedStyles:
         st = create_state(x, box, dtype=jnp.float64)
         style = bonded.make_dihedral_charmm(1, {1: (2.0, 2.0, 180.0)})
         top = pad_topology(st.capacity, dihedrals=np.array([[1, 0, 1, 2, 3]]))
-        f, e, v = bonded.compute_dihedrals(style, st, top, True, True)
+        f, e, v, _ = bonded.compute_dihedrals(style, st, top, True, True)
         # E = K(1+cos(n*180 - 180)) = K(1+cos(180)) = 0
         assert float(e) == pytest.approx(2.0 * (1 + np.cos(2 * np.pi - np.pi)),
                                          abs=1e-9)
@@ -106,15 +106,15 @@ class TestBondedStyles:
         st = create_state(x, box, dtype=jnp.float64)
         style = bonded.make_improper_harmonic(1, {1: (10.0, 0.0)})
         top = pad_topology(st.capacity, impropers=np.array([[1, 0, 1, 2, 3]]))
-        f, e, v = bonded.compute_dihedrals(style, st, top, True, True,
-                                           which="impropers")
+        f, e, v, _ = bonded.compute_dihedrals(style, st, top, True, True,
+                                              which="impropers")
         assert float(e) == pytest.approx(0.0, abs=1e-6)
         # out-of-plane displacement costs energy
         x2 = x.copy()
         x2[3, 2] = 0.5
         st2 = create_state(x2, box, dtype=jnp.float64)
-        f2, e2, v2 = bonded.compute_dihedrals(style, st2, top, True, True,
-                                              which="impropers")
+        f2, e2, v2, _ = bonded.compute_dihedrals(style, st2, top, True, True,
+                                                 which="impropers")
         assert float(e2) > 0.1
 
 

@@ -32,7 +32,8 @@ DIHEDRAL_COEFFS = {1: (0.5, 2, 180.0), 2: (0.1, 3, 0.0), 3: (0.2, 1, 0.0),
 IMPROPER_COEFFS = {1: (10.0, 0.0), 2: (12.0, 0.0)}
 
 
-def build_rhodo_class(kspace="pppm", dtype=jnp.float64, g_ewald=0.25):
+def build_rhodo_class(kspace="pppm", dtype=jnp.float64, g_ewald=0.25,
+                      dynamic=False):
     df, state, top, special = build_fourmol(dtype=dtype)
     pair = make_lj_charmm_coul_long(
         df.natomtypes, PAIR_COEFFS, cut_lj_inner=6.0, cut_lj=7.0,
@@ -40,9 +41,10 @@ def build_rhodo_class(kspace="pppm", dtype=jnp.float64, g_ewald=0.25):
     )
     if kspace == "pppm":
         ks = PPPM.create(state.box, g_ewald, grid=(15, 15, 15), order=5,
-                         dtype=dtype)
+                         dtype=dtype, dynamic=dynamic)
     elif kspace == "ewald":
-        ks = Ewald.create(state.box, g_ewald, accuracy_rel=1e-7, dtype=dtype)
+        ks = Ewald.create(state.box, g_ewald, accuracy_rel=1e-7, dtype=dtype,
+                          dynamic=dynamic)
     else:
         ks = None
     ff = ForceField(
@@ -85,7 +87,7 @@ class TestRhodoClass:
         thermo stays finite."""
         from lammps_kokkos_port_tpu.integrate.nh import FixNPT
 
-        _, state, ff = build_rhodo_class("pppm")
+        _, state, ff = build_rhodo_class("pppm", dynamic=True)
         npt = FixNPT(
             dt=0.5, units=UNITS, t_start=200.0, t_stop=200.0, t_period=50.0,
             p_start=(0.0,) * 3, p_stop=(0.0,) * 3, p_period=(500.0,) * 3,
@@ -99,6 +101,96 @@ class TestRhodoClass:
         assert all(np.isfinite(r["press"]) for r in rows)
         v1 = float(sim.state.box.volume)
         assert v1 != v0  # barostat moved the cell
+
+    def test_pppm_influence_matches_create(self):
+        """The traced influence(box) must reproduce the create()-time numpy
+        G(k) exactly (same aliasing sums, same box)."""
+        _, state, ff = build_rhodo_class("pppm", dynamic=True)
+        gf_traced = np.asarray(jax.jit(ff.kspace.influence)(state.box))
+        np.testing.assert_allclose(
+            gf_traced, np.asarray(ff.kspace.gf), rtol=1e-12, atol=1e-18
+        )
+
+    def test_dynamic_kspace_tracks_box_change(self):
+        """After a box rescale (what NPT does each half-step), a dynamic
+        PPPM/Ewald must match a solver freshly created at the NEW box
+        (ref: fix_nh.cpp:874-876 kspace->setup() after remap)."""
+        import dataclasses
+
+        for kname in ("pppm", "ewald"):
+            _, state, ff = build_rhodo_class(kname, dynamic=True)
+            ks_dyn = ff.kspace
+            scale = 0.95
+            box = state.box
+            center = 0.5 * (box.lo + box.hi)
+            new_box = dataclasses.replace(
+                box, lo=(box.lo - center) * scale + center,
+                hi=(box.hi - center) * scale + center,
+            )
+            x_new = new_box.to_box(box.to_lamda(state.x))
+            shrunk = state.replace(x=x_new, box=new_box)
+
+            if kname == "pppm":
+                ks_new = PPPM.create(new_box, ks_dyn.g_ewald,
+                                     grid=ks_dyn.ngrid, order=ks_dyn.order,
+                                     dtype=jnp.float64)
+            else:
+                ks_new = Ewald.create(new_box, ks_dyn.g_ewald,
+                                      accuracy_rel=1e-7, dtype=jnp.float64)
+
+            f_dyn, e_dyn, v_dyn = ks_dyn.compute(shrunk, True, True)
+            f_new, e_new, v_new = ks_new.compute(shrunk, True, True)
+            n = int(state.nlocal)
+            fscale = np.abs(np.asarray(f_new)[:n]).max()
+            # Ewald re-selects its mode set at create(); the 5% rescale
+            # admits a few extra shell modes -> small tail difference
+            tol = 1e-10 if kname == "pppm" else 2e-5
+            np.testing.assert_allclose(
+                np.asarray(f_dyn)[:n], np.asarray(f_new)[:n],
+                atol=tol * fscale,
+            )
+            assert float(e_dyn) == pytest.approx(float(e_new), rel=1e-4), kname
+
+    def test_npt_pppm_conserved_quantity(self):
+        """NH invariant (etotal + thermostat + barostat energy) under
+        NPT+PPPM with a strong compression: the dynamic (box-coupled)
+        influence function must conserve it far better than a frozen-box
+        gf — the regression for fix_nh.cpp:874-876 kspace->setup()."""
+        from lammps_kokkos_port_tpu.integrate.nh import FixNPT
+
+        drifts = {}
+        vols = {}
+        for dyn in (True, False):
+            _, state, ff = build_rhodo_class("pppm", g_ewald=0.35,
+                                             dynamic=dyn)
+            npt = FixNPT(
+                dt=0.05, units=UNITS, t_start=150.0, t_stop=150.0,
+                t_period=20.0, p_start=(8000.0,) * 3, p_stop=(8000.0,) * 3,
+                p_period=(100.0,) * 3,
+            )
+            sim = Simulation(state, ff, dt=0.05, skin=2.0, integrator=npt,
+                             neigh_every=1, neigh_check=False)
+            sim.setup()
+
+            def invariant():
+                row = sim.thermo()
+                e_nh = float(jax.device_get(
+                    npt.thermostat_energy(sim.state)
+                    + npt.barostat_energy(sim.state)))
+                # real units: etotal is extensive (norm_default off)
+                return row["etotal"] + e_nh
+
+            e0 = invariant()
+            sim.run(480)
+            drifts[dyn] = abs(invariant() - e0)
+            vols[dyn] = float(sim.state.box.volume)
+
+        v0 = float(jax.device_get(state.box.volume))
+        assert abs(vols[True] - v0) / v0 > 0.1, "box never compressed"
+        # ~28% compression: the stale gf leaks energy (measured ~2.6
+        # kcal/mol); the box-coupled one conserves to integration error
+        assert drifts[True] < 0.5, drifts
+        assert drifts[True] < 0.25 * drifts[False], drifts
 
     def test_nve_energy_conservation_full_stack(self):
         """NVE with every-step rebuilds: the complete molecular+PPPM stack
