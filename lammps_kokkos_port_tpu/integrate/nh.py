@@ -356,6 +356,8 @@ class FixNPT(FixNVT):
 
     def _nhc_press_integrate(self, state: State) -> State:
         """Barostat-thermostat chain (ref: FixNH::nhc_press_integrate)."""
+        if self.mpchain == 0:
+            return state  # pchain 0: undamped barostat (ref: mpchain check)
         boltz = self.units.boltz
         dt4 = 0.5 * self.dt / 2.0
         dt8 = dt4 / 2.0
@@ -471,9 +473,13 @@ class FixNPT(FixNVT):
         lkt_press = kt if self.pcouple == "iso" else self.pdim * kt
         em = kt / (self.p_freq_max * self.p_freq_max)
 
-        e = lkt_press * nh["etap"][0] + 0.5 * em * nh["etap_dot"][0] ** 2
-        for ich in range(1, self.mpchain):
-            e = e + kt * nh["etap"][ich] + 0.5 * em * nh["etap_dot"][ich] ** 2
+        if self.mpchain:
+            e = lkt_press * nh["etap"][0] + 0.5 * em * nh["etap_dot"][0] ** 2
+            for ich in range(1, self.mpchain):
+                e = (e + kt * nh["etap"][ich]
+                     + 0.5 * em * nh["etap_dot"][ich] ** 2)
+        else:
+            e = jnp.zeros((), state.dtype)
 
         nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
         pfreq = jnp.asarray(self.p_freq, state.dtype)

@@ -77,6 +77,23 @@ def _strip(line: str) -> str:
     return line.strip()
 
 
+def _scan_coeff_sections(df: "DataFile", path: str) -> None:
+    """Collect raw `* Coeffs` section rows (the native parser handles the
+    big per-atom payloads; coeff sections are tiny and style-specific)."""
+    cur = None
+    with open(path) as f:
+        next(f, None)  # title
+        for line in f:
+            s = _strip(line)
+            if not s:
+                continue
+            if s in _SECTIONS:
+                cur = s if s.endswith("Coeffs") else None
+                continue
+            if cur is not None:
+                df.coeffs.setdefault(cur, []).append(s.split())
+
+
 def read_data(path: str, atom_style: str = "full",
               use_native: bool = True) -> DataFile:
     if use_native:
@@ -84,6 +101,7 @@ def read_data(path: str, atom_style: str = "full",
 
         df = read_data_native(path, atom_style)
         if df is not None:
+            _scan_coeff_sections(df, path)
             return df
     with open(path) as f:
         lines = f.read().splitlines()

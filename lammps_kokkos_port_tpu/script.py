@@ -320,6 +320,15 @@ class LammpsScript:
                 len(x), m_per_atom, t_target, seed, units, dist=dist,
                 dimension=self.dimension,
             )
+        if group != "all":
+            # only group members get (re)initialized (ref: velocity.cpp
+            # checks mask[i] & groupbit per atom)
+            n = len(x)
+            mask = self._resolve_group_masks(x, types, n, n)
+            sel = (mask[:n] & self.groups[group]) != 0
+            prev = (self.velocities if self.velocities is not None
+                    else np.zeros_like(v))
+            v = np.where(sel[:, None], v, prev)
         self.velocities = v
 
     def _mass_table(self) -> np.ndarray:
@@ -440,6 +449,75 @@ class LammpsScript:
             self.groups[name] = bit
         self._group_defs[name] = (style, a[2:])
 
+    # -- group selection (ref: src/group.cpp region/type/id/molecule
+    # selectors; membership = bits in the per-atom mask, src/group.h:28) ---
+
+    @staticmethod
+    def _parse_index_list(args: list[str], values: np.ndarray) -> np.ndarray:
+        """LAMMPS-style value selectors: `2 3`, `1:5`, `<= 4`, `<> lo hi`."""
+        sel = np.zeros(values.shape[0], dtype=bool)
+        i = 0
+        while i < len(args):
+            w = args[i]
+            if w in ("<", "<=", ">", ">=", "=="):
+                v = int(args[i + 1])
+                op = {"<": np.less, "<=": np.less_equal, ">": np.greater,
+                      ">=": np.greater_equal, "==": np.equal}[w]
+                sel |= op(values, v)
+                i += 2
+            elif w == "<>":
+                sel |= (values >= int(args[i + 1])) & (values <= int(args[i + 2]))
+                i += 3
+            elif ":" in w:
+                parts = w.split(":")
+                lo, hi = int(parts[0]), int(parts[1])
+                stride = int(parts[2]) if len(parts) > 2 else 1
+                sel |= np.isin(values, np.arange(lo, hi + 1, stride))
+                i += 1
+            else:
+                sel |= values == int(w)
+                i += 1
+        return sel
+
+    def _resolve_group_masks(self, x: np.ndarray, types: np.ndarray,
+                             n: int, cap: int) -> np.ndarray:
+        """Per-atom group bitmask: bit 0 = all, one bit per named group."""
+        mask = np.zeros(cap, dtype=np.int32)
+        mask[:n] = 1
+        sels: dict[str, np.ndarray] = {"all": np.ones(n, dtype=bool)}
+        for name, (style, args) in self._group_defs.items():
+            if style == "type":
+                sel = self._parse_index_list(args, types[:n])
+            elif style == "id":
+                sel = self._parse_index_list(args, np.arange(1, n + 1))
+            elif style == "molecule":
+                mol = (np.asarray(self.molecules, dtype=np.int64)[:n]
+                       if self.molecules else np.zeros(n, dtype=np.int64))
+                sel = self._parse_index_list(args, mol)
+            elif style == "region":
+                _, b = self.regions[args[0]]
+                sp = self.lattice.spacing if self.lattice else np.ones(3)
+                lo = np.array([b[0], b[2], b[4]]) * sp
+                hi = np.array([b[1], b[3], b[5]]) * sp
+                sel = np.all((x[:n] >= lo) & (x[:n] <= hi), axis=1)
+            elif style == "union":
+                sel = np.zeros(n, dtype=bool)
+                for g in args:
+                    sel |= sels[g]
+            elif style == "intersect":
+                sel = np.ones(n, dtype=bool)
+                for g in args:
+                    sel &= sels[g]
+            elif style == "subtract":
+                sel = sels[args[0]].copy()
+                for g in args[1:]:
+                    sel &= ~sels[g]
+            else:
+                raise ScriptError(f"group style {style} unsupported")
+            sels[name] = sel
+            mask[:n] |= np.where(sel, self.groups[name], 0).astype(np.int32)
+        return mask
+
     def cmd_fix(self, a):
         self.fixes.append(PendingFix(fid=a[0], group=a[1], style=a[2],
                                      args=a[3:]))
@@ -501,6 +579,20 @@ class LammpsScript:
             bonds=df.bonds, angles=df.angles, dihedrals=df.dihedrals,
             impropers=df.impropers,
         )
+        # coeff sections from the data file (ref: read_data.cpp dispatches
+        # them to each style's coeff(); later *_coeff commands override)
+        for row in df.coeffs.get("Pair Coeffs", []):
+            self.pair_coeffs.append([row[0], row[0]] + list(row[1:]))
+        for row in df.coeffs.get("PairIJ Coeffs", []):
+            self.pair_coeffs.append(list(row))
+        for sec, store, nt in (
+            ("Bond Coeffs", self.bond_coeffs, self.nbondtypes),
+            ("Angle Coeffs", self.angle_coeffs, self.nangletypes),
+            ("Dihedral Coeffs", self.dihedral_coeffs, self.ndihedraltypes),
+            ("Improper Coeffs", self.improper_coeffs, self.nimpropertypes),
+        ):
+            for row in df.coeffs.get(sec, []):
+                self._coeff(store, list(row), nt)
 
     def cmd_replicate(self, a):
         nx, ny, nz = int(a[0]), int(a[1]), int(a[2])
@@ -616,8 +708,19 @@ class LammpsScript:
         )
         cap = state.capacity
 
+        if self._group_defs:
+            state = state.replace(mask=jnp.asarray(
+                self._resolve_group_masks(x, types, n, cap)))
+
+        # fix shake pre-pass: build constraints AND remove constrained
+        # bonds/angles from the force topology (ref: fix_shake.cpp:2775,2832
+        # — constrained types are negated so ntopo skips them)
+        shake_fix = self._build_shake(types, cap)
+
         ff = self._build_forcefield(state, cap, n)
         integ, fixes = self._build_fixes()
+        if shake_fix is not None:
+            fixes = fixes + (shake_fix,)
 
         units = get_units(self.units_name)
         sim = Simulation(
@@ -859,6 +962,95 @@ class LammpsScript:
                 pass
         return 10.0
 
+    def _build_shake(self, types: np.ndarray, cap: int):
+        """Materialize `fix ... shake tol iter N [b types] [a types]
+        [t types] [m masses]` (ref: src/RIGID/fix_shake.cpp:114-162 arg
+        parse; :925-965 eligibility — bond type in b, either atom type in
+        t, or either atom mass within 0.1 of an m value). Constrained
+        bonds/angles are zeroed out of the force topology like the
+        reference's type negation (fix_shake.cpp:2775,2832)."""
+        spec = next((f for f in self.fixes if f.style == "shake"), None)
+        if spec is None:
+            return None
+        raw = self.topology_raw
+        if raw.get("bonds") is None:
+            raise ScriptError("fix shake requires bond topology")
+
+        btypes, atypes, ttypes, mlist = [], [], [], []
+        args = spec.args
+        i = 3  # tol, maxiter, output-every
+        cur = None
+        while i < len(args):
+            w = args[i]
+            if w in ("b", "a", "t", "m"):
+                cur = w
+            elif w in ("mol", "kbond"):
+                raise ScriptError(f"fix shake keyword {w} unsupported")
+            else:
+                {"b": btypes, "a": atypes, "t": ttypes,
+                 "m": mlist}[cur].append(float(w))
+            i += 1
+        btypes = [int(v) for v in btypes]
+        atypes = [int(v) for v in atypes]
+        ttypes = [int(v) for v in ttypes]
+
+        masses = self._mass_table()
+        bonds = np.asarray(raw["bonds"])  # [nb, 3] (type, tag_i, tag_j)
+        bl = bonds.copy()
+        bl[:, 1:] -= 1  # local indices
+        ti = types[bl[:, 1]]
+        tj = types[bl[:, 2]]
+        MASSDELTA = 0.1  # ref: fix_shake.cpp:45
+        msel = np.zeros(len(bl), dtype=bool)
+        for m in mlist:
+            msel |= np.abs(masses[ti] - m) <= MASSDELTA
+            msel |= np.abs(masses[tj] - m) <= MASSDELTA
+        sel = (np.isin(bl[:, 0], btypes) | np.isin(ti, ttypes)
+               | np.isin(tj, ttypes) | msel)
+        sel_bonds = bl[sel]
+
+        bond_r0 = {}
+        for t in np.unique(sel_bonds[:, 0]):
+            c = self.bond_coeffs.get(int(t))
+            if c is None:
+                raise ScriptError(f"fix shake: no bond coeff for type {t}")
+            bond_r0[int(t)] = float(c[1])  # harmonic (K, r0)
+
+        sel_angles = np.zeros((0, 4), dtype=bl.dtype)
+        angle_theta0 = {}
+        asel = None
+        if atypes and raw.get("angles") is not None:
+            al = np.asarray(raw["angles"]).copy()
+            al[:, 1:] -= 1
+            asel = np.isin(al[:, 0], atypes)
+            sel_angles = al[asel]
+            for t in atypes:
+                c = self.angle_coeffs.get(int(t))
+                if c is None:
+                    raise ScriptError(f"fix shake: no angle coeff {t}")
+                angle_theta0[int(t)] = float(c[1]) * np.pi / 180.0
+
+        from .integrate.shake import make_shake
+
+        fix = make_shake(
+            cap, sel_bonds, [int(t) for t in np.unique(sel_bonds[:, 0])],
+            bond_r0, angles=sel_angles if len(sel_angles) else None,
+            angle_types=atypes, angle_theta0=angle_theta0,
+            dtype=jnp.float64 if self.dtype == jnp.float64 else self.dtype,
+        )
+
+        # remove constrained terms from the force topology (type -> 0 rows
+        # are masked by the bonded compute)
+        new_bonds = bonds.copy()
+        new_bonds[sel, 0] = 0
+        self.topology_raw = dict(self.topology_raw)
+        self.topology_raw["bonds"] = new_bonds
+        if asel is not None:
+            new_angles = np.asarray(raw["angles"]).copy()
+            new_angles[asel, 0] = 0
+            self.topology_raw["angles"] = new_angles
+        return fix
+
     def _build_fixes(self):
         from .integrate.fixes import (
             FixAddForce, FixEnforce2D, FixLangevin, FixMomentum, FixRecenter,
@@ -915,6 +1107,8 @@ class LammpsScript:
                         groupbit=gbit))
             elif f.style == "recenter":
                 fixes.append(FixRecenter(groupbit=gbit))
+            elif f.style == "shake":
+                pass  # materialized by _build_shake (needs topology)
             else:
                 raise ScriptError(f"fix style {f.style} unsupported")
         if integ is None:
@@ -922,7 +1116,11 @@ class LammpsScript:
         return integ, tuple(fixes)
 
     def _nh_kw(self, args: list[str]) -> dict:
+        """fix nvt/npt/nph keyword parse (ref: FixNH::FixNH arg loop,
+        src/fix_nh.cpp:96-330 — temp, iso/aniso, per-dim x/y/z couplings,
+        tchain/pchain, mtk, drag)."""
         kw = {}
+        dims = {"x": 0, "y": 1, "z": 2}
         i = 0
         while i < len(args):
             k = args[i]
@@ -939,10 +1137,28 @@ class LammpsScript:
                 kw["p_period"] = (pp,) * 3
                 kw["pcouple"] = "iso" if k == "iso" else "aniso"
                 i += 4
+            elif k in dims:
+                d = dims[k]
+                ps = list(kw.get("p_start", (0.0,) * 3))
+                pe = list(kw.get("p_stop", (0.0,) * 3))
+                pp = list(kw.get("p_period", (1.0,) * 3))
+                fl = list(kw.get("p_flag", (False,) * 3))
+                ps[d] = float(args[i + 1])
+                pe[d] = float(args[i + 2])
+                pp[d] = float(args[i + 3])
+                fl[d] = True
+                kw["p_start"] = tuple(ps)
+                kw["p_stop"] = tuple(pe)
+                kw["p_period"] = tuple(pp)
+                kw["p_flag"] = tuple(fl)
+                kw["pcouple"] = "aniso"  # per-dim = uncoupled (couple none)
+                i += 4
             elif k == "tchain":
                 kw["mtchain"] = int(args[i + 1]); i += 2
             elif k == "pchain":
                 kw["mpchain"] = int(args[i + 1]); i += 2
+            elif k == "mtk":
+                kw["mtk"] = args[i + 1] == "yes"; i += 2
             elif k == "drag":
                 kw["drag"] = float(args[i + 1]); i += 2
             else:

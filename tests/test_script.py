@@ -85,6 +85,95 @@ create_atoms    1 box
         assert [f.fid for f in s.fixes] == ["1"]
 
 
+class TestGroups:
+    def test_region_group_mask_bits(self):
+        deck = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 4 0 4 0 4
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+region          lhalf block 0 2 0 4 0 4
+group           left region lhalf
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+fix             1 all nve
+run             0
+"""
+        s = run_deck(deck)
+        st = s.sim.state
+        import jax
+
+        mask = np.asarray(jax.device_get(st.mask))
+        x = np.asarray(jax.device_get(st.x))
+        n = int(jax.device_get(st.nlocal))
+        bit = s.groups["left"]
+        inx = mask[:n] & bit != 0
+        lat = 1.6796 * 2  # fcc 0.8442 spacing * 2 cells
+        assert inx.sum() > 0 and inx.sum() < n
+        assert np.all(x[:n][inx][:, 0] <= lat + 1e-9)
+
+    def test_subgroup_thermostat_leaves_rest_untouched(self):
+        """fix nve on a sub-group: atoms outside the group must not move
+        (ref: group.h:28 mask & groupbit gating in every fix)."""
+        deck = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 4 0 4 0 4
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 3.0 87287 loop geom
+group           movers id <= 100
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+fix             1 movers nve
+run             10
+"""
+        s = run_deck(deck)
+        import jax
+
+        st = s.sim.state
+        x = np.asarray(jax.device_get(st.x))
+        n = int(jax.device_get(st.nlocal))
+        # non-members keep their lattice positions exactly
+        from lammps_kokkos_port_tpu.core.lattice import Lattice, create_atoms
+        lat = Lattice(style="fcc", scale=0.8442, units_name="lj")
+        x0, _ = create_atoms(lat, np.zeros(3), np.array([4, 4, 4]) * lat.spacing,
+                             type_id=1)
+        moved = np.abs(x[:n] - x0).max(axis=1) > 1e-12
+        assert moved[:100].any()
+        assert not moved[100:].any()
+
+    def test_velocity_group_create(self):
+        deck = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 4 0 4 0 4
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+group           hot id <= 50
+velocity        hot create 3.0 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+fix             1 all nve
+run             0
+"""
+        s = run_deck(deck)
+        import jax
+
+        v = np.asarray(jax.device_get(s.sim.state.v))
+        assert np.abs(v[:50]).max() > 0
+        assert np.abs(v[50:int(jax.device_get(s.sim.state.nlocal))]).max() == 0
+
+
 class TestRestartRoundtrip:
     def test_write_read(self, tmp_path):
         from lammps_kokkos_port_tpu.io.restart import read_restart, write_restart
