@@ -130,8 +130,10 @@ def make_step(
     vflag = integrator.needs_virial
 
     def list_ops(nl):
-        from ..ops import cellforce
+        from ..ops import cellforce, gridforce
 
+        if isinstance(nl, gridforce.GridCells):
+            return gridforce
         return cellforce if isinstance(nl, cellforce.CellListDense) else nbr
 
     def do_rebuild(state: State, nl):

@@ -50,11 +50,14 @@ class ForceField:
 
     def compute(self, state: State, nl, eflag: bool, vflag: bool):
         """Returns (f, epair, emol, virial6)."""
-        from ..ops import cellforce
+        from ..ops import cellforce, gridforce
 
-        if isinstance(nl, cellforce.CellListDense):
-            # cell-dense fast path: pair-only force fields (see ops/cellforce)
-            f, pe, vir = cellforce.compute(self.pair, state, nl, eflag, vflag)
+        if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells)):
+            # dense fast paths: pair-only force fields (see ops/cellforce,
+            # ops/gridforce)
+            ops = (gridforce if isinstance(nl, gridforce.GridCells)
+                   else cellforce)
+            f, pe, vir = ops.compute(self.pair, state, nl, eflag, vflag)
             z = jnp.zeros((), dtype=state.dtype)
             return (f, pe if eflag else None,
                     z if eflag else None, vir)

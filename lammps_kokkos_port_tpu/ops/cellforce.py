@@ -138,6 +138,18 @@ def compute(style, state: State, cl: CellListDense, eflag: bool, vflag: bool,
 
     Returns (f, pe, virial) like models.pair.compute.
     """
+    # force-only pass on TPU: take the fused Pallas kernel when the style
+    # scalarizes (ops/pallas_pair; interpret-mode on CPU exercises the same
+    # code in tests)
+    if not eflag and not vflag and not state.box.triclinic:
+        kk = getattr(style, "kernel_key", None)
+        key = kk() if kk is not None else None
+        if key is not None:
+            from . import pallas_pair
+
+            f = pallas_pair.compute_force(key, state, cl)
+            return f, None, None
+
     p = cl.params
     cap = state.capacity
     ntot = p.total_cells

@@ -1,0 +1,297 @@
+"""Pallas TPU kernel for the cell-dense pair force pass.
+
+The XLA cell-dense path (ops/cellforce.py) materializes the [cells, cc,
+27cc] displacement/force intermediates in HBM (~0.5 GB/step at 32k atoms),
+capping it at a fraction of VPU speed-of-light. This kernel performs the
+whole per-cell pair evaluation — displacement, minimum image, cutoff mask,
+pair closure, force reduction — inside VMEM with zero HBM intermediates
+(the Kokkos PairComputeFunctor analog, ref: src/KOKKOS/pair_kokkos.h:53-185,
+consuming the dense buckets of src/KOKKOS/nbin_kokkos.cpp).
+
+Layout: SoA blocks with the 27*cc candidate axis as TPU lanes
+([B, cc, 27cc] tiles as (8,128) for cc a multiple of 8) — own-block rows
+gather once per step outside the kernel; candidates arrive as one
+contiguous [ntot, 27cc] tensor.
+
+Validity encoding (no separate mask tensors):
+  - invalid atoms sit at BIG (1e8): any pair with one is beyond cutoff;
+  - self pairs / invalid-invalid pairs are killed by id equality
+    (invalid id = -1 on both sides);
+  - padded own rows have scatter id = cap, dropped by the final
+    `.at[].set(mode="drop")`.
+
+Styles opt in via `kernel_key()` returning a hashable scalar-coefficient
+tuple (single-type only today); box lengths are runtime SMEM scalars so
+NPT box changes stay correct. The kernel serves the force-only pass —
+energy/virial evaluations (output steps) take the XLA path, matching the
+reference's eflag specialization (SURVEY.md §A.7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BIG = 1.0e8
+
+
+def _terms_from_key(key, r2):
+    """fpair(r2) = F/r for the keyed style (scalar coeffs baked in)."""
+    kind = key[0]
+    if kind == "lj":
+        _, lj1, lj2, _ = key
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        return r6inv * (lj1 * r6inv - lj2) * r2inv
+    raise NotImplementedError(kind)
+
+
+def _pair_kernel(key, prd_ref,
+                 xox, xoy, xoz, io,
+                 cax, cay, caz, ic,
+                 fx, fy, fz):
+    """One block: own [B, cc] vs candidates [B, NJ]."""
+    cutsq = key[-1]
+
+    def axis(o, c, prd):
+        d = o[:, :, None] - c[:, None, :]  # [B, cc, NJ]
+        # minimum image (orthogonal box; candidates are <= 1 wrap away)
+        return d - prd * jnp.round(d * (1.0 / prd))
+
+    dx = axis(xox[...], cax[...], prd_ref[0])
+    dy = axis(xoy[...], cay[...], prd_ref[1])
+    dz = axis(xoz[...], caz[...], prd_ref[2])
+    r2 = dx * dx + dy * dy + dz * dz
+
+    icv = ic[...]
+    ids_eq = io[...][:, :, None] == icv[:, None, :]
+    # invalid candidates (id -1) must be masked by ID, not distance — the
+    # minimum image would wrap their BIG sentinel back into the box
+    valid = jnp.logical_and(
+        jnp.logical_and(jnp.logical_not(ids_eq), (icv >= 0)[:, None, :]),
+        r2 < cutsq,
+    )
+    r2s = jnp.where(valid, r2, 1.0)
+    fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+
+    fx[:, :] = jnp.sum(dx * fpair, axis=-1)
+    fy[:, :] = jnp.sum(dy * fpair, axis=-1)
+    fz[:, :] = jnp.sum(dz * fpair, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("key", "block"))
+def cell_force_pallas(key, xo, io, ca, ic, prd, block: int = 8):
+    """Dense per-cell force pass (see module docstring for the encoding).
+
+    xo: [NC, cc, 3], io: [NC, cc] int32, ca: [NC, NJ, 3], ic: [NC, NJ],
+    prd: [3]. NC must be a multiple of `block`. Returns f_own [NC, cc, 3].
+    """
+    nc, cc, _ = xo.shape
+    nj = ca.shape[1]
+    dt = xo.dtype
+
+    def bs(w):
+        return pl.BlockSpec((block, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((nc, cc), dt) for _ in range(3)]
+    kern = functools.partial(_pair_kernel, key)
+    interpret = jax.default_backend() != "tpu"
+    fx, fy, fz = pl.pallas_call(
+        kern,
+        grid=(nc // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # prd scalars
+            bs(cc), bs(cc), bs(cc), bs(cc),
+            bs(nj), bs(nj), bs(nj), bs(nj),
+        ],
+        out_specs=[bs(cc), bs(cc), bs(cc)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(prd,
+      xo[:, :, 0], xo[:, :, 1], xo[:, :, 2], io,
+      ca[:, :, 0], ca[:, :, 1], ca[:, :, 2], ic)
+    return jnp.stack([fx, fy, fz], axis=-1)
+
+
+def _column_kernel(key, nx, ny, nz, cc, prd_ref,
+                   gx, gy, gz, gi, fx, fy, fz, cand_scratch):
+    """One program per (cx, cy) z-column. The WHOLE cell grid lives in
+    VMEM ([nxy, nz, cc] SoA); the 27-cell candidate window [nz, 27cc] is
+    assembled in-kernel from 9 neighbor columns x 3 z-rolls — zero HBM
+    intermediates, zero XLA gathers."""
+    pid = pl.program_id(0)
+    nxi, nyi = jnp.int32(nx), jnp.int32(ny)
+    cx = pid // nyi
+    cy = pid - cx * nyi
+    cutsq = key[-1]
+
+    # assemble candidate windows into scratch: [4, nz, 27cc] (x,y,z,id).
+    # Periodic wraps are resolved HERE with per-block shifts (a scalar per
+    # wrapped x/y column, a per-row vector for the z roll seam), so the hot
+    # pair block below needs no minimum-image arithmetic at all.
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
+    k = 0
+    for dx in (-1, 0, 1):
+        wx = cx + jnp.int32(dx)
+        ncx = jax.lax.rem(wx + nxi, nxi)
+        sx = jnp.where(wx < 0, -prd_ref[0],
+                       jnp.where(wx >= nxi, prd_ref[0], 0.0))
+        for dy in (-1, 0, 1):
+            wy = cy + jnp.int32(dy)
+            ncy = jax.lax.rem(wy + nyi, nyi)
+            sy = jnp.where(wy < 0, -prd_ref[1],
+                           jnp.where(wy >= nyi, prd_ref[1], 0.0))
+            ncol = ncx * nyi + ncy
+            for ci, (ref, sh) in enumerate(((gx, sx), (gy, sy), (gz, None),
+                                            (gi, None))):
+                col = ref[ncol]  # [nz, cc]
+                if sh is not None:
+                    col = col + sh
+                for dz in (-1, 0, 1):
+                    blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
+                    if ci == 2 and dz != 0:
+                        # the roll seam row wrapped around the z boundary
+                        seam = (zrow == (nz - 1 if dz > 0 else 0))
+                        blk = blk + jnp.where(
+                            seam, jnp.float32(dz) * prd_ref[2], 0.0
+                        ).astype(blk.dtype)
+                    cand_scratch[ci, :, (k + dz + 1) * cc:(k + dz + 2) * cc] = blk
+            k += 3
+
+    own_x = gx[pid][:, :, None]  # [nz, cc, 1]
+    own_y = gy[pid][:, :, None]
+    own_z = gz[pid][:, :, None]
+    own_i = gi[pid][:, :, None]
+
+    dxv = own_x - cand_scratch[0][:, None, :]  # [nz, cc, 27cc]
+    dyv = own_y - cand_scratch[1][:, None, :]
+    dzv = own_z - cand_scratch[2][:, None, :]
+    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+
+    ic = cand_scratch[3]  # float ids
+    valid = jnp.logical_and(
+        jnp.logical_and(own_i != ic[:, None, :], (ic >= 0.0)[:, None, :]),
+        r2 < cutsq,
+    )
+    r2s = jnp.where(valid, r2, 1.0)
+    fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+
+    fx[pid] = jnp.sum(dxv * fpair, axis=-1)
+    fy[pid] = jnp.sum(dyv * fpair, axis=-1)
+    fz[pid] = jnp.sum(dzv * fpair, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("key", "ncells"))
+def column_force_pallas(key, ncells, gx, gy, gz, gi, prd):
+    """Whole-grid-in-VMEM column kernel. g*: [nxy, nz, cc] f32 (gi: float
+    ids, -1 invalid). Returns (fx, fy, fz) in the same layout."""
+    nx, ny, nz = ncells
+    nxy, _, cc = gx.shape
+    dt = gx.dtype
+    kern = functools.partial(_column_kernel, key, nx, ny, nz, cc)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    out_shape = [jax.ShapeDtypeStruct((nxy, nz, cc), dt) for _ in range(3)]
+    return pl.pallas_call(
+        kern,
+        grid=(nxy,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [full] * 4,
+        out_specs=[full] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((4, nz, 27 * cc), dt)],
+        interpret=interpret,
+    )(prd, gx, gy, gz, gi)
+
+
+# grids whose SoA copies fit comfortably in VMEM take the column kernel
+_VMEM_ROW_LIMIT = 300_000
+
+
+def compute_force(key, state, cl, block: int = 8):
+    """Force-only cell-dense pass via the Pallas kernel.
+
+    key: hashable scalar-coeff tuple from style.kernel_key().
+    cl: CellListDense (ops/cellforce). Orthogonal boxes.
+    Returns f [cap, 3].
+    """
+    p = cl.params
+    cap = state.capacity
+    ntot = p.total_cells
+    cc = p.cell_cap
+    dt = state.dtype
+
+    bidx = jnp.clip(cl.buckets, 0, cap - 1)
+    valid_b = cl.buckets < cap
+    xb = jnp.where(valid_b[..., None], state.x[bidx],
+                   jnp.asarray(BIG, dt))  # [ntot+1, cc, 3]
+    ids = jnp.where(valid_b, cl.buckets, -1)
+
+    own_x = xb[:ntot]
+    own_id = ids[:ntot]
+
+    nx, ny, nz = p.ncells
+
+    # whole-grid-in-VMEM column kernel: no candidate tensor at all
+    if all(state.box.periodic) and ntot * cc <= _VMEM_ROW_LIMIT:
+        ids_f = ids[:ntot].astype(dt)
+        g = own_x.reshape(nx * ny, nz, cc, 3)
+        prd = state.box.prd.astype(dt)
+        fx, fy, fz = column_force_pallas(
+            key, p.ncells,
+            g[..., 0], g[..., 1], g[..., 2],
+            ids_f.reshape(nx * ny, nz, cc), prd,
+        )
+        f_own = jnp.stack(
+            [fx.reshape(ntot, cc), fy.reshape(ntot, cc),
+             fz.reshape(ntot, cc)], axis=-1)
+        scatter_idx = cl.buckets[:ntot].reshape(-1)
+        f = jnp.zeros_like(state.x)
+        f = f.at[scatter_idx].set(f_own.reshape(-1, 3), mode="drop")
+        return f
+
+    # candidate assembly: cell ids are grid-major ((cx*ny+cy)*nz+cz), so the
+    # 27 stencil blocks are whole-grid ROLLS — contiguous copies instead of
+    # the (slow on TPU) 27-block random gather. Non-periodic faces fall
+    # back to the gather path (dead-cell handling lives in the stencil).
+    if all(state.box.periodic):
+        xg = own_x.reshape(nx, ny, nz, cc, 3)
+        ig = own_id.reshape(nx, ny, nz, cc)
+        cxs, cis = [], []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    sh = (-ox, -oy, -oz)
+                    cxs.append(jnp.roll(xg, sh, axis=(0, 1, 2)))
+                    cis.append(jnp.roll(ig, sh, axis=(0, 1, 2)))
+        cand_x = jnp.concatenate(cxs, axis=3).reshape(ntot, 27 * cc, 3)
+        cand_id = jnp.concatenate(cis, axis=3).reshape(ntot, 27 * cc)
+    else:
+        cand_x = xb[cl.stencil].reshape(ntot, 27 * cc, 3)
+        cand_id = ids[cl.stencil].reshape(ntot, 27 * cc)
+
+    npad = -(-ntot // block) * block
+    if npad != ntot:
+        pad = npad - ntot
+        own_x = jnp.pad(own_x, ((0, pad), (0, 0), (0, 0)),
+                        constant_values=BIG)
+        own_id = jnp.pad(own_id, ((0, pad), (0, 0)), constant_values=-1)
+        cand_x = jnp.pad(cand_x, ((0, pad), (0, 0), (0, 0)),
+                         constant_values=BIG)
+        cand_id = jnp.pad(cand_id, ((0, pad), (0, 0)), constant_values=-1)
+
+    prd = state.box.prd.astype(dt)
+    f_own = cell_force_pallas(key, own_x, own_id, cand_x, cand_id, prd,
+                              block=block)
+
+    scatter_idx = cl.buckets[:ntot].reshape(-1)  # cap where padded -> drop
+    f = jnp.zeros_like(state.x)
+    f = f.at[scatter_idx].set(f_own[:ntot].reshape(-1, 3), mode="drop")
+    return f

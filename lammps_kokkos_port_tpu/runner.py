@@ -101,7 +101,7 @@ class Simulation:
         x, image = self.state.box.wrap(self.state.x, self.state.image)
         self.state = self.state.replace(x=x, image=image)
         self._pick_list_mode(params)
-        if self.list_mode == "cell":
+        if self.list_mode in ("cell", "grid"):
             # dense-path cost scales with cell_cap^2: size tightly and let
             # the overflow-retry loop absorb density fluctuations
             params = nbr.size_for_system(
@@ -119,14 +119,15 @@ class Simulation:
         self._segment_cache.clear()
 
     def _pick_list_mode(self, params):
-        """Cell-dense path when the force field is a bare pair_terms style
-        with no special bonds / kspace / bonded terms (the bench hot path);
-        otherwise the [N,K] matrix engine."""
+        """Grid-roll dense path when the force field is a bare pair_terms
+        style with no special bonds / kspace / bonded terms (the bench hot
+        path; ops/gridforce); otherwise the [N,K] matrix engine. `cell`
+        (ops/cellforce) remains selectable explicitly."""
         ff = self.forcefield
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
             return
-        self.list_mode = "cell" if (
+        self.list_mode = "grid" if (
             ff.pair is not None
             and hasattr(ff.pair, "pair_terms")
             and ff.special is None
@@ -137,6 +138,10 @@ class Simulation:
         ) else "matrix"
 
     def _build_list(self, state, params):
+        if self.list_mode == "grid":
+            from .ops import gridforce
+
+            return gridforce.build_cell(state, params)
         if self.list_mode == "cell":
             from .ops import cellforce
 
