@@ -37,7 +37,7 @@ _DATA_FIELDS = [
     "x", "v", "f", "type", "tag", "image", "q", "molecule", "box",
     "mass", "nlocal", "mask", "virial", "ntimestep", "aux",
 ]
-_META_FIELDS = ["units_name", "dimension"]
+_META_FIELDS = ["units_name", "dimension", "owned_all"]
 
 
 @partial(
@@ -77,6 +77,10 @@ class State:
     aux: dict
     units_name: str = "lj"
     dimension: int = 3
+    # True when every valid row is an owned atom at an ARBITRARY row index
+    # (the cell-major sorted layout, ops/sortedforce); False = owned atoms
+    # occupy rows [0, nlocal) and anything beyond is a ghost slot
+    owned_all: bool = False
 
     # ---- static helpers ---------------------------------------------------
 
@@ -107,6 +111,8 @@ class State:
         half-counted by each owner and psum restores the exact global total
         (the FULL-list newton-off convention, ref: pair_kokkos.h ev_tally).
         """
+        if self.owned_all:
+            return self.valid_mask
         return (jnp.arange(self.capacity, dtype=jnp.int32) < self.nlocal) \
             & self.valid_mask
 

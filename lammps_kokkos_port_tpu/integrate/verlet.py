@@ -130,8 +130,10 @@ def make_step(
     vflag = integrator.needs_virial
 
     def list_ops(nl):
-        from ..ops import cellforce, gridforce
+        from ..ops import cellforce, gridforce, sortedforce
 
+        if isinstance(nl, sortedforce.SortedCells):
+            return sortedforce
         if isinstance(nl, gridforce.GridCells):
             return gridforce
         return cellforce if isinstance(nl, cellforce.CellListDense) else nbr
@@ -139,7 +141,11 @@ def make_step(
     def do_rebuild(state: State, nl):
         x, image = state.box.wrap(state.x, state.image)
         state = state.replace(x=x, image=image)
-        return state, list_ops(nl).rebuild_merge(state, nl, special=special)
+        ops = list_ops(nl)
+        if hasattr(ops, "rebuild_state"):
+            # cell-major mode: the rebuild permutes the state itself
+            return ops.rebuild_state(state, nl, special=special)
+        return state, ops.rebuild_merge(state, nl, special=special)
 
     def no_rebuild(state: State, nl):
         return state, list_ops(nl).tick(nl)

@@ -50,13 +50,18 @@ class ForceField:
 
     def compute(self, state: State, nl, eflag: bool, vflag: bool):
         """Returns (f, epair, emol, virial6)."""
-        from ..ops import cellforce, gridforce
+        from ..ops import cellforce, gridforce, sortedforce
 
-        if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells)):
+        if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells,
+                           sortedforce.SortedCells)):
             # dense fast paths: pair-only force fields (see ops/cellforce,
-            # ops/gridforce)
-            ops = (gridforce if isinstance(nl, gridforce.GridCells)
-                   else cellforce)
+            # ops/gridforce, ops/sortedforce)
+            if isinstance(nl, sortedforce.SortedCells):
+                ops = sortedforce
+            elif isinstance(nl, gridforce.GridCells):
+                ops = gridforce
+            else:
+                ops = cellforce
             f, pe, vir = ops.compute(self.pair, state, nl, eflag, vflag)
             z = jnp.zeros((), dtype=state.dtype)
             return (f, pe if eflag else None,

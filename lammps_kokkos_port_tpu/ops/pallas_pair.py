@@ -188,6 +188,133 @@ def _column_kernel(key, nx, ny, nz, cc, prd_ref,
     fz[pid] = jnp.sum(dzv * fpair, axis=-1)
 
 
+# Newton-halved column kernel: the 14 j-blocks per column are the self
+# cell (i<j ordering) plus the 13 lexicographically-positive offsets; each
+# pair is evaluated ONCE and the reaction is accumulated into the target
+# column's output rows. Safe without atomics because the TPU Pallas grid
+# executes SEQUENTIALLY (the structural analog of the reference's Newton
+# half lists + reverse accumulation, src/npair_half_bin_newton.cpp, with
+# the scatter replaced by in-VMEM block adds).
+_HALF = [(0, 0, 0), (0, 0, 1),
+         (0, 1, -1), (0, 1, 0), (0, 1, 1),
+         (1, -1, -1), (1, -1, 0), (1, -1, 1),
+         (1, 0, -1), (1, 0, 0), (1, 0, 1),
+         (1, 1, -1), (1, 1, 0), (1, 1, 1)]
+
+
+def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
+                        gx, gy, gz, gi, fx, fy, fz, cand_scratch):
+    pid = pl.program_id(0)
+    nxi, nyi = jnp.int32(nx), jnp.int32(ny)
+    cx = pid // nyi
+    cy = pid - cx * nyi
+    cutsq = key[-1]
+
+    @pl.when(pid == 0)
+    def _():
+        z = jnp.zeros_like(fx)
+        fx[...] = z
+        fy[...] = z
+        fz[...] = z
+
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
+    cols = sorted({(dx, dy) for dx, dy, _ in _HALF})
+    ncols = {}
+    for dx, dy in cols:
+        wx = cx + jnp.int32(dx)
+        wy = cy + jnp.int32(dy)
+        ncx = jax.lax.rem(wx + nxi, nxi)
+        ncy = jax.lax.rem(wy + nyi, nyi)
+        sx = jnp.where(wx < 0, -prd_ref[0],
+                       jnp.where(wx >= nxi, prd_ref[0], 0.0))
+        sy = jnp.where(wy < 0, -prd_ref[1],
+                       jnp.where(wy >= nyi, prd_ref[1], 0.0))
+        ncols[(dx, dy)] = (ncx * nyi + ncy, sx, sy)
+
+    for s, (dx, dy, dz) in enumerate(_HALF):
+        ncol, sx, sy = ncols[(dx, dy)]
+        for ci, (ref, sh) in enumerate(((gx, sx), (gy, sy), (gz, None),
+                                        (gi, None))):
+            col = ref[ncol]
+            if sh is not None:
+                col = col + sh
+            if ci == 3 and s > 0:
+                # non-self blocks pair with ANY valid candidate: bias their
+                # ids above every own id so one `own < cand` compare serves
+                # as both the Newton i<j ordering (self block) and the
+                # validity test (ids stay exact in f32 while 2*cap < 2^24)
+                col = jnp.where(col >= 0.0, col + float(idcap), -1.0)
+            blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
+            if ci == 2 and dz != 0:
+                seam = (zrow == (nz - 1 if dz > 0 else 0))
+                blk = blk + jnp.where(
+                    seam, jnp.float32(dz) * prd_ref[2], 0.0
+                ).astype(blk.dtype)
+            cand_scratch[ci, :, s * cc:(s + 1) * cc] = blk
+
+    own_x = gx[pid][:, :, None]
+    own_y = gy[pid][:, :, None]
+    own_z = gz[pid][:, :, None]
+    own_i = gi[pid][:, :, None]
+
+    dxv = own_x - cand_scratch[0][:, None, :]  # [nz, cc, 14cc]
+    dyv = own_y - cand_scratch[1][:, None, :]
+    dzv = own_z - cand_scratch[2][:, None, :]
+    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+
+    ic = cand_scratch[3]
+    # one compare covers Newton i<j (self block) AND candidate validity
+    # (biased non-self ids); own invalid rows (-1) are excluded explicitly
+    valid = jnp.logical_and(
+        jnp.logical_and(own_i < ic[:, None, :], own_i >= 0.0),
+        r2 < cutsq,
+    )
+    r2s = jnp.where(valid, r2, 1.0)
+    fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+
+    fij_x = dxv * fpair
+    fij_y = dyv * fpair
+    fij_z = dzv * fpair
+    fx[pid] += jnp.sum(fij_x, axis=-1)
+    fy[pid] += jnp.sum(fij_y, axis=-1)
+    fz[pid] += jnp.sum(fij_z, axis=-1)
+
+    # reactions: -sum over i per j-slot, rolled back to the target rows
+    rx = jnp.sum(fij_x, axis=-2)  # [nz, 14cc]
+    ry = jnp.sum(fij_y, axis=-2)
+    rz = jnp.sum(fij_z, axis=-2)
+    for s, (dx, dy, dz) in enumerate(_HALF):
+        ncol, _, _ = ncols[(dx, dy)]
+        for ref, r in ((fx, rx), (fy, ry), (fz, rz)):
+            blk = -r[:, s * cc:(s + 1) * cc]
+            if dz:
+                blk = pltpu.roll(blk, dz % nz, axis=0)
+            ref[ncol] += blk
+
+
+@functools.partial(jax.jit, static_argnames=("key", "ncells", "idcap"))
+def column_half_force_pallas(key, ncells, idcap, gx, gy, gz, gi, prd):
+    """Newton-halved whole-grid-in-VMEM column kernel. idcap must exceed
+    every atom id (the id-bias validity trick needs own < id+idcap)."""
+    nx, ny, nz = ncells
+    nxy, _, cc = gx.shape
+    dt = gx.dtype
+    kern = functools.partial(_column_half_kernel, key, nx, ny, nz, cc,
+                             idcap)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    out_shape = [jax.ShapeDtypeStruct((nxy, nz, cc), dt) for _ in range(3)]
+    return pl.pallas_call(
+        kern,
+        grid=(nxy,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 4,
+        out_specs=[full] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((4, nz, len(_HALF) * cc), dt)],
+        interpret=interpret,
+    )(prd, gx, gy, gz, gi)
+
+
 @functools.partial(jax.jit, static_argnames=("key", "ncells"))
 def column_force_pallas(key, ncells, gx, gy, gz, gi, prd):
     """Whole-grid-in-VMEM column kernel. g*: [nxy, nz, cc] f32 (gi: float
@@ -244,8 +371,8 @@ def compute_force(key, state, cl, block: int = 8):
         ids_f = ids[:ntot].astype(dt)
         g = own_x.reshape(nx * ny, nz, cc, 3)
         prd = state.box.prd.astype(dt)
-        fx, fy, fz = column_force_pallas(
-            key, p.ncells,
+        fx, fy, fz = column_half_force_pallas(
+            key, p.ncells, cap,
             g[..., 0], g[..., 1], g[..., 2],
             ids_f.reshape(nx * ny, nz, cc), prd,
         )

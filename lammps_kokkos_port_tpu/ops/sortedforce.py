@@ -1,0 +1,192 @@
+"""Cell-major (sorted) state mode: zero per-step gathers or scatters.
+
+The cell-dense paths still pay one bucket gather (state -> cell layout)
+and one scatter (forces -> atom layout) every step. This mode stores the
+SIMULATION STATE ITSELF in cell-major order — the TPU analog of the
+reference's spatial atom sort (ref: src/atom.cpp:2246 Atom::sort, done
+every sortfreq steps for locality; here it IS the layout):
+
+  - state capacity = ncells * cell_cap; every cell owns a fixed row slab,
+    padded rows have mask 0;
+  - at every neighbor rebuild the whole per-atom pytree is permuted into
+    the new cell assignment (one gather per ~20 steps, inside the step);
+  - the force pass consumes state.x directly in grid layout via the
+    Newton-halved Pallas column kernel (ops/pallas_pair) and writes forces
+    in the same layout — the hot loop has no indexed memory ops at all.
+
+Used automatically for bare scalarizable pair styles on periodic
+orthogonal boxes (the bench decks); everything else takes the grid/cell/
+matrix paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import State
+from . import neighbor as nbr
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["xhold", "ago", "nbuilds", "ndanger", "overflow"],
+    meta_fields=["params"],
+)
+@dataclasses.dataclass(frozen=True)
+class SortedCells:
+    """Rebuild bookkeeping; the cell buckets are the state layout itself."""
+
+    xhold: Array
+    ago: Array
+    nbuilds: Array
+    ndanger: Array
+    overflow: Array
+    params: nbr.NeighborParams
+
+    @property
+    def sb(self):
+        return None
+
+    @property
+    def shift(self):
+        return None
+
+
+def expand_state(state: State, p: nbr.NeighborParams) -> State:
+    """Host-side: re-pad the state to capacity ncells*cell_cap (sorted mode
+    owns its capacity; rows beyond the originals are mask-0 padding)."""
+    cap2 = p.total_cells * p.cell_cap
+    cap = state.capacity
+    if cap2 < cap:
+        # sorting can only be done into at least as many rows
+        raise ValueError(f"sorted capacity {cap2} < current {cap}")
+
+    def pad(a, fill=0):
+        if a is None or a.ndim == 0:
+            return a
+        if a.shape[0] != cap:
+            return a  # not per-atom
+        width = [(0, cap2 - cap)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width, constant_values=fill)
+
+    return state.replace(
+        x=pad(state.x), v=pad(state.v), f=pad(state.f),
+        type=pad(state.type), tag=pad(state.tag), image=pad(state.image),
+        q=pad(state.q), molecule=pad(state.molecule), mask=pad(state.mask),
+        owned_all=True,  # rows scatter across cells; every valid row owned
+    )
+
+
+def _permute(state: State, p: nbr.NeighborParams):
+    """Permute all per-atom arrays into cell-major order (jit-compatible).
+
+    Returns (state_sorted, cell_overflow)."""
+    cap = state.capacity  # == ntot * cc
+    _, buckets, overflow = nbr._bin_atoms(state, p)
+    perm = buckets[:p.total_cells].reshape(-1)  # [cap]; >= cap -> padding
+    valid = perm < cap
+    safe = jnp.minimum(perm, cap - 1)
+
+    def g(a, fill=0):
+        if a is None:
+            return None
+        out = a[safe]
+        return jnp.where(valid.reshape([-1] + [1] * (a.ndim - 1)), out, fill)
+
+    state = state.replace(
+        x=g(state.x), v=g(state.v), f=g(state.f),
+        type=g(state.type), tag=g(state.tag), image=g(state.image),
+        q=g(state.q), molecule=g(state.molecule), mask=g(state.mask),
+    )
+    return state, overflow
+
+
+def build(state: State, p: nbr.NeighborParams):
+    """Sort the (already expanded) state; returns (state, SortedCells)."""
+    state, overflow = _permute(state, p)
+    return state, SortedCells(
+        xhold=state.x,
+        ago=jnp.asarray(0, jnp.int32),
+        nbuilds=jnp.asarray(1, jnp.int32),
+        ndanger=jnp.asarray(0, jnp.int32),
+        overflow=overflow,
+        params=p,
+    )
+
+
+def rebuild_state(state: State, old: SortedCells, special=None):
+    state, nl = build(state, old.params)
+    return state, dataclasses.replace(
+        nl,
+        nbuilds=old.nbuilds + 1,
+        ndanger=old.ndanger,
+        overflow=old.overflow | nl.overflow,
+    )
+
+
+def tick(cl: SortedCells) -> SortedCells:
+    return dataclasses.replace(cl, ago=cl.ago + 1)
+
+
+def needs_rebuild(state: State, cl: SortedCells) -> Array:
+    p = cl.params
+    ago = cl.ago + 1
+    cadence = (ago >= p.delay) & (jnp.mod(ago, max(p.every, 1)) == 0)
+    if not p.check:
+        return cadence
+    half_skin_sq = (0.5 * p.skin) ** 2
+    disp = state.x - cl.xhold
+    d2 = jnp.sum(disp * disp, axis=-1)
+    d2 = jnp.where(state.valid_mask, d2, 0.0)
+    return cadence & (jnp.max(d2) > half_skin_sq)
+
+
+def compute(style, state: State, cl: SortedCells, eflag: bool, vflag: bool):
+    """(f, pe, virial) in the sorted layout."""
+    p = cl.params
+    cap = state.capacity
+    ntot = p.total_cells
+    cc = p.cell_cap
+    nx, ny, nz = p.ncells
+    dt = state.dtype
+
+    if not eflag and not vflag:
+        kk = getattr(style, "kernel_key", None)
+        key = kk() if kk is not None else None
+        if key is not None:
+            from . import pallas_pair
+
+            ids = jnp.where(state.valid_mask,
+                            jnp.arange(cap, dtype=jnp.int32), -1).astype(dt)
+            g = state.x.reshape(nx * ny, nz, cc, 3)
+            prd = state.box.prd.astype(dt)
+            fx, fy, fz = pallas_pair.column_half_force_pallas(
+                key, p.ncells, cap,
+                g[..., 0], g[..., 1], g[..., 2],
+                ids.reshape(nx * ny, nz, cc), prd,
+            )
+            f = jnp.stack([fx.reshape(-1), fy.reshape(-1),
+                           fz.reshape(-1)], axis=-1).reshape(cap, 3)
+            return f, None, None
+
+    # energy/virial evaluations: reuse the grid-roll XLA path with the
+    # identity buckets the sorted layout implies
+    from . import gridforce
+
+    arange = jnp.arange(cap, dtype=jnp.int32).reshape(ntot, cc)
+    buckets = jnp.where(state.mask.reshape(ntot, cc) != 0, arange, cap)
+    buckets = jnp.concatenate(
+        [buckets, jnp.full((1, cc), cap, dtype=jnp.int32)], axis=0
+    )
+    gc = gridforce.GridCells(
+        buckets=buckets, xhold=cl.xhold, ago=cl.ago, nbuilds=cl.nbuilds,
+        ndanger=cl.ndanger, overflow=cl.overflow, params=p,
+    )
+    return gridforce.compute(style, state, gc, eflag, vflag)

@@ -101,7 +101,7 @@ class Simulation:
         x, image = self.state.box.wrap(self.state.x, self.state.image)
         self.state = self.state.replace(x=x, image=image)
         self._pick_list_mode(params)
-        if self.list_mode in ("cell", "grid"):
+        if self.list_mode in ("cell", "grid", "sorted"):
             # dense-path cost scales with cell_cap^2: size tightly and let
             # the overflow-retry loop absorb density fluctuations
             params = nbr.size_for_system(
@@ -127,7 +127,7 @@ class Simulation:
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
             return
-        self.list_mode = "grid" if (
+        dense_ok = (
             ff.pair is not None
             and hasattr(ff.pair, "pair_terms")
             and ff.special is None
@@ -135,9 +135,36 @@ class Simulation:
             and ff.bond is None and ff.angle is None
             and ff.dihedral is None and ff.improper is None
             and not params.all_pairs
-        ) else "matrix"
+        )
+        if not dense_ok:
+            self.list_mode = "matrix"
+            return
+        # cell-major (sorted) state: fastest path, needs a scalarizable
+        # style, a fully periodic orthogonal box, no aux fixes carrying
+        # per-atom state, and a grid that fits VMEM (ops/sortedforce)
+        from .ops.pallas_pair import _VMEM_ROW_LIMIT
+
+        kk = getattr(ff.pair, "kernel_key", None)
+        sorted_ok = (
+            kk is not None and kk() is not None
+            and all(self.state.box.periodic)
+            and not self.state.box.triclinic
+            and not self.fixes
+            and not self.integrator.needs_virial  # barostats move the box
+            and params.total_cells * params.cell_cap <= _VMEM_ROW_LIMIT
+        )
+        self.list_mode = "sorted" if sorted_ok else "grid"
 
     def _build_list(self, state, params):
+        if self.list_mode == "sorted":
+            from .ops import sortedforce
+
+            # sorted mode owns the state layout: expand to the cell-major
+            # capacity and permute (self.state is replaced)
+            state = sortedforce.expand_state(state, params)
+            state, nl = sortedforce.build(state, params)
+            self.state = state
+            return nl
         if self.list_mode == "grid":
             from .ops import gridforce
 
