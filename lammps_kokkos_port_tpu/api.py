@@ -121,7 +121,9 @@ class lammps:
         arr = fields.get(name)
         if arr is None:
             raise KeyError(name)
-        return np.asarray(jax.device_get(arr))[:n]
+        from .core.state import atom_order
+
+        return np.asarray(jax.device_get(arr))[atom_order(st)]
 
     def get_thermo(self, name: str) -> float:
         row = self._sim.thermo()
@@ -134,27 +136,22 @@ class lammps:
     #    library.cpp:2477,2961) -------------------------------------------
 
     def gather_atoms(self, name: str) -> np.ndarray:
-        """All atoms in tag order."""
-        arr = self.extract_atom(name)
-        tags = self.extract_atom("id")
-        order = np.argsort(tags)
-        return arr[order]
+        """All atoms in tag order (extract_atom already is)."""
+        return self.extract_atom(name)
 
     def scatter_atoms(self, name: str, data: np.ndarray):
         """Overwrite a per-atom field from tag-ordered data."""
         import jax.numpy as jnp
 
+        from .core.state import atom_order
+
         sim = self._sim
         st = sim.state
-        n = self.get_natoms()
-        tags = np.asarray(jax.device_get(st.tag))[:n]
-        perm = np.argsort(np.argsort(tags))  # tag order -> local order
-        local = np.asarray(data)[perm]
         field = {"x": "x", "v": "v", "f": "f"}.get(name)
         if field is None:
             raise KeyError(name)
         full = np.asarray(jax.device_get(getattr(st, field))).copy()
-        full[:n] = local
+        full[atom_order(st)] = np.asarray(data)
         sim.state = st.replace(**{field: jnp.asarray(full, dtype=st.dtype)})
 
     def reset_box(self, boxlo, boxhi, xy=0.0, yz=0.0, xz=0.0):

@@ -130,6 +130,17 @@ class State:
         return dataclasses.replace(self, **kwargs)
 
 
+def atom_order(state: State) -> np.ndarray:
+    """Host: row indices of the real atoms in TAG order — the
+    layout-agnostic atom view (compact layouts return arange(nlocal);
+    the cell-major sorted layout returns its scattered rows). Use this in
+    every host-side extraction instead of `[:nlocal]`."""
+    valid = np.asarray(jax.device_get(state.valid_mask))
+    idx = np.flatnonzero(valid)
+    tags = np.asarray(jax.device_get(state.tag))[idx]
+    return idx[np.argsort(tags, kind="stable")]
+
+
 def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 

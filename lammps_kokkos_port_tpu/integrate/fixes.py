@@ -113,6 +113,25 @@ class FixAddForce(AuxFix):
 
 
 @dataclasses.dataclass(frozen=True)
+class FixGravity(AuxFix):
+    """fix gravity `vector` style: f += m g vhat
+    (ref: src/fix_gravity.cpp — used by the SPH water-collapse deck)."""
+
+    g: float = 9.81
+    vx: float = 0.0
+    vy: float = 0.0
+    vz: float = -1.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        v = jnp.asarray([self.vx, self.vy, self.vz], state.dtype)
+        vhat = v / jnp.sqrt(jnp.sum(v * v))
+        add = (self.g * state.per_atom_mass)[:, None] * vhat[None, :]
+        f = state.f + jnp.where(_gmask(state, self.groupbit), add, 0.0)
+        return state.replace(f=f)
+
+
+@dataclasses.dataclass(frozen=True)
 class FixViscous(AuxFix):
     """fix viscous: f -= gamma*v drag (ref: src/fix_viscous.cpp)."""
 

@@ -66,6 +66,10 @@ class DataFile:
     angles: np.ndarray | None = None
     dihedrals: np.ndarray | None = None
     impropers: np.ndarray | None = None
+    # SPH per-atom fields (atom_style sph, ref: src/SPH/atom_vec_sph.cpp)
+    sph_rho: np.ndarray | None = None
+    sph_e: np.ndarray | None = None
+    sph_cv: np.ndarray | None = None
     # raw coeff sections keyed by section name -> list of token rows
     coeffs: dict = dataclasses.field(default_factory=dict)
 
@@ -147,6 +151,10 @@ def read_data(path: str, atom_style: str = "full",
         df.q = np.zeros(n)
     if atom_style in ("bond", "angle", "molecular", "full"):
         df.molecule = np.zeros(n, dtype=np.int32)
+    if atom_style == "sph":
+        df.sph_rho = np.zeros(n)
+        df.sph_e = np.zeros(n)
+        df.sph_cv = np.zeros(n)
     df.masses = np.ones(df.natomtypes + 1)
 
     def parse_atoms(rows):
@@ -162,6 +170,11 @@ def read_data(path: str, atom_style: str = "full",
             df.types[k] = int(toks[c]); c += 1
             if atom_style in ("charge", "full"):
                 df.q[k] = float(toks[c]); c += 1
+            if atom_style == "sph":
+                # id type rho esph cv x y z (ref: src/SPH/atom_vec_sph.cpp)
+                df.sph_rho[k] = float(toks[c]); c += 1
+                df.sph_e[k] = float(toks[c]); c += 1
+                df.sph_cv[k] = float(toks[c]); c += 1
             df.x[k] = [float(toks[c]), float(toks[c + 1]), float(toks[c + 2])]
             c += 3
             if len(toks) >= c + 3:

@@ -43,7 +43,11 @@ def _unflatten_aux(items: dict):
     return aux
 
 
-def write_restart(path: str, sim):
+def write_restart(path: str, sim, script_meta: dict | None = None):
+    """script_meta: optional JSON-serializable style/settings blob so the
+    `read_restart` COMMAND can restore the full run configuration — the
+    analog of the style names + coeffs the reference writes
+    (ref: src/write_restart.cpp:207-460 force-style sections)."""
     st = sim.state
     header = {
         "magic": MAGIC,
@@ -55,6 +59,8 @@ def write_restart(path: str, sim):
         "has_molecule": st.molecule is not None,
         "ntimestep": int(jax.device_get(st.ntimestep)),
         "dtype": str(np.dtype(st.dtype)),
+        "owned_all": st.owned_all,
+        "script_meta": script_meta,
     }
     arrays = {
         "x": st.x, "v": st.v, "f": st.f, "type": st.type, "tag": st.tag,
@@ -71,11 +77,18 @@ def write_restart(path: str, sim):
     np.savez(path, __header__=json.dumps(header), **arrays)
 
 
-def read_restart(path: str) -> State:
+def read_restart(path: str, with_meta: bool = False):
     data = np.load(path if path.endswith(".npz") else path, allow_pickle=False)
     header = json.loads(str(data["__header__"]))
     if header["magic"] != MAGIC:
         raise ValueError("not a lammps_kokkos_port_tpu restart file")
+    state = _state_from(data, header)
+    if with_meta:
+        return state, header.get("script_meta")
+    return state
+
+
+def _state_from(data, header) -> State:
     box = Box.create(
         data["box_lo"], data["box_hi"],
         tilt=data["box_tilt"] if header["triclinic"] else None,
@@ -103,4 +116,5 @@ def read_restart(path: str) -> State:
         aux=_unflatten_aux(aux_items),
         units_name=header["units"],
         dimension=header["dimension"],
+        owned_all=bool(header.get("owned_all", False)),
     )

@@ -60,26 +60,34 @@ class SortedCells:
 
 
 def expand_state(state: State, p: nbr.NeighborParams) -> State:
-    """Host-side: re-pad the state to capacity ncells*cell_cap (sorted mode
-    owns its capacity; rows beyond the originals are mask-0 padding)."""
+    """Host-side: compact the valid rows and re-pad to capacity
+    ncells*cell_cap (sorted mode owns its capacity; rows beyond the atoms
+    are mask-0 padding). Accepts any incoming layout, including an
+    already-sorted one with a different capacity (restart resume)."""
     cap2 = p.total_cells * p.cell_cap
     cap = state.capacity
-    if cap2 < cap:
-        # sorting can only be done into at least as many rows
-        raise ValueError(f"sorted capacity {cap2} < current {cap}")
+    valid = np.asarray(jax.device_get(state.valid_mask))
+    rows = np.flatnonzero(valid)
+    if len(rows) > cap2:
+        raise ValueError(
+            f"sorted capacity {cap2} cannot hold {len(rows)} atoms")
 
-    def pad(a, fill=0):
+    def repack(a, fill=0):
         if a is None or a.ndim == 0:
             return a
         if a.shape[0] != cap:
             return a  # not per-atom
-        width = [(0, cap2 - cap)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, width, constant_values=fill)
+        host = np.asarray(jax.device_get(a))
+        out = np.full((cap2,) + host.shape[1:], fill, dtype=host.dtype)
+        out[:len(rows)] = host[rows]
+        return jnp.asarray(out)
 
     return state.replace(
-        x=pad(state.x), v=pad(state.v), f=pad(state.f),
-        type=pad(state.type), tag=pad(state.tag), image=pad(state.image),
-        q=pad(state.q), molecule=pad(state.molecule), mask=pad(state.mask),
+        x=repack(state.x), v=repack(state.v), f=repack(state.f),
+        type=repack(state.type), tag=repack(state.tag),
+        image=repack(state.image),
+        q=repack(state.q), molecule=repack(state.molecule),
+        mask=repack(state.mask),
         owned_all=True,  # rows scatter across cells; every valid row owned
     )
 

@@ -39,10 +39,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..compute import thermo as thermo_mod
 from ..core.state import State
+from ..integrate.nh import FixNVT
 from ..ops import neighbor as nbr
 from ..utils.units import get_units
 
 Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedNVT(FixNVT):
+    """fix nvt over a device mesh: the Nose-Hoover chain scalars are
+    replicated on every shard and stay bit-identical because the current
+    temperature they consume is the GLOBAL one (one psum over ICI inside
+    the step — the analog of compute_temp's MPI_Allreduce,
+    ref: src/compute_temp.cpp + fix_nh.cpp thermostat coupling)."""
+
+    n_global: int = 0
+    axis: str = "x"
+
+    def _tdof(self, state):
+        extra = self.extra_dof if self.extra_dof is not None else 3
+        return jnp.asarray(3 * self.n_global - extra, state.dtype)
+
+    def _t_current(self, state):
+        m = state.per_atom_mass
+        ke2 = jnp.sum(jnp.where(
+            state.valid_mask, m * jnp.sum(state.v * state.v, axis=-1), 0.0))
+        ke2 = jax.lax.psum(ke2, self.axis)
+        return ke2 * self.units.mvv2e / (self._tdof(state) * self.units.boltz)
 
 
 def _pack(idx_key: Array, count_cap: int, *arrays):
@@ -70,6 +94,9 @@ class ShardedMD:
         cap_mult: float = 1.4,
         ghost_cap_mult: float = 2.0,
         mig_cap: int = 256,
+        integrator: str = "nve",
+        t_target: float | None = None,
+        t_period: float | None = None,
     ):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("x",))
@@ -83,6 +110,17 @@ class ShardedMD:
         self.cutghost = (forcefield.max_cutoff() + self.skin) * ghost_mult
         self.global_state = state
         self.mig_cap = mig_cap
+        if integrator not in ("nve", "nvt"):
+            raise ValueError(f"sharded integrator {integrator} unsupported")
+        self.integrator_name = integrator
+        n_global = int(jax.device_get(state.nlocal))
+        self.nvt = None
+        if integrator == "nvt":
+            self.nvt = ShardedNVT(
+                dt=self.dt, units=self.units,
+                t_start=float(t_target), t_stop=float(t_target),
+                t_period=float(t_period), n_global=n_global,
+            )
 
         if self.ndev < 2:
             raise ValueError(
@@ -181,6 +219,10 @@ class ShardedMD:
         self.ms = put(ms)
         self.nloc = put(nloc)
         self.fs = put(np.zeros((nd, capS, 3), dtype=dt_np))
+        # per-shard copies of the (replicated, bit-identical) NH chain
+        mt = self.nvt.mtchain if self.nvt is not None else 1
+        self.eta = put(np.zeros((nd, mt), dtype=dt_np))
+        self.etad = put(np.zeros((nd, mt + 1), dtype=dt_np))
         self.box = jax.device_put(state.box, rep)
         self.mass = jax.device_put(state.mass, rep)
         self.natoms_global = n
@@ -230,7 +272,7 @@ class ShardedMD:
                 dimension=self.global_state.dimension,
             )
 
-        def shard_body(xs, vs, fs, ts, tg, qs, ms, nloc):
+        def shard_body(xs, vs, fs, ts, tg, qs, ms, nloc, etas, etads):
             # shapes arrive [1, capS, ...] per shard; squeeze
             x = xs[0]
             v = vs[0]
@@ -390,7 +432,8 @@ class ShardedMD:
                         q_ext, cat(msk, lm, rm))
 
             def rebuild(carry):
-                (x, v, f, typ, tag, q, msk, n, _, _, _, _, _, overflow) = carry
+                (x, v, f, typ, tag, q, msk, n, nh,
+                 _, _, _, _, _, overflow) = carry
                 x, v, typ, tag, q, msk, n, overflow = migrate(
                     x, v, typ, tag, q, msk, n, overflow)
                 sidx_l, sidx_r, shift_l, shift_r, overflow = borders(
@@ -402,11 +445,11 @@ class ShardedMD:
                 ps = pseudo_state(x_ext, t_ext, m_ext, q_ext, n)
                 nl = nbr.build(ps, p, special=ff.special)
                 overflow = overflow | nl.overflow
-                return (x, v, f, typ, tag, q, msk, n,
+                return (x, v, f, typ, tag, q, msk, n, nh,
                         sidx_l, sidx_r, shift_l, shift_r, nl, overflow)
 
             def force_eval(carry):
-                (x, v, f, typ, tag, q, msk, n,
+                (x, v, f, typ, tag, q, msk, n, nh,
                  sidx_l, sidx_r, shift_l, shift_r, nl, overflow) = carry
                 rl, rr = ghost_exchange(x, typ, tag, q, msk, sidx_l, sidx_r,
                                         shift_l, shift_r)
@@ -415,21 +458,49 @@ class ShardedMD:
                 ps = pseudo_state(x_ext, t_ext, m_ext, q_ext, n)
                 f_ext, _, _, _ = ff.compute(ps, nl, False, False)
                 f = f_ext[:capS]
-                return (x, v, f, typ, tag, q, msk, n,
+                return (x, v, f, typ, tag, q, msk, n, nh,
                         sidx_l, sidx_r, shift_l, shift_r, nl, overflow)
 
+            nvt = self.nvt
+
+            def integ_state(x, v, f, typ, msk, nh):
+                return State(
+                    x=x, v=v, f=f, type=typ, tag=jnp.zeros_like(typ),
+                    image=jnp.zeros(x.shape[:1] + (3,), dtype=jnp.int32),
+                    q=None, molecule=None, box=box, mass=mass,
+                    nlocal=jnp.asarray(0, jnp.int32), mask=msk,
+                    virial=jnp.zeros(6, dtype=x.dtype),
+                    ntimestep=jnp.asarray(0, jnp.int32),
+                    aux={"nh": {"eta": nh[0], "eta_dot": nh[1]},
+                         "nh_run": jnp.zeros(2, dtype=jnp.int32)},
+                    units_name=self.global_state.units_name,
+                    dimension=self.global_state.dimension,
+                )
+
             def inner_step(carry, _):
-                (x, v, f, typ, tag, q, msk, n, *rest) = carry
+                (x, v, f, typ, tag, q, msk, n, nh, *rest) = carry
                 gm = (msk != 0)[:, None]
-                minv = 1.0 / mass[typ][:, None]
-                v = v + jnp.where(gm, dtf * f * minv, 0.0)
-                x = x + jnp.where(gm, dtv * v, 0.0)
-                carry = (x, v, f, typ, tag, q, msk, n, *rest)
+                if nvt is not None:
+                    ps = integ_state(x, v, f, typ, msk, nh)
+                    ps = nvt.initial_integrate(ps)
+                    x, v = ps.x, ps.v
+                    nh = (ps.aux["nh"]["eta"], ps.aux["nh"]["eta_dot"])
+                else:
+                    minv = 1.0 / mass[typ][:, None]
+                    v = v + jnp.where(gm, dtf * f * minv, 0.0)
+                    x = x + jnp.where(gm, dtv * v, 0.0)
+                carry = (x, v, f, typ, tag, q, msk, n, nh, *rest)
                 carry = force_eval(carry)
-                (x, v, f, typ, tag, q, msk, n, *rest) = carry
-                f0 = carry[2]
-                v = v + jnp.where(gm, dtf * f0 * minv, 0.0)
-                return (x, v, f0, typ, tag, q, msk, n, *rest), None
+                (x, v, f0, typ, tag, q, msk, n, nh, *rest) = carry
+                if nvt is not None:
+                    ps = integ_state(x, v, f0, typ, msk, nh)
+                    ps = nvt.final_integrate(ps)
+                    v = ps.v
+                    nh = (ps.aux["nh"]["eta"], ps.aux["nh"]["eta_dot"])
+                else:
+                    minv = 1.0 / mass[typ][:, None]
+                    v = v + jnp.where(gm, dtf * f0 * minv, 0.0)
+                return (x, v, f0, typ, tag, q, msk, n, nh, *rest), None
 
             def cycle(carry, _):
                 # R steps on the current list, then re-decompose + rebuild
@@ -443,7 +514,8 @@ class ShardedMD:
 
             dummy_idx = jnp.full(G, capS, dtype=jnp.int32)
             zero = jnp.zeros((), x.dtype)
-            carry = (x, v, f, typ, tag, q, msk, nl_count,
+            nh0 = (etas[0], etads[0])
+            carry = (x, v, f, typ, tag, q, msk, nl_count, nh0,
                      dummy_idx, dummy_idx, zero, zero, None, overflow)
             carry = rebuild(carry)
             carry = force_eval(carry)  # initial forces (Verlet::setup)
@@ -452,11 +524,11 @@ class ShardedMD:
             # EXACTLY nsteps; a trailing partial cycle skips the rebuild)
             carry, _ = jax.lax.scan(inner_step, carry, None,
                                     length=self._tail)
-            (x, v, f, typ, tag, q, msk, n, *_, overflow) = carry
+            (x, v, f, typ, tag, q, msk, n, nh, *_, overflow) = carry
 
             return (x[None], v[None], f[None], typ[None], tag[None],
                     (q[None] if has_q else qs), msk[None], n[None],
-                    overflow[None])
+                    overflow[None], nh[0][None], nh[1][None])
 
         self._shard_body = shard_body
         self._runner_cache = {}
@@ -470,8 +542,8 @@ class ShardedMD:
             body = jax.shard_map(
                 self._shard_body,
                 mesh=self.mesh,
-                in_specs=(specs,) * 8,
-                out_specs=(specs,) * 9,
+                in_specs=(specs,) * 10,
+                out_specs=(specs,) * 11,
                 check_vma=False,
             )
             fn = jax.jit(body)
@@ -492,11 +564,11 @@ class ShardedMD:
                          self.qs if self.qs is not None else
                          jnp.zeros((self.ndev, self.capS),
                                    dtype=self.xs.dtype),
-                         self.ms, self.nloc)
+                         self.ms, self.nloc, self.eta, self.etad)
             overflow = bool(np.any(jax.device_get(out[8])))
             if not overflow:
                 (self.xs, self.vs, self.fs, self.ts, self.tg, qs, self.ms,
-                 self.nloc, _) = out
+                 self.nloc, _, self.eta, self.etad) = out
                 if self.qs is not None:
                     self.qs = qs
                 return nsteps
@@ -507,6 +579,7 @@ class ShardedMD:
         """Grow every fixed capacity and redistribute the (pre-run) owned
         atoms; compiled runners are shape-specialized so the cache drops."""
         full = self._gather_arrays()
+        eta, etad = jax.device_get((self.eta, self.etad))
         self.cap_mult *= factor
         self.ghost_cap_mult *= factor
         self.k_mult *= factor
@@ -514,8 +587,141 @@ class ShardedMD:
         self._distribute_arrays(full["x"], full["v"], full["type"],
                                 full["tag"], full["q"],
                                 self.cap_mult, self.ghost_cap_mult)
+        # the NH chain survives the redistribution
+        shard = NamedSharding(self.mesh, P("x"))
+        self.eta = jax.device_put(jnp.asarray(np.asarray(eta)), shard)
+        self.etad = jax.device_put(jnp.asarray(np.asarray(etad)), shard)
         self._runner_cache.clear()
         self._build_runner()
+
+    def thermo(self) -> dict:
+        """Global thermo over the mesh: one jitted shard_map evaluates
+        per-shard KE and owned potential energy and psums them over ICI —
+        the analog of Thermo::compute's MPI reductions
+        (ref: src/thermo.cpp:370, src/compute_temp.cpp allreduce)."""
+        fn = getattr(self, "_thermo_fn", None)
+        if fn is None:
+            nd, capS, G = self.ndev, self.capS, self.G
+            ff, box, mass, p = self.ff, self.box, self.mass, self.nparams
+            units = self.units
+            has_q = self.qs is not None
+            mk_state = self._mk_thermo_state
+
+            def body(xs, vs, ts, tg, qs, ms, nloc):
+                x, v, typ, tag = xs[0], vs[0], ts[0], tg[0]
+                q = qs[0] if has_q else None
+                msk = ms[0]
+                n = nloc[0]
+                ps_own, ps_ext, nl = mk_state(x, v, typ, tag, q, msk, n)
+                _, epair, emol, _ = ff.compute(ps_ext, nl, True, False)
+                epair = jax.lax.psum(epair, "x")
+                m = mass[typ]
+                ke2 = jnp.sum(jnp.where(
+                    msk != 0, m * jnp.sum(v * v, axis=-1), 0.0))
+                ke2 = jax.lax.psum(ke2, "x")
+                return epair[None], ke2[None]
+
+            specs = P("x")
+            fn = jax.jit(jax.shard_map(
+                body, mesh=self.mesh, in_specs=(specs,) * 7,
+                out_specs=(specs,) * 2, check_vma=False,
+            ))
+            self._thermo_fn = fn
+        epair, ke2 = fn(
+            self.xs, self.vs, self.ts, self.tg,
+            self.qs if self.qs is not None else
+            jnp.zeros((self.ndev, self.capS), dtype=self.xs.dtype),
+            self.ms, self.nloc)
+        epair = float(jax.device_get(epair)[0])
+        ke2 = float(jax.device_get(ke2)[0])
+        n = self.natoms_global
+        u = self.units
+        dof = 3 * n - 3
+        temp = ke2 * u.mvv2e / (dof * u.boltz)
+        ke = 0.5 * u.mvv2e * ke2
+        out = {"temp": temp, "epair": epair, "ke": ke,
+               "etotal": epair + ke, "natoms": n}
+        if u.norm_default:
+            out["epair"] /= n
+            out["ke"] /= n
+            out["etotal"] /= n
+        return out
+
+    def _mk_thermo_state(self, x, v, typ, tag, q, msk, n):
+        """Borders + ghost exchange + list build for a one-off evaluation
+        (reuses the runner's closures via a tiny re-trace)."""
+        # local re-implementation: reuse borders/ghost logic by rebuilding
+        # through the shard body's helpers is messy; do it directly
+        box, p, ff = self.box, self.nparams, self.ff
+        capS, G, nd = self.capS, self.G, self.ndev
+        me = jax.lax.axis_index("x")
+        prd_x = box.prd[0]
+        arange = jnp.arange(capS, dtype=jnp.int32)
+        lam = box.to_lamda(x)[:, 0]
+        lam = lam - jnp.floor(lam)
+        exists = msk != 0
+        my_lo = me.astype(x.dtype) / nd
+        my_hi = (me.astype(x.dtype) + 1.0) / nd
+        gf = self.cutghost / prd_x
+        near_lo = exists & (lam < my_lo + gf)
+        near_hi = exists & (lam > my_hi - gf)
+
+        def mk(sel):
+            key = jnp.where(sel, arange, capS)
+            return jnp.sort(key)[:G]
+
+        sidx_l, sidx_r = mk(near_lo), mk(near_hi)
+        shift_l = jnp.where(me == 0, prd_x, 0.0).astype(x.dtype)
+        shift_r = jnp.where(me == nd - 1, -prd_x, 0.0).astype(x.dtype)
+        perm_l = [(i, (i - 1) % nd) for i in range(nd)]
+        perm_r = [(i, (i + 1) % nd) for i in range(nd)]
+        has_q = q is not None
+
+        def pack(sidx, shift):
+            valid = sidx < capS
+            safe = jnp.minimum(sidx, capS - 1)
+            gx = jnp.where(valid[:, None],
+                           x[safe] + jnp.stack(
+                               [shift, jnp.zeros_like(shift),
+                                jnp.zeros_like(shift)]), 0.0)
+            gt = jnp.where(valid, typ[safe], 0)
+            gg = jnp.where(valid, tag[safe], 0)
+            gq = jnp.where(valid, q[safe], 0.0) if has_q else None
+            gm = valid.astype(jnp.int32)
+            return [b for b in (gx, gt, gg, gq, gm) if b is not None]
+
+        gl = pack(sidx_l, shift_l)
+        gr = pack(sidx_r, shift_r)
+        rl = [jax.lax.ppermute(b, "x", perm_l) for b in gl]
+        rr = [jax.lax.ppermute(b, "x", perm_r) for b in gr]
+
+        def cat(a, b, c):
+            return jnp.concatenate([a, b, c], axis=0)
+
+        if has_q:
+            lx, lt, lg, lq, lm = rl
+            rx, rt, rg, rq, rm = rr
+            q_ext = cat(q, lq, rq)
+        else:
+            lx, lt, lg, lm = rl
+            rx, rt, rg, rm = rr
+            q_ext = None
+        x_ext = cat(x, lx, rx)
+        t_ext = cat(typ, lt, rt)
+        m_ext = cat(msk, lm, rm)
+        ps_ext = State(
+            x=x_ext, v=jnp.zeros_like(x_ext), f=jnp.zeros_like(x_ext),
+            type=t_ext, tag=jnp.zeros_like(t_ext),
+            image=jnp.zeros(x_ext.shape[:1] + (3,), dtype=jnp.int32),
+            q=q_ext, molecule=None, box=box, mass=self.mass,
+            nlocal=n, mask=m_ext,
+            virial=jnp.zeros(6, dtype=x_ext.dtype),
+            ntimestep=jnp.asarray(0, jnp.int32), aux={},
+            units_name=self.global_state.units_name,
+            dimension=self.global_state.dimension,
+        )
+        nl = nbr.build(ps_ext, p, special=ff.special)
+        return None, ps_ext, nl
 
     # -- gather / observables --------------------------------------------------
 

@@ -43,6 +43,22 @@ class ScriptError(RuntimeError):
     pass
 
 
+def _is_num(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+def _fmt_num(v) -> str:
+    """Number -> shortest exact-ish string for substitution."""
+    f = float(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
 @dataclasses.dataclass
 class PendingFix:
     fid: str
@@ -102,6 +118,14 @@ class LammpsScript:
         self.thermo_every = 0
         self.ntimestep = 0
         self.variables: dict[str, str] = dict(var_overrides or {})
+        self._equal_vars: dict[str, str] = {}
+        self._index_vars: dict[str, dict] = {
+            k: {"values": [v], "i": 0} for k, v in (var_overrides or {}).items()
+        }
+        self._jump_skip = False
+        self.computes: dict[str, tuple] = {}
+        self._msd_x0: dict = {}
+        self.thermo_style: list[str] | None = None  # None = default table
         self.groups: dict[str, int] = {"all": 1}
         self._group_defs: dict[str, tuple] = {}
         self.topology_raw: dict = {}
@@ -115,8 +139,9 @@ class LammpsScript:
 
     # -- driver --------------------------------------------------------------
 
-    def file(self, path: str):
-        """ref: Input::file — line loop with continuation (&) handling."""
+    @staticmethod
+    def _read_lines(path: str) -> list[str]:
+        out = []
         with open(path) as f:
             buf = ""
             for raw in f:
@@ -125,18 +150,108 @@ class LammpsScript:
                     buf += line.rstrip()[:-1]
                     continue
                 buf += line
-                self.one(buf)
+                out.append(buf)
                 buf = ""
             if buf.strip():
-                self.one(buf)
+                out.append(buf)
+        return out
+
+    def file(self, path: str):
+        """ref: Input::file — line loop with continuation (&) handling plus
+        label/jump/next/if/include control flow (ref: src/input.cpp:749-862
+        hardwired commands; jump re-reads the file, here a program counter
+        over the cached lines)."""
+        self._run_program(self._read_lines(path), path)
+
+    def _run_program(self, lines: list[str], path: str = "SELF"):
+        labels = {}
+        for i, ln in enumerate(lines):
+            w = ln.split("#")[0].split()
+            if w[:1] == ["label"] and len(w) > 1:
+                labels[w[1]] = i
+        pc = 0
+        while pc < len(lines):
+            line = lines[pc]
+            pc += 1
+            words = line.split("#")[0].split()
+            cmd = words[0] if words else None
+            if cmd == "label":
+                continue
+            if cmd == "jump":
+                if self._jump_skip:
+                    # an exhausted `next` skips the next jump
+                    # (ref: src/variable.cpp next semantics)
+                    self._jump_skip = False
+                    continue
+                target = self._substitute(" ".join(words[1:])).split()
+                fname = target[0]
+                if fname not in ("SELF", path):
+                    lines = self._read_lines(fname)
+                    labels = {}
+                    for i, ln in enumerate(lines):
+                        w = ln.split("#")[0].split()
+                        if w[:1] == ["label"] and len(w) > 1:
+                            labels[w[1]] = i
+                    path = fname
+                pc = labels[target[1]] if len(target) > 1 else 0
+                continue
+            if cmd == "next":
+                for name in words[1:]:
+                    vals = self._index_vars.get(name)
+                    if vals is None:
+                        raise ScriptError(f"next on non-index variable {name}")
+                    vals["i"] += 1
+                    if vals["i"] >= len(vals["values"]):
+                        del self._index_vars[name]
+                        self.variables.pop(name, None)
+                        self._jump_skip = True
+                    else:
+                        self.variables[name] = vals["values"][vals["i"]]
+                continue
+            if cmd == "include":
+                self._run_program(
+                    self._read_lines(self._substitute(words[1])), words[1])
+                continue
+            self.one(line)
+
+    def cmd_if(self, a):
+        """if "cond" then "cmd"... [elif "cond" "cmd"...] [else "cmd"...]
+        (ref: src/input.cpp if command; quoted commands are grouped by
+        one()'s quote-aware splitter)."""
+        i = 0
+        while i < len(a):
+            if a[i] == "else":
+                cond = None
+                i += 1
+            else:
+                cond = a[i]
+                i += 1
+                if i < len(a) and a[i] == "then":
+                    i += 1
+            cmds = []
+            while i < len(a) and a[i] not in ("elif", "else"):
+                cmds.append(a[i])
+                i += 1
+            if i < len(a) and a[i] == "elif":
+                i += 1
+            if cond is None or bool(self._eval_expr(cond)):
+                for c in cmds:
+                    self.one(c)
+                return
 
     def one(self, line: str):
         """ref: Input::one — substitute, parse, dispatch."""
         line = line.split("#")[0]
         line = self._substitute(line)
-        words = line.split()
-        if not words:
+        head = line.split(None, 1)
+        if not head:
             return
+        if head[0] in ("if", "print", "variable"):
+            import shlex
+
+            words = shlex.split(line)  # quoted sub-commands stay grouped
+        else:
+            words = line.split()
         if self.echo:
             self._emit("> " + " ".join(words))
         cmd, args = words[0], words[1:]
@@ -146,17 +261,44 @@ class LammpsScript:
         handler(args)
 
     def _substitute(self, line: str) -> str:
-        """$x and ${name} variable substitution (ref: Input::substitute)."""
+        """$x, ${name} and $(expr) substitution (ref: Input::substitute;
+        equal-style variables evaluate LAZILY at substitution time)."""
 
         def repl(m):
             name = m.group(1) or m.group(2)
+            if name in self._equal_vars:
+                return _fmt_num(self._eval_expr(self._equal_vars[name]))
             if name not in self.variables:
                 raise ScriptError(f"undefined variable ${name}")
             return str(self.variables[name])
 
+        def subst_immediate(s: str) -> str:
+            # $(expr) with balanced parens (ref: Input::substitute $(...))
+            out = []
+            i = 0
+            while i < len(s):
+                if s[i] == "$" and i + 1 < len(s) and s[i + 1] == "(":
+                    depth = 0
+                    j = i + 1
+                    while j < len(s):
+                        if s[j] == "(":
+                            depth += 1
+                        elif s[j] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        j += 1
+                    out.append(_fmt_num(self._eval_expr(s[i + 2:j])))
+                    i = j + 1
+                else:
+                    out.append(s[i])
+                    i += 1
+            return "".join(out)
+
         prev = None
         while prev != line:
             prev = line
+            line = subst_immediate(line)
             line = re.sub(r"\$\{(\w+)\}|\$(\w)", repl, line)
         return line
 
@@ -207,24 +349,111 @@ class LammpsScript:
 
     def cmd_variable(self, a):
         name, style = a[0], a[1]
-        if style in ("index", "string", "equal"):
-            if name not in self.variables:  # index vars keep first value
-                val = a[2]
-                if style == "equal":
-                    val = str(self._eval_expr(val))
-                self.variables[name] = val
+        if style == "index":
+            if name not in self._index_vars:
+                self._index_vars[name] = {"values": list(a[2:]), "i": 0}
+                self.variables.setdefault(name, a[2])
+        elif style == "loop":
+            if name not in self._index_vars:
+                n = int(a[2])
+                vals = [str(i) for i in range(1, n + 1)]
+                self._index_vars[name] = {"values": vals, "i": 0}
+                self.variables.setdefault(name, vals[0])
+        elif style == "string":
+            self.variables.setdefault(name, a[2])
+        elif style == "equal":
+            # lazy: evaluated at each substitution (thermo keywords are live)
+            self._equal_vars[name] = a[2]
         elif style == "delete":
             self.variables.pop(name, None)
+            self._equal_vars.pop(name, None)
+            self._index_vars.pop(name, None)
         else:
             raise ScriptError(f"variable style {style} not supported")
 
+    # thermo keywords usable in equal-style expressions
+    # (ref: src/variable.cpp thermo keyword dispatch -> Thermo::evaluate)
+    _THERMO_KEYS = ("step", "temp", "press", "pe", "ke", "etotal", "epair",
+                    "emol", "vol", "density", "atoms", "lx", "ly", "lz",
+                    "dt", "time", "elapsed")
+
+    def _thermo_keyword(self, key: str) -> float:
+        if key == "dt":
+            from .utils.units import get_units
+
+            return self.dt if self.dt is not None else get_units(
+                self.units_name).dt
+        if self.sim is None:
+            if key == "step":
+                return float(self.ntimestep)
+            if key == "atoms":
+                return float(len(self.positions))
+            raise ScriptError(
+                f"thermo keyword '{key}' in variable before any run")
+        row = self.sim.thermo()
+        row["step"] = self.sim.ntimestep
+        row["atoms"] = row["natoms"]
+        row["elapsed"] = self.sim.ntimestep
+        row["time"] = self.sim.ntimestep * (self.dt or 0.0)
+        import jax as _jax
+
+        box = self.sim.state.box
+        prd = _jax.device_get(box.prd)
+        row["lx"], row["ly"], row["lz"] = map(float, prd)
+        row["density"] = self._density(row)
+        return float(row[key])
+
+    def _density(self, row) -> float:
+        import jax as _jax
+
+        masses = self._mass_table()
+        types = np.asarray(_jax.device_get(self.sim.state.type))
+        valid = np.asarray(_jax.device_get(self.sim.state.valid_mask))
+        mtot = float(masses[types[valid]].sum())
+        u = get_units(self.units_name)
+        return u.mv2d * mtot / row["vol"]
+
     def _eval_expr(self, expr: str):
-        """Minimal equal-style expression evaluation (constants/arith)."""
-        safe = re.sub(r"v_(\w+)", lambda m: str(self.variables[m.group(1)]),
-                      expr)
-        if not re.fullmatch(r"[\d\.\+\-\*/\(\)eE ]+", safe):
+        """Equal-style expression engine: arithmetic, comparisons, boolean
+        ops, math functions, v_ variables, and thermo keywords (subset of
+        ref: src/variable.cpp evaluate)."""
+        import math
+
+        s = expr.strip()
+        s = re.sub(r"v_(\w+)", lambda m: self._var_value(m.group(1)), s)
+        s = s.replace("^", "**").replace("&&", " and ").replace("||", " or ")
+        s = re.sub(r"!(?!=)", " not ", s)
+        # thermo keywords -> values
+        for key in self._THERMO_KEYS:
+            if re.search(rf"\b{key}\b", s):
+                s = re.sub(rf"\b{key}\b", _fmt_num(self._thermo_keyword(key)),
+                           s)
+        allowed = {
+            "sqrt": math.sqrt, "exp": math.exp, "ln": math.log,
+            "log": math.log10, "abs": abs, "sin": math.sin, "cos": math.cos,
+            "tan": math.tan, "floor": math.floor, "ceil": math.ceil,
+            "round": round, "pow": pow, "PI": math.pi,
+            "and": None, "or": None, "not": None,
+        }
+        if not re.fullmatch(r"[\w\.\+\-\*/%\(\),<>=! \t]+", s):
             raise ScriptError(f"unsupported expression: {expr}")
-        return eval(safe, {"__builtins__": {}})
+        for tok in re.findall(r"[A-Za-z_]\w*", s):
+            if tok not in allowed and not re.fullmatch(
+                    r"\d*[eE]\d+|nan|inf", tok):
+                raise ScriptError(f"unknown token '{tok}' in: {expr}")
+        ns = {k: v for k, v in allowed.items() if v is not None}
+        try:
+            out = eval(s, {"__builtins__": {}}, ns)
+        except Exception as e:  # noqa: BLE001
+            raise ScriptError(f"bad expression: {expr} ({e})") from e
+        return float(out) if isinstance(out, bool) else out
+
+    def _var_value(self, name: str) -> str:
+        if name in self._equal_vars:
+            return "(" + str(self._eval_expr(self._equal_vars[name])) + ")"
+        if name in self.variables:
+            return str(self.variables[name])
+        raise ScriptError(f"undefined variable v_{name}")
 
     def cmd_lattice(self, a):
         style = a[0]
@@ -532,7 +761,23 @@ class LammpsScript:
         self.thermo_every = int(a[0])
 
     def cmd_thermo_style(self, a):
-        pass  # custom columns later; default table always printed
+        """thermo_style one|multi|custom <cols> (ref: src/thermo.cpp set_style;
+        `multi` keeps the default table — the reference's multi format is a
+        different layout of the same keywords)."""
+        if a[0] in ("one", "multi"):
+            self.thermo_style = None
+            return
+        if a[0] != "custom":
+            raise ScriptError(f"thermo_style {a[0]} unsupported")
+        cols = []
+        for w in a[1:]:
+            if w in self._THERMO_COLS:
+                cols.append(w)
+            elif w in ("pxx", "pyy", "pzz", "spcpu", "tpcpu", "cpuremain"):
+                continue  # accepted, not printed (subset)
+            else:
+                raise ScriptError(f"thermo_style keyword {w} unsupported")
+        self.thermo_style = cols
 
     def cmd_thermo_modify(self, a):
         pass
@@ -619,24 +864,89 @@ class LammpsScript:
         if self.topology_raw.get("bonds") is not None and nx * ny * nz > 1:
             raise ScriptError("replicate with topology not yet supported")
 
+    _THERMO_COLS = {
+        "step": ("Step", "{:>10d}"), "temp": ("Temp", "{:>14.8g}"),
+        "epair": ("E_pair", "{:>14.8g}"), "emol": ("E_mol", "{:>14.8g}"),
+        "etotal": ("TotEng", "{:>14.8g}"), "press": ("Press", "{:>14.8g}"),
+        "pe": ("PotEng", "{:>14.8g}"), "ke": ("KinEng", "{:>14.8g}"),
+        "vol": ("Volume", "{:>14.8g}"), "atoms": ("Atoms", "{:>10d}"),
+        "density": ("Density", "{:>14.8g}"), "lx": ("Lx", "{:>12.8g}"),
+        "ly": ("Ly", "{:>12.8g}"), "lz": ("Lz", "{:>12.8g}"),
+        "cpu": ("CPU", "{:>10.4g}"), "elapsed": ("Elaps", "{:>10d}"),
+    }
+
+    def _thermo_columns(self):
+        return self.thermo_style or ["step", "temp", "epair", "emol",
+                                     "etotal", "press"]
+
+    def _emit_thermo_row(self, sim, step_no, t0):
+        import jax as _jax
+
+        row = sim.thermo()
+        row["step"] = step_no
+        row["atoms"] = row["natoms"]
+        row["cpu"] = time.perf_counter() - t0
+        row["elapsed"] = step_no
+        prd = _jax.device_get(sim.state.box.prd)
+        row["lx"], row["ly"], row["lz"] = map(float, prd)
+        if "density" in self._thermo_columns():
+            row["density"] = self._density(row)
+        import math
+
+        parts = []
+        for c in self._thermo_columns():
+            fmt = self._THERMO_COLS[c][1]
+            v = row[c]
+            parts.append(fmt.format(int(v) if "d" in fmt else v))
+        self._emit(" ".join(parts))
+        if not all(math.isfinite(v) for v in row.values()
+                   if isinstance(v, float)):
+            raise ScriptError(f"non-finite thermo at step {step_no}: {row}")
+        return row
+
     def cmd_run(self, a):
+        """run N: the Output scheduler loop — thermo and every dump fire at
+        their OWN cadence (ref: src/output.cpp:339 next-step bookkeeping;
+        dumps are independent of thermo)."""
         nsteps = int(a[0])
         sim = self._build_simulation()
-        units = get_units(self.units_name)
-        self._emit("Step Temp E_pair E_mol TotEng Press")
+        if sim.nl is None:
+            sim.setup()
+        if "nh_run" in sim.state.aux:
+            begin = sim.ntimestep
+            sim.state = sim.state.replace(aux={
+                **sim.state.aux,
+                "nh_run": jnp.asarray([begin, begin + nsteps],
+                                      dtype=jnp.int32),
+            })
+        self._emit(" ".join(self._THERMO_COLS[c][0]
+                            for c in self._thermo_columns()))
+        t0 = time.perf_counter()
+        rows = [self._emit_thermo_row(sim, sim.ntimestep, t0)]
+        self._write_dumps(sim.ntimestep)
 
-        def on_thermo(step_no, row):
-            self._emit(
-                f"{step_no:>8d} {row['temp']:>14.8g} {row['epair']:>14.8g} "
-                f"{row['emol']:>14.8g} {row['etotal']:>14.8g} "
-                f"{row['press']:>14.8g}"
-            )
+        done = 0
+        while done < nsteps:
+            nxt = nsteps
+            if self.thermo_every > 0:
+                nxt = min(nxt, ((done // self.thermo_every) + 1)
+                          * self.thermo_every)
+            for d in self.dumps.values():
+                if d["every"] > 0:
+                    nxt = min(nxt, ((done // d["every"]) + 1) * d["every"])
+            seg = nxt - done
+            sim._run_segment_retry(seg)
+            sim.ntimestep += seg
+            done = nxt
+            step_no = sim.ntimestep
+            if done == nsteps or (self.thermo_every > 0
+                                  and done % self.thermo_every == 0):
+                rows.append(self._emit_thermo_row(sim, step_no, t0))
             self._write_dumps(step_no)
 
-        t0 = time.perf_counter()
-        rows = sim.run(nsteps, thermo_every=self.thermo_every,
-                       on_thermo=on_thermo)
-        loop = sim.last_loop_time
+        sim.state.x.block_until_ready()
+        loop = time.perf_counter() - t0
+        sim.last_loop_time = loop
         n = rows[-1]["natoms"]
         rate = nsteps / loop if loop > 0 else float("inf")
         self._emit(
@@ -647,18 +957,144 @@ class LammpsScript:
             f"Performance: {rate:.3f} timesteps/s, "
             f"{n * nsteps / max(loop, 1e-9) / 1e6:.3f} Matom-step/s"
         )
-        self.ntimestep += nsteps
+        # Finish-style breakdown (ref: src/finish.cpp:127-460): the step is
+        # one fused kernel, so report the list-rebuild statistics instead
+        # of per-section wall time
+        import jax as _jax
+
+        nb = int(_jax.device_get(sim.nl.nbuilds))
+        nd = int(_jax.device_get(sim.nl.ndanger))
+        self._emit(f"Neighbor list builds = {nb}  Dangerous builds = {nd}")
+        self.ntimestep = sim.ntimestep
         return rows
+
+    def cmd_compute(self, a):
+        """compute ID group style [args] (ref: src/modify.cpp add_compute;
+        supported styles: temp, pressure, pe, ke, msd, com, rdf, ke/atom,
+        pe/atom — evaluated on demand via get_compute)."""
+        cid, group, style = a[0], a[1], a[2]
+        known = ("temp", "pressure", "pe", "ke", "msd", "com", "rdf",
+                 "ke/atom", "pe/atom")
+        if style not in known:
+            raise ScriptError(f"compute style {style} unsupported")
+        self.computes[cid] = (group, style, a[3:])
+
+    def cmd_uncompute(self, a):
+        self.computes.pop(a[0], None)
+
+    def get_compute(self, cid: str):
+        """Evaluate a declared compute (host API, the analog of
+        lammps_extract_compute, ref: src/library.cpp:2049)."""
+        from .compute import observables as obs
+        from .compute import thermo as thermo_mod
+
+        group, style, args = self.computes[cid]
+        sim = self._build_simulation()
+        if sim.nl is None:
+            sim.setup()
+        gbit = self.groups.get(group, 1)
+        st = sim.state
+        u = sim.units
+        if style == "temp":
+            return float(thermo_mod.temperature(st, u,
+                                                sim.total_extra_dof()))
+        if style == "pressure":
+            row = sim.thermo()
+            return row["press"]
+        if style == "pe":
+            row = sim.thermo()
+            return row["pe"] * (row["natoms"] if u.norm_default else 1.0)
+        if style == "ke":
+            row = sim.thermo()
+            return row["ke"] * (row["natoms"] if u.norm_default else 1.0)
+        if style == "msd":
+            x0 = self._msd_x0.setdefault(cid, obs.unwrapped(st))
+            return np.asarray(obs.msd(st, x0, groupbit=gbit))
+        if style == "com":
+            return np.asarray(obs.com(st, groupbit=gbit))
+        if style == "rdf":
+            nbins = int(args[0]) if args else 50
+            return obs.rdf(st, nbins=nbins)
+        if style == "ke/atom":
+            return np.asarray(obs.ke_atom(st))
+        if style == "pe/atom":
+            return np.asarray(obs.pe_atom(sim, groupbit=gbit))
+        raise ScriptError(style)
+
+    def cmd_minimize(self, a):
+        """minimize etol ftol maxiter maxeval (ref: src/min.cpp:429 Min::run;
+        CG with the FIRE fallback lives in integrate/minimize.py)."""
+        from .integrate.minimize import minimize_fire
+
+        etol, ftol = float(a[0]), float(a[1])
+        maxiter = int(a[2])
+        sim = self._build_simulation()
+        if sim.nl is None:
+            sim.setup()
+        row0 = sim.thermo()
+        state, info = minimize_fire(sim, etol=etol, ftol=ftol,
+                                    maxiter=maxiter)
+        sim.state = state
+        row1 = sim.thermo()
+        self._emit(
+            f"Minimization: E_pair {row0['pe']:.8g} -> {row1['pe']:.8g} "
+            f"(iterations {info['iterations']}, fmax {float(info['fmax']):.3g})"
+        )
 
     def cmd_write_restart(self, a):
         from .io.restart import write_restart
 
         if self.sim is None:
             self._build_simulation()
-        write_restart(a[0], self.sim)
+        write_restart(a[0], self.sim, script_meta=self._script_meta())
+
+    def _script_meta(self) -> dict:
+        return {
+            "units": self.units_name,
+            "atom_style": self.atom_style,
+            "boundary": list(self.boundary),
+            "dt": self.dt,
+            "skin": self.skin,
+            "neigh": [self.neigh_every, self.neigh_delay, self.neigh_check],
+            "thermo_every": self.thermo_every,
+            "ntimestep": self.ntimestep,
+        }
 
     def cmd_read_restart(self, a):
-        raise ScriptError("read_restart: use io.restart.read_restart")
+        """read_restart file: restore the state pytree; styles come from
+        the surrounding script commands as usual (our restart stores the
+        per-atom payload + fix internals; the reference also serializes
+        style coeffs — ref: src/read_restart.cpp)."""
+        from .io.restart import read_restart
+
+        state, meta = read_restart(a[0], with_meta=True)
+        self._restart_state = state
+        if meta:
+            self.units_name = meta.get("units", self.units_name)
+            self.atom_style = meta.get("atom_style", self.atom_style)
+            if meta.get("dt") is not None:
+                self.dt = meta["dt"]
+            if meta.get("skin") is not None:
+                self.skin = meta["skin"]
+            if meta.get("neigh"):
+                self.neigh_every, self.neigh_delay, self.neigh_check = \
+                    meta["neigh"]
+            self.ntimestep = int(meta.get("ntimestep", 0))
+        import jax as _jax
+
+        from .core.state import atom_order
+
+        rows = atom_order(state)
+        self.positions = np.asarray(_jax.device_get(state.x))[rows].tolist()
+        self.types = np.asarray(_jax.device_get(state.type))[rows].tolist()
+        self.velocities = np.asarray(_jax.device_get(state.v))[rows]
+        if state.q is not None:
+            self.charges = np.asarray(
+                _jax.device_get(state.q))[rows].tolist()
+        self.box = state.box
+        self.data_masses = np.asarray(_jax.device_get(state.mass))
+        self.ntypes = max(self.ntypes, len(self.data_masses) - 1,
+                          int(max(self.types)) if self.types else 0)
 
     def cmd_write_data(self, a):
         from .io.dump import write_data
@@ -871,6 +1307,11 @@ class LammpsScript:
                                    shift=shift, dtype=dt)
             elif name == "zero":
                 pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
+            elif name in ("sph/taitwater", "sph/taitwater/morris",
+                          "sph/rhosum") or (
+                    name == "hybrid/overlay"
+                    and any(w.startswith("sph/") for w in args)):
+                pair = self._build_sph_pair(name, args)
             else:
                 raise ScriptError(f"pair style {name} unsupported")
 
@@ -939,6 +1380,50 @@ class LammpsScript:
             pair=pair, bond=bond, angle=angle, dihedral=dihedral,
             improper=improper, kspace=kspace, topology=top, special=special,
         )
+
+    def _build_sph_pair(self, name: str, args: list[str]):
+        """SPH styles, incl. the canonical
+        `hybrid/overlay sph/rhosum N sph/taitwater[...]` which fuses into
+        one summation-density style (ref: examples/PACKAGES/sph decks;
+        models/pair_sph.py docstring for the design)."""
+        from .models.pair_sph import make_sph_rhosum, make_sph_taitwater
+
+        def rows_for(sub: str | None):
+            out = {}
+            for c in self.pair_coeffs:
+                toks = list(c)
+                if len(toks) > 2 and not _is_num(toks[2]):
+                    if sub is None or toks[2] != sub:
+                        continue
+                    vals = toks[3:]
+                elif sub is not None and name == "hybrid/overlay":
+                    continue
+                else:
+                    vals = toks[2:]
+                ii = (range(1, self.ntypes + 1) if toks[0] == "*"
+                      else [int(toks[0])])
+                jj = (range(1, self.ntypes + 1) if toks[1] == "*"
+                      else [int(toks[1])])
+                for i in ii:
+                    for j in jj:
+                        if j >= i:
+                            out[(i, j)] = tuple(float(v) for v in vals)
+            return out
+
+        if name == "sph/rhosum":
+            return make_sph_rhosum(self.ntypes, rows_for(None),
+                                   dimension=self.dimension)
+        if name in ("sph/taitwater", "sph/taitwater/morris"):
+            return make_sph_taitwater(
+                self.ntypes, rows_for(None), morris=name.endswith("morris"),
+                dimension=self.dimension)
+        # hybrid/overlay: rhosum + taitwater[/morris]
+        tait_name = next(w for w in args if w.startswith("sph/taitwater"))
+        tait = rows_for(tait_name)
+        rho_cut = {k: v[0] for k, v in rows_for("sph/rhosum").items()}
+        return make_sph_taitwater(
+            self.ntypes, tait, morris=tait_name.endswith("morris"),
+            rho_cut=rho_cut or None, dimension=self.dimension)
 
     def _pair_coeff_dict(self):
         coeffs = {}
@@ -1109,6 +1594,24 @@ class LammpsScript:
                 fixes.append(FixRecenter(groupbit=gbit))
             elif f.style == "shake":
                 pass  # materialized by _build_shake (needs topology)
+            elif f.style == "sph":
+                # summation density: rho needs no time integration, so
+                # `fix sph` is group-scoped velocity-Verlet
+                # (ref: src/SPH/fix_sph.cpp; models/pair_sph.py design note)
+                integ = Integrator(dt=dt, units=units, groupbit=gbit)
+            elif f.style == "sph/stationary":
+                pass  # no x/v update; rho re-summed every step anyway
+            elif f.style == "gravity":
+                from .integrate.fixes import FixGravity
+
+                mag = float(f.args[0])
+                kw = {}
+                if "vector" in f.args:
+                    vi = f.args.index("vector")
+                    kw = dict(vx=float(f.args[vi + 1]),
+                              vy=float(f.args[vi + 2]),
+                              vz=float(f.args[vi + 3]))
+                fixes.append(FixGravity(g=mag, groupbit=gbit, **kw))
             else:
                 raise ScriptError(f"fix style {f.style} unsupported")
         if integ is None:

@@ -85,6 +85,64 @@ create_atoms    1 box
         assert [f.fid for f in s.fixes] == ["1"]
 
 
+class TestControlFlow:
+    def test_loop_label_jump_next(self, tmp_path, capsys):
+        deck = """
+variable        i loop 3
+label           top
+print           "iter $i"
+next            i
+jump            SELF top
+print           "done"
+"""
+        p = tmp_path / "in.loop"
+        p.write_text(deck)
+        s = LammpsScript(dtype=jnp.float64)
+        s.file(str(p))
+        out = capsys.readouterr().out
+        assert out.count("iter") == 3
+        assert "done" in out
+
+    def test_if_elif_else(self, capsys):
+        s = LammpsScript(dtype=jnp.float64)
+        s.one('variable x equal 5')
+        s.one('if "${x} < 3" then "print low" elif "${x} < 10" "print mid" '
+              'else "print high"')
+        assert "mid" in capsys.readouterr().out
+
+    def test_include(self, tmp_path, capsys):
+        inc = tmp_path / "inc.in"
+        inc.write_text('print "from-include"\n')
+        main = tmp_path / "main.in"
+        main.write_text(f"include {inc}\n")
+        s = LammpsScript(dtype=jnp.float64)
+        s.file(str(main))
+        assert "from-include" in capsys.readouterr().out
+
+    def test_equal_var_with_thermo_keyword_is_lazy(self, capsys):
+        s = run_deck(MELT_DECK.replace("run             50", "run 10")
+                     + "\nvariable t2 equal 2*temp\nprint \"t=${t2}\"")
+        out = capsys.readouterr().out
+        row = s.sim.thermo()
+        t_line = [ln for ln in out.splitlines() if ln.startswith("t=")][0]
+        assert abs(float(t_line[2:]) - 2 * row["temp"]) < 1e-9
+
+    def test_immediate_expression(self, capsys):
+        s = LammpsScript(dtype=jnp.float64)
+        s.one('print "$(sqrt(16)+1)"')
+        assert "5" in capsys.readouterr().out
+
+
+class TestMinimizeCommand:
+    def test_minimize_lowers_energy(self):
+        deck = MELT_DECK.replace("run             50",
+                                 "minimize 0 1e-4 100 1000")
+        s = run_deck(deck)
+        row = s.sim.thermo()
+        # fcc lattice at rho=0.8442 minimized: pe below the hot start
+        assert row["pe"] < -6.7
+
+
 class TestGroups:
     def test_region_group_mask_bits(self):
         deck = """
@@ -245,6 +303,8 @@ class TestDump:
         write_data(p, s.sim)
         df = read_data(p, atom_style="atomic")
         assert df.natoms == 864
-        x0 = np.asarray(s.sim.state.x)[:864]
+        from lammps_kokkos_port_tpu.core.state import atom_order
+
+        x0 = np.asarray(s.sim.state.x)[atom_order(s.sim.state)]
         np.testing.assert_allclose(df.x, x0, atol=1e-12)
 """run 0 support check is implicit: run_deck with run 0 emits only step 0."""
