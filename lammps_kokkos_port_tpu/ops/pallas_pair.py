@@ -342,6 +342,131 @@ def column_force_pallas(key, ncells, gx, gy, gz, gi, prd):
 _VMEM_ROW_LIMIT = 300_000
 
 
+def _slab_kernel(key, S, ny, nz, cc, prd_ref,
+                 gx, gy, gz, gi, fx, fy, fz, cand_scratch):
+    """Big-N variant: one x-slab of the grid ([S+2, ny, nz, cc] with halo
+    planes) lives in VMEM; program (sx, cy) evaluates its column with the
+    full 27-stencil. x wrap shifts were pre-applied to the halo planes by
+    the caller (XLA side), y/z wraps are handled in-kernel. Output planes
+    cover only the S interior planes."""
+    pid = pl.program_id(0)
+    nyi = jnp.int32(ny)
+    sx = pid // nyi  # 0..S-1 -> interior plane sx+1
+    cy = pid - sx * nyi
+    cutsq = key[-1]
+
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
+    k = 0
+    for dxp in (-1, 0, 1):
+        px = sx + jnp.int32(dxp + 1)  # halo offset: interior planes at +1
+        for dy in (-1, 0, 1):
+            wy = cy + jnp.int32(dy)
+            ncy = jax.lax.rem(wy + nyi, nyi)
+            sy = jnp.where(wy < 0, -prd_ref[1],
+                           jnp.where(wy >= nyi, prd_ref[1], 0.0))
+            for a, ref in enumerate((gx, gy, gz, gi)):
+                col = ref[px, ncy]  # [nz, cc]
+                if a == 1:
+                    col = col + sy
+                for dz in (-1, 0, 1):
+                    blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
+                    if a == 2 and dz != 0:
+                        seam = (zrow == (nz - 1 if dz > 0 else 0))
+                        blk = blk + jnp.where(
+                            seam, jnp.float32(dz) * prd_ref[2], 0.0
+                        ).astype(blk.dtype)
+                    cand_scratch[a, :, (k + dz + 1) * cc:(k + dz + 2) * cc] = blk
+            k += 3
+
+    # evaluate in z-chunks: the [nzb, cc, 27cc] pair block and its
+    # temporaries must fit VMEM alongside the slab planes
+    NZB = 8
+    for z0 in range(0, nz, NZB):
+        zb = min(NZB, nz - z0)
+        own_x = gx[sx + 1, cy, z0:z0 + zb][:, :, None]
+        own_y = gy[sx + 1, cy, z0:z0 + zb][:, :, None]
+        own_z = gz[sx + 1, cy, z0:z0 + zb][:, :, None]
+        own_i = gi[sx + 1, cy, z0:z0 + zb][:, :, None]
+
+        cwin = [cand_scratch[a, z0:z0 + zb] for a in range(4)]
+        dxv = own_x - cwin[0][:, None, :]
+        dyv = own_y - cwin[1][:, None, :]
+        dzv = own_z - cwin[2][:, None, :]
+        r2 = dxv * dxv + dyv * dyv + dzv * dzv
+        ic = cwin[3]
+        valid = jnp.logical_and(
+            jnp.logical_and(own_i != ic[:, None, :],
+                            (ic >= 0.0)[:, None, :]),
+            jnp.logical_and(own_i >= 0.0, r2 < cutsq),
+        )
+        r2s = jnp.where(valid, r2, 1.0)
+        fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+        fx[sx, cy, z0:z0 + zb] = jnp.sum(dxv * fpair, axis=-1)
+        fy[sx, cy, z0:z0 + zb] = jnp.sum(dyv * fpair, axis=-1)
+        fz[sx, cy, z0:z0 + zb] = jnp.sum(dzv * fpair, axis=-1)
+
+
+def _slab_call(key, S, gx, gy, gz, gi, prd):
+    """gx..gi: [S+2, ny, nz, cc] (halo planes pre-shifted). Returns
+    (fx, fy, fz) [S, ny, nz, cc]."""
+    _, ny, nz, cc = gx.shape
+    dt = gx.dtype
+    kern = functools.partial(_slab_kernel, key, S, ny, nz, cc)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    out_shape = [jax.ShapeDtypeStruct((S, ny, nz, cc), dt) for _ in range(3)]
+    return pl.pallas_call(
+        kern,
+        grid=(S * ny,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 4,
+        out_specs=[full] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((4, nz, 27 * cc), dt)],
+        interpret=interpret,
+    )(prd, gx, gy, gz, gi)
+
+
+@functools.partial(jax.jit, static_argnames=("key", "ncells"))
+def plane_force_pallas(key, ncells, gx, gy, gz, gi, prd):
+    """Big-N force pass: the grid streams through VMEM one x-slab at a
+    time (lax.map over chunks; XLA stages the contiguous halo slices), the
+    slab kernel does the dense evaluation. g*: [nx, ny, nz, cc]."""
+    nx, ny, nz, cc = gx.shape
+    dt = gx.dtype
+    plane_rows = ny * nz * cc
+    S = max(1, min(nx, (_VMEM_ROW_LIMIT // 2) // plane_rows))
+    while nx % S:
+        S -= 1
+    nchunk = nx // S
+
+    # pre-shift the wrap seams once: plane 0's left halo is plane nx-1
+    # shifted by -Lx, plane nx-1's right halo is plane 0 shifted by +Lx
+    def halo(arr, shift_val, is_x):
+        lo = arr[-1:]
+        hi = arr[:1]
+        if is_x:
+            lo = lo - shift_val
+            hi = hi + shift_val
+        return lo, hi
+
+    Lx = prd[0]
+    parts = []
+    for a, arr in enumerate((gx, gy, gz, gi)):
+        lo, hi = halo(arr, Lx, a == 0)
+        parts.append(jnp.concatenate([lo, arr, hi], axis=0))
+    gxp, gyp, gzp, gip = parts  # [nx+2, ...]
+
+    def one_chunk(i):
+        sl = [jax.lax.dynamic_slice_in_dim(p, i * S, S + 2, axis=0)
+              for p in (gxp, gyp, gzp, gip)]
+        return _slab_call(key, S, *sl, prd)
+
+    fx, fy, fz = jax.lax.map(one_chunk, jnp.arange(nchunk))
+    # [nchunk, S, ny, nz, cc] -> [nx, ny, nz, cc]
+    reshape = lambda a: a.reshape(nx, ny, nz, cc)
+    return reshape(fx), reshape(fy), reshape(fz)
+
+
 def compute_force(key, state, cl, block: int = 8):
     """Force-only cell-dense pass via the Pallas kernel.
 

@@ -173,13 +173,21 @@ def compute(style, state: State, cl: SortedCells, eflag: bool, vflag: bool):
 
             ids = jnp.where(state.valid_mask,
                             jnp.arange(cap, dtype=jnp.int32), -1).astype(dt)
-            g = state.x.reshape(nx * ny, nz, cc, 3)
             prd = state.box.prd.astype(dt)
-            fx, fy, fz = pallas_pair.column_half_force_pallas(
-                key, p.ncells, cap,
-                g[..., 0], g[..., 1], g[..., 2],
-                ids.reshape(nx * ny, nz, cc), prd,
-            )
+            if cap <= pallas_pair._VMEM_ROW_LIMIT:
+                g = state.x.reshape(nx * ny, nz, cc, 3)
+                fx, fy, fz = pallas_pair.column_half_force_pallas(
+                    key, p.ncells, cap,
+                    g[..., 0], g[..., 1], g[..., 2],
+                    ids.reshape(nx * ny, nz, cc), prd,
+                )
+            else:
+                g = state.x.reshape(nx, ny, nz, cc, 3)
+                fx, fy, fz = pallas_pair.plane_force_pallas(
+                    key, p.ncells,
+                    g[..., 0], g[..., 1], g[..., 2],
+                    ids.reshape(nx, ny, nz, cc), prd,
+                )
             f = jnp.stack([fx.reshape(-1), fy.reshape(-1),
                            fz.reshape(-1)], axis=-1).reshape(cap, 3)
             return f, None, None

@@ -140,10 +140,9 @@ class Simulation:
             self.list_mode = "matrix"
             return
         # cell-major (sorted) state: fastest path, needs a scalarizable
-        # style, a fully periodic orthogonal box, no aux fixes carrying
-        # per-atom state, and a grid that fits VMEM (ops/sortedforce)
-        from .ops.pallas_pair import _VMEM_ROW_LIMIT
-
+        # style, a fully periodic orthogonal box, and no aux fixes carrying
+        # per-atom state (ops/sortedforce; the VMEM column kernel or the
+        # HBM plane kernel is picked by size inside)
         kk = getattr(ff.pair, "kernel_key", None)
         sorted_ok = (
             kk is not None and kk() is not None
@@ -151,7 +150,6 @@ class Simulation:
             and not self.state.box.triclinic
             and not self.fixes
             and not self.integrator.needs_virial  # barostats move the box
-            and params.total_cells * params.cell_cap <= _VMEM_ROW_LIMIT
         )
         self.list_mode = "sorted" if sorted_ok else "grid"
 
