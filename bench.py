@@ -82,15 +82,37 @@ def main():
         log(f"lj-1m failed: {e}")
 
     # -- secondary: EAM Cu 32k (bench/in.eam) ------------------------------
+    # dense Chebyshev-resampled path (ops/eamdense; force err < ~1e-3 rel
+    # vs the exact spline path, which stays the default for golden parity)
     try:
         sim = eam_bulk_cu_sim(cells=20, dtype=jnp.float32)
+        sim._list_mode_req = "grid"
         r, n, st = run_rate(sim)
-        log(f"eam-32k [{sim.list_mode}]: {r/1e6:.2f} M atom-steps/s "
+        log(f"eam-32k [{sim.list_mode} dense]: {r/1e6:.2f} M atom-steps/s "
             f"({st*1e3:.2f} ms/step), vs CPU baseline "
             f"{r/BASELINE_EAM:.1f}x")
         extra["eam_32k_atom_steps_per_sec"] = round(r)
     except Exception as e:  # noqa: BLE001
         log(f"eam-32k failed: {e}")
+
+    # -- 10k-step energy drift (BASELINE.json second metric) ----------------
+    try:
+        sim = lj_melt_sim(cells=20, t_init=T_INIT, seed=SEED,
+                          dtype=jnp.float32, every=20, delay=0, check=False)
+        sim.setup()
+        e0 = sim.thermo()["etotal"]
+        runner = sim._get_segment_runner()
+        s, l = sim.state, sim.nl
+        for _ in range(100):
+            s, l = runner(s, l, 100)
+        sim.state, sim.nl = s, l
+        e1 = sim.thermo()["etotal"]
+        log(f"lj-32k 10k-step etotal drift: {e1 - e0:+.3e} per atom "
+            f"(f32; reference deck drifts too — truncated potential + "
+            f"check-no policy, BASELINE.md)")
+        extra["lj_32k_drift_10k"] = e1 - e0
+    except Exception as e:  # noqa: BLE001
+        log(f"drift measurement failed: {e}")
 
     print(json.dumps({
         "metric": "lj_melt_32k_atom_steps_per_sec",

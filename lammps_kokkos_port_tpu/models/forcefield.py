@@ -55,8 +55,13 @@ class ForceField:
         if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells,
                            sortedforce.SortedCells)):
             # dense fast paths: pair-only force fields (see ops/cellforce,
-            # ops/gridforce, ops/sortedforce)
-            if isinstance(nl, sortedforce.SortedCells):
+            # ops/gridforce, ops/sortedforce; two-pass styles like EAM take
+            # ops/eamdense)
+            if getattr(self.pair, "dense_two_pass", False):
+                from ..ops import eamdense
+
+                ops = eamdense
+            elif isinstance(nl, sortedforce.SortedCells):
                 ops = sortedforce
             elif isinstance(nl, gridforce.GridCells):
                 ops = gridforce

@@ -118,6 +118,12 @@ class PairEAM:
     def max_cutoff(self) -> float:
         return self.cutmax
 
+    @property
+    def dense_two_pass(self) -> bool:
+        """Single-element styles take the gather-free dense path
+        (ops/eamdense: Chebyshev-resampled tables + grid rolls)."""
+        return self.ntypes == 1
+
     def _r_index(self, r):
         """(m, frac) for the r-grid, 1-based (ref: p = r*rdr + 1)."""
         p = r * (1.0 / self.dr) + 1.0

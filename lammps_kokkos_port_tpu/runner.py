@@ -127,9 +127,10 @@ class Simulation:
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
             return
+        two_pass = getattr(ff.pair, "dense_two_pass", False)
         dense_ok = (
             ff.pair is not None
-            and hasattr(ff.pair, "pair_terms")
+            and (hasattr(ff.pair, "pair_terms") or two_pass)
             and ff.special is None
             and ff.kspace is None
             and ff.bond is None and ff.angle is None
@@ -137,6 +138,13 @@ class Simulation:
             and not params.all_pairs
         )
         if not dense_ok:
+            self.list_mode = "matrix"
+            return
+        if two_pass:
+            # EAM-class styles: the exact spline path stays the default
+            # (bit-parity with the reference's golden logs); the resampled
+            # dense path (ops/eamdense, force err < ~1e-3 rel) is opt-in
+            # via list_mode="grid"
             self.list_mode = "matrix"
             return
         # cell-major (sorted) state: fastest path, needs a scalarizable

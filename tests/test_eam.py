@@ -88,3 +88,53 @@ class TestEAMFullDeck:
         assert r50["etotal"] == pytest.approx(GOLDEN50["etotal"], rel=1e-6)
         assert r100["temp"] == pytest.approx(GOLDEN100["temp"], rel=1e-3)
         assert r100["etotal"] == pytest.approx(GOLDEN100["etotal"], rel=1e-6)
+
+
+class TestEAMDense:
+    def test_dense_path_matches_spline(self):
+        """ops/eamdense (Chebyshev-resampled, gather-free) vs the exact
+        spline/matrix path on a thermally jittered bulk: forces within the
+        resampling tolerance, energy much tighter."""
+        import jax
+
+        from lammps_kokkos_port_tpu.ops import gridforce
+        from lammps_kokkos_port_tpu.ops import neighbor as nbr
+        from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
+
+        sim = eam_bulk_cu_sim(cells=5, dtype=jnp.float64)
+        sim._list_mode_req = "grid"
+        sim.setup()
+        rng = np.random.default_rng(3)
+        x = np.asarray(sim.state.x)
+        valid = np.asarray(jax.device_get(sim.state.valid_mask))
+        x = x + rng.normal(scale=0.08, size=x.shape) * valid[:, None]
+        st = sim.state.replace(x=jnp.asarray(x))
+        nl = gridforce.rebuild_merge(st, sim.nl)
+        f_d, pe_d, _, vir_d = sim.force_fn(st, nl, True, True)
+
+        p = nbr.size_for_system(st, cutneigh=sim.pair_style.max_cutoff() + 1.0,
+                                skin=1.0)
+        ml = nbr.build(st, p)
+        while bool(ml.overflow):
+            p = nbr.grow(p)
+            ml = nbr.build(st, p)
+        f_m, pe_m, vir_m = sim.pair_style.compute(st, ml, True, True)
+        fm, fd = np.asarray(f_m), np.asarray(f_d)
+        scale = np.abs(fm).max()
+        assert np.abs(fd - fm)[valid].max() / scale < 2e-3
+        assert abs(float(pe_d) - float(pe_m)) / abs(float(pe_m)) < 1e-5
+        assert (np.abs(np.asarray(vir_d) - np.asarray(vir_m)).max()
+                / np.abs(np.asarray(vir_m)).max()) < 1e-3
+
+    def test_dense_nve_stable(self):
+        """Short NVE on the dense path: finite and energy-conserving to the
+        resampling tolerance."""
+        from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
+
+        sim = eam_bulk_cu_sim(cells=4, dtype=jnp.float64)
+        sim._list_mode_req = "grid"
+        sim.setup()
+        rows = sim.run(20, thermo_every=20)
+        e0, e1 = rows[0]["etotal"], rows[-1]["etotal"]
+        assert np.isfinite(e1)
+        assert abs(e1 - e0) / abs(e0) < 1e-4
