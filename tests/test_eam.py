@@ -131,7 +131,7 @@ class TestEAMDense:
         resampling tolerance."""
         from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
 
-        sim = eam_bulk_cu_sim(cells=4, dtype=jnp.float64)
+        sim = eam_bulk_cu_sim(cells=6, dtype=jnp.float64)
         sim._list_mode_req = "grid"
         sim.setup()
         rows = sim.run(20, thermo_every=20)
