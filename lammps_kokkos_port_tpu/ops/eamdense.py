@@ -87,11 +87,20 @@ def build_poly_tables(style) -> dict | None:
         return np.polynomial.chebyshev.chebfit(t, y, deg)
 
     u_lo, u_hi = r_lo * r_lo, rc * rc
+
+    def cheb_der(c, lo, hi):
+        # derivative SERIES of the fitted values (not an independent fit of
+        # the spline derivatives): forces stay the exact gradient of the
+        # fitted energy, so NVE conserves to integrator error
+        return np.polynomial.chebyshev.chebder(c) * (2.0 / (hi - lo))
+
+    g_c = fit(rho_v, u, u_lo, u_hi)
+    phi_c = fit(z2_v / r, u, u_lo, u_hi)
     tabs = {
-        "g": fit(rho_v, u, u_lo, u_hi),
-        "a": fit(rho_d / r, u, u_lo, u_hi),
-        "b": fit(z2_d / u - z2_v / (u * r), u, u_lo, u_hi),
-        "phi": fit(z2_v / r, u, u_lo, u_hi),
+        "g": g_c,
+        "a": 2.0 * cheb_der(g_c, u_lo, u_hi),   # drho/dx = 2 g'(u) dx
+        "b": 2.0 * cheb_der(phi_c, u_lo, u_hi),  # = phip/r
+        "phi": phi_c,
     }
     # embedding: F(rho) ~ -c sqrt(rho) near 0 (F' diverges), so fit in
     # s = sqrt(rho) over [s_lo, s_max]; below s_lo the inputs clamp
@@ -100,9 +109,11 @@ def build_poly_tables(style) -> dict | None:
     s_hi = np.sqrt(rho_hi)
     s_lo = 0.3 * s_hi  # rho >= 9% of table max: the dense-solid regime
     sg = np.linspace(s_lo, s_hi, 8192)
-    f_v, f_d = _spline_val_der(frho, nrho, drho, sg * sg)
-    tabs["F"] = fit(f_v, sg, s_lo, s_hi, DEG_EMBED)
-    tabs["Fp"] = fit(f_d, sg, s_lo, s_hi, DEG_EMBED)
+    f_v, _ = _spline_val_der(frho, nrho, drho, sg * sg)
+    F_c = fit(f_v, sg, s_lo, s_hi, DEG_EMBED)
+    tabs["F"] = F_c
+    # F'(rho) = F_s'(s) / (2 s) — consistent with the fitted F
+    tabs["Fp_s"] = cheb_der(F_c, s_lo, s_hi)
     tabs["u_range"] = (u_lo, u_hi)
     tabs["s_range"] = (s_lo, s_hi)
     tabs["rho_range"] = (s_lo * s_lo, rho_hi)
@@ -197,7 +208,8 @@ def compute(style, state: State, cl, eflag: bool, vflag: bool):
     rho = jnp.where(vg_valid, rho, 0.0)
     s_lo, s_hi = tabs["s_range"]
     s = jnp.sqrt(jnp.clip(rho, rho_lo, rho_hi))
-    fp = jnp.where(vg_valid, _clenshaw(tabs["Fp"], s, s_lo, s_hi), 0.0)
+    fp = jnp.where(vg_valid,
+                   _clenshaw(tabs["Fp_s"], s, s_lo, s_hi) / (2.0 * s), 0.0)
 
     # ---- pass 2: forces (+ pair energy/virial) ----------------------------
     want_e = eflag
