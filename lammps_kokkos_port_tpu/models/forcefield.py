@@ -98,23 +98,42 @@ class ForceField:
 
         top = self.topology
         if self.bond is not None and top is not None:
-            out = bonded_mod.compute_bonds(self.bond, state, top, eflag, vflag)
+            # explicit-force styles (e.g. the RBC bond wlc_pow_all_visc,
+            # non-conservative) provide compute() directly; conservative
+            # styles go through the autodiff engine
+            if hasattr(self.bond, "compute"):
+                out = (self.bond.compute(state, top, eflag, vflag)
+                       if top.bonds.shape[0] else None)
+            else:
+                out = bonded_mod.compute_bonds(
+                    self.bond, state, top, eflag, vflag)
             if out is not None:
                 bf, be, bv = out
                 f = f + bf
                 emol = acc(emol, be)
                 virial = acc(virial, bv)
         if self.angle is not None and top is not None:
-            out = bonded_mod.compute_angles(self.angle, state, top, eflag, vflag)
+            if hasattr(self.angle, "compute"):
+                out = (self.angle.compute(state, top, eflag, vflag)
+                       if top.angles.shape[0] else None)
+            else:
+                out = bonded_mod.compute_angles(
+                    self.angle, state, top, eflag, vflag)
             if out is not None:
                 af, ae, av = out
                 f = f + af
                 emol = acc(emol, ae)
                 virial = acc(virial, av)
         if self.dihedral is not None and top is not None:
-            out = bonded_mod.compute_dihedrals(
-                self.dihedral, state, top, eflag, vflag, which="dihedrals"
-            )
+            if hasattr(self.dihedral, "compute"):
+                out = (self.dihedral.compute(state, top, eflag, vflag)
+                       if top.dihedrals.shape[0] else None)
+                out = out + (None,) if out is not None else None
+            else:
+                out = bonded_mod.compute_dihedrals(
+                    self.dihedral, state, top, eflag, vflag,
+                    which="dihedrals"
+                )
             if out is not None:
                 df, de, dv, extra14 = out
                 f = f + df

@@ -1148,6 +1148,13 @@ class LammpsScript:
             state = state.replace(mask=jnp.asarray(
                 self._resolve_group_masks(x, types, n, cap)))
 
+        # RBC membrane styles consume reference positions x0 (the fork's
+        # atom_vec_x0image field, ref: src/KOKKOS/atom_vec_x0image_kokkos.cpp)
+        if (self.bond_style_name == "wlc_pow_all_visc"
+                or self.angle_style_name == "area_volume3"
+                or self.dihedral_style_name == "bend2"):
+            state = state.replace(aux={**state.aux, "x0": state.x})
+
         # fix shake pre-pass: build constraints AND remove constrained
         # bonds/angles from the force topology (ref: fix_shake.cpp:2775,2832
         # — constrained types are negated so ntopo skips them)
@@ -1323,6 +1330,13 @@ class LammpsScript:
         elif self.bond_style_name == "fene":
             bond = bonded.make_bond_fene(self.nbondtypes, self.bond_coeffs,
                                          dtype=dt)
+        elif self.bond_style_name == "wlc_pow_all_visc":
+            from .models import rbc
+
+            dt_step = (self.dt if self.dt is not None
+                       else get_units(self.units_name).dt)
+            bond = rbc.make_bond_wlc_pow_all_visc(
+                self.nbondtypes, self.bond_coeffs, dt=dt_step, dtype=dt)
         if self.angle_style_name == "harmonic":
             angle = bonded.make_angle_harmonic(self.nangletypes,
                                                self.angle_coeffs, dtype=dt)
@@ -1332,6 +1346,12 @@ class LammpsScript:
         elif self.angle_style_name == "cosine":
             angle = bonded.make_angle_cosine(self.nangletypes,
                                              self.angle_coeffs, dtype=dt)
+        elif self.angle_style_name == "area_volume3":
+            from .models import rbc
+
+            nmol = int(max(self.molecules)) if self.molecules else 1
+            angle = rbc.make_angle_area_volume3(
+                self.nangletypes, self.angle_coeffs, nmol=nmol, dtype=dt)
         if self.dihedral_style_name == "charmm":
             dihedral = bonded.make_dihedral_charmm(
                 self.ndihedraltypes, self.dihedral_coeffs, dtype=dt,
@@ -1345,6 +1365,11 @@ class LammpsScript:
             dihedral = bonded.make_dihedral_opls(self.ndihedraltypes,
                                                  self.dihedral_coeffs,
                                                  dtype=dt)
+        elif self.dihedral_style_name == "bend2":
+            from .models import rbc
+
+            dihedral = rbc.make_dihedral_bend2(
+                self.ndihedraltypes, self.dihedral_coeffs, dtype=dt)
         if self.improper_style_name == "harmonic":
             improper = bonded.make_improper_harmonic(self.nimpropertypes,
                                                      self.improper_coeffs,
