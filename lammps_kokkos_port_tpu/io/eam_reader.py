@@ -103,8 +103,11 @@ def read_setfl(path: str, fs: bool = False) -> Setfl:
     else:
         rhor = np.zeros((nelem, nr))
     for i in range(nelem):
-        hdr = take(4)
-        elem_masses.append(hdr[1])
+        # element header: Z mass a0 lattice — lattice is a STRING (e.g.
+        # "FCC"), so parse only the mass (ref: pair_eam_alloy.cpp read_file)
+        hdr_toks = tokens[pos:pos + 4]
+        pos += 4
+        elem_masses.append(float(hdr_toks[1]))
         frho[i] = take(nrho)
         if fs:
             # fs: rho_{alpha beta}(r) for this alpha, all beta

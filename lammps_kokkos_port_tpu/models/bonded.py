@@ -96,6 +96,8 @@ class BondFENE:
 def compute_bonds(style, state: State, top: Topology, eflag, vflag):
     if top.bonds.shape[0] == 0:
         return None
+    if hasattr(style, "compute"):  # explicit-force styles
+        return style.compute(state, top, eflag, vflag)
     t = top.bonds[:, 0]
     i = top.bonds[:, 1]
     j = top.bonds[:, 2]
@@ -187,6 +189,8 @@ class AngleCosine:
 def compute_angles(style, state: State, top: Topology, eflag, vflag):
     if top.angles.shape[0] == 0:
         return None
+    if hasattr(style, "compute"):  # explicit-force styles
+        return style.compute(state, top, eflag, vflag)
     t = top.angles[:, 0]
     i, j, k = top.angles[:, 1], top.angles[:, 2], top.angles[:, 3]
     cap = state.capacity
@@ -347,6 +351,8 @@ def compute_dihedrals(style, state: State, top: Topology, eflag, vflag,
     arr = getattr(top, which)
     if arr.shape[0] == 0:
         return None
+    if hasattr(style, "compute"):  # explicit-force styles
+        return style.compute(state, top, eflag, vflag) + (None,)
     t = arr[:, 0]
     a1, a2, a3, a4 = arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
     cap = state.capacity

@@ -1,0 +1,660 @@
+"""Extended bonded styles (MOLECULE/EXTRA-MOLECULE/CLASS2 packages).
+
+Each style is a pure energy function over the interaction geometry; forces
+come from autodiff in models/bonded.py's compute engines (the explicit
+force algebra of each reference *.cpp is the hand-derived gradient of the
+same expression — autodiff deletes it).
+
+Styles + reference files:
+  bonds:     gromos, morse, nonlinear, class2, harmonic/shift[/cut],
+             fene/expand
+  angles:    cosine/squared, quartic, cosine/delta, cosine/periodic,
+             fourier, fourier/simple, cosine/shift[/exp]
+  dihedrals: multi/harmonic, nharmonic, quadratic, helix
+  impropers: cvff, cossq, umbrella
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bonded import _acos_safe, _dihedral_phi, table
+
+Array = jax.Array
+_D2R = np.pi / 180.0
+
+
+def _style(fields):
+    def deco(cls):
+        return partial(jax.tree_util.register_dataclass,
+                       data_fields=fields, meta_fields=[])(
+            dataclasses.dataclass(frozen=True)(cls))
+    return deco
+
+
+def _r(dx):
+    return jnp.sqrt(jnp.sum(dx * dx))
+
+
+def _costheta(d1, d2):
+    return d1 @ d2 / jnp.sqrt(jnp.sum(d1 * d1) * jnp.sum(d2 * d2))
+
+
+def _angle_explicit(fpair, state, top, eflag, vflag):
+    """Shared driver for explicit-force angle styles: fpair(d1, d2, t) ->
+    (f1, f3, e) per angle; f2 = -(f1+f3) (ref: Angle::ev_tally layout)."""
+    arr = top.angles
+    t = arr[:, 0]
+    i, j, k = arr[:, 1], arr[:, 2], arr[:, 3]
+    cap = state.capacity
+    valid = t > 0
+    x = state.x
+    d1 = state.box.min_image(x[jnp.clip(i, 0, cap - 1)]
+                             - x[jnp.clip(j, 0, cap - 1)])
+    d2 = state.box.min_image(x[jnp.clip(k, 0, cap - 1)]
+                             - x[jnp.clip(j, 0, cap - 1)])
+    f1, f3, e = jax.vmap(fpair)(d1, d2, t)
+    f1 = jnp.where(valid[:, None], f1, 0.0)
+    f3 = jnp.where(valid[:, None], f3, 0.0)
+    f = jnp.zeros_like(state.x)
+    f = f.at[i].add(f1, mode="drop")
+    f = f.at[k].add(f3, mode="drop")
+    f = f.at[j].add(-(f1 + f3), mode="drop")
+    energy = jnp.sum(jnp.where(valid, e, 0.0)) if eflag else None
+    virial = None
+    if vflag:
+        m = (jnp.einsum("na,nb->ab", d1, f1)
+             + jnp.einsum("na,nb->ab", d2, f3))
+        virial = jnp.array([m[0, 0], m[1, 1], m[2, 2],
+                            m[0, 1], m[0, 2], m[1, 2]])
+    return f, energy, virial
+
+
+# -- bonds -------------------------------------------------------------------
+
+
+@_style(["k", "r0"])
+class BondGromos:
+    """E = K (r^2 - r0^2)^2 (ref: src/MOLECULE/bond_gromos.cpp)."""
+
+    k: Array
+    r0: Array
+
+    def energy_one(self, dx, t):
+        dr = jnp.sum(dx * dx) - self.r0[t] * self.r0[t]
+        return self.k[t] * dr * dr
+
+
+@_style(["d0", "alpha", "r0"])
+class BondMorse:
+    """E = D (1 - e^{-alpha (r-r0)})^2 (ref: src/MOLECULE/bond_morse.cpp)."""
+
+    d0: Array
+    alpha: Array
+    r0: Array
+
+    def energy_one(self, dx, t):
+        ralpha = jnp.exp(-self.alpha[t] * (_r(dx) - self.r0[t]))
+        return self.d0[t] * (1.0 - ralpha) ** 2
+
+
+@_style(["epsilon", "r0", "lamda"])
+class BondNonlinear:
+    """E = eps dr^2 / (lamda^2 - dr^2)
+    (ref: src/EXTRA-MOLECULE/bond_nonlinear.cpp)."""
+
+    epsilon: Array
+    r0: Array
+    lamda: Array
+
+    def energy_one(self, dx, t):
+        dr = _r(dx) - self.r0[t]
+        drsq = dr * dr
+        return self.epsilon[t] * drsq / (self.lamda[t] ** 2 - drsq)
+
+
+@_style(["r0", "k2", "k3", "k4"])
+class BondClass2:
+    """E = K2 dr^2 + K3 dr^3 + K4 dr^4 (ref: src/CLASS2/bond_class2.cpp)."""
+
+    r0: Array
+    k2: Array
+    k3: Array
+    k4: Array
+
+    def energy_one(self, dx, t):
+        dr = _r(dx) - self.r0[t]
+        return dr * dr * (self.k2[t] + dr * (self.k3[t] + dr * self.k4[t]))
+
+
+@_style(["k", "r0", "r1"])
+class BondHarmonicShift:
+    """E = Umin/(r0-rc)^2 [ (r-r0)^2 - (rc-r0)^2 ]; k = Umin/(r0-rc)^2
+    (ref: src/EXTRA-MOLECULE/bond_harmonic_shift.cpp, coeff Umin r0 rc)."""
+
+    k: Array
+    r0: Array
+    r1: Array
+
+    def energy_one(self, dx, t):
+        dr = _r(dx) - self.r0[t]
+        d01 = self.r0[t] - self.r1[t]
+        return self.k[t] * (dr * dr - d01 * d01)
+
+
+@_style(["k", "r0", "r1"])
+class BondHarmonicShiftCut(BondHarmonicShift):
+    """harmonic/shift zeroed beyond rc
+    (ref: src/EXTRA-MOLECULE/bond_harmonic_shift_cut.cpp)."""
+
+    k: Array
+    r0: Array
+    r1: Array
+
+    def energy_one(self, dx, t):
+        e = BondHarmonicShift.energy_one(self, dx, t)
+        return jnp.where(_r(dx) < self.r1[t], e, 0.0)
+
+
+@_style(["k", "r0", "epsilon", "sigma", "shift"])
+class BondFENEExpand:
+    """FENE with a length shift delta: the WCA + log terms act on r - delta
+    (ref: src/MOLECULE/bond_fene_expand.cpp)."""
+
+    k: Array
+    r0: Array
+    epsilon: Array
+    sigma: Array
+    shift: Array
+
+    def energy_one(self, dx, t):
+        rshift = _r(dx) - self.shift[t]
+        r0sq = self.r0[t] * self.r0[t]
+        rlogarg = 1.0 - rshift * rshift / r0sq
+        e = -0.5 * self.k[t] * r0sq * jnp.log(jnp.maximum(rlogarg, 1e-12))
+        sr2 = self.sigma[t] ** 2 / (rshift * rshift)
+        sr6 = sr2 * sr2 * sr2
+        wca = 4.0 * self.epsilon[t] * sr6 * (sr6 - 1.0) + self.epsilon[t]
+        inside = rshift * rshift < 2.0 ** (1.0 / 3.0) * self.sigma[t] ** 2
+        return e + jnp.where(inside, wca, 0.0)
+
+
+# -- angles ------------------------------------------------------------------
+
+
+@_style(["k", "theta0"])
+class AngleCosineSquared:
+    """E = K (cos theta - cos theta0)^2
+    (ref: src/MOLECULE/angle_cosine_squared.cpp)."""
+
+    k: Array
+    theta0: Array
+
+    def energy_one(self, d1, d2, t):
+        dc = _costheta(d1, d2) - jnp.cos(self.theta0[t])
+        return self.k[t] * dc * dc
+
+
+@_style(["theta0", "k2", "k3", "k4"])
+class AngleQuartic:
+    """E = K2 dt^2 + K3 dt^3 + K4 dt^4
+    (ref: src/EXTRA-MOLECULE/angle_quartic.cpp)."""
+
+    theta0: Array
+    k2: Array
+    k3: Array
+    k4: Array
+
+    def energy_one(self, d1, d2, t):
+        dt_ = _acos_safe(_costheta(d1, d2)) - self.theta0[t]
+        return dt_ * dt_ * (self.k2[t] + dt_ * (self.k3[t] + dt_ * self.k4[t]))
+
+
+@_style(["k", "theta0"])
+class AngleCosineDelta:
+    """E = K (1 - cos(theta - theta0))
+    (ref: src/EXTRA-MOLECULE/angle_cosine_delta.cpp).
+
+    Explicit forces: the reference's force expansion uses
+    `cot = c * sin(theta)` (its `s` is inverted before the division,
+    angle_cosine_delta.cpp:95-99), so the golden forces are NOT the exact
+    energy gradient — replicated verbatim for fixture parity."""
+
+    k: Array
+    theta0: Array
+
+    def compute(self, state, top, eflag, vflag):
+        def fpair(d1, d2, t):
+            rsq1 = jnp.sum(d1 * d1)
+            rsq2 = jnp.sum(d2 * d2)
+            r1r2 = jnp.sqrt(rsq1 * rsq2)
+            c = jnp.clip(d1 @ d2 / r1r2, -1.0, 1.0)
+            s = jnp.maximum(jnp.sqrt(1.0 - c * c), 0.001)
+            cot = c * s  # upstream quirk: s = 1/s; cot = c/s
+            a = -self.k[t]
+            a11 = a * c / rsq1
+            a12 = -a / r1r2
+            a22 = a * c / rsq2
+            b11 = -a * c * cot / rsq1
+            b12 = a * cot / r1r2
+            b22 = -a * c * cot / rsq2
+            c0 = jnp.cos(self.theta0[t])
+            s0 = jnp.sin(self.theta0[t])
+            f1 = (a11 * d1 + a12 * d2) * c0 + (b11 * d1 + b12 * d2) * s0
+            f3 = (a22 * d2 + a12 * d1) * c0 + (b22 * d2 + b12 * d1) * s0
+            th = _acos_safe(c)
+            e = self.k[t] * (1.0 - jnp.cos(th - self.theta0[t]))
+            return f1, f3, e
+
+        return _angle_explicit(fpair, state, top, eflag, vflag)
+
+
+@_style(["k", "b", "n"])
+class AngleCosinePeriodic:
+    """E = (2C/n^2)(1 - B(-1)^n cos(n theta)), k stored = C/n^2
+    (ref: src/EXTRA-MOLECULE/angle_cosine_periodic.cpp coeff/compute)."""
+
+    k: Array
+    b: Array
+    n: Array
+
+    def energy_one(self, d1, d2, t):
+        th = _acos_safe(_costheta(d1, d2))
+        n = self.n[t]
+        sgn = jnp.where(jnp.mod(n, 2.0) > 0.5, -1.0, 1.0)  # (-1)^n
+        tn = self.b[t] * sgn * jnp.cos(n * th)
+        return 2.0 * self.k[t] * (1.0 - tn)
+
+
+@_style(["k", "c0", "c1", "c2"])
+class AngleFourier:
+    """E = K (C0 + C1 cos + C2 cos 2t) (ref: EXTRA-MOLECULE/angle_fourier.cpp)."""
+
+    k: Array
+    c0: Array
+    c1: Array
+    c2: Array
+
+    def energy_one(self, d1, d2, t):
+        c = _costheta(d1, d2)
+        return self.k[t] * (self.c0[t] + self.c1[t] * c
+                            + self.c2[t] * (2.0 * c * c - 1.0))
+
+
+@_style(["k", "c", "n"])
+class AngleFourierSimple:
+    """E = K (1 + c cos(n theta))
+    (ref: EXTRA-MOLECULE/angle_fourier_simple.cpp).
+
+    Explicit forces: the reference's `fabs(c)-1.0 > SMALL` branch guard is
+    never true, so its force ALWAYS uses the small-angle series
+    a = N + N(1-N^2) term/3 instead of sin(n th)/sin(th)
+    (angle_fourier_simple.cpp:106-119) — replicated for fixture parity."""
+
+    k: Array
+    c: Array
+    n: Array
+
+    def compute(self, state, top, eflag, vflag):
+        def fpair(d1, d2, t):
+            rsq1 = jnp.sum(d1 * d1)
+            rsq2 = jnp.sum(d2 * d2)
+            r1r2 = jnp.sqrt(rsq1 * rsq2)
+            c = jnp.clip(d1 @ d2 / r1r2, -1.0, 1.0)
+            n = self.n[t]
+            term = jnp.where(c >= 0.0, 1.0 - c, 1.0 + c)
+            even = jnp.mod(n, 2.0) == 0.0
+            sgn = jnp.where(c >= 0.0, 1.0, jnp.where(even, -1.0, 1.0))
+            a = n + n * (1.0 - n * n) * term / 3.0
+            a = self.k[t] * self.c[t] * n * sgn * a
+            a11 = a * c / rsq1
+            a12 = -a / r1r2
+            a22 = a * c / rsq2
+            f1 = a11 * d1 + a12 * d2
+            f3 = a22 * d2 + a12 * d1
+            th = _acos_safe(c)
+            e = self.k[t] * (1.0 + self.c[t] * jnp.cos(n * th))
+            return f1, f3, e
+
+        return _angle_explicit(fpair, state, top, eflag, vflag)
+
+
+@_style(["umin", "theta0"])
+class AngleCosineShift:
+    """E = -(Umin/2)(1 + cos(theta - theta0))
+    (ref: EXTRA-MOLECULE/angle_cosine_shift.cpp: -k - kcos c - ksin s)."""
+
+    umin: Array
+    theta0: Array
+
+    def energy_one(self, d1, d2, t):
+        th = _acos_safe(_costheta(d1, d2))
+        return -0.5 * self.umin[t] * (1.0 + jnp.cos(th - self.theta0[t]))
+
+
+@_style(["umin", "theta0", "a"])
+class AngleCosineShiftExp:
+    """E = -Umin (e^{-a U} - 1)/(e^a - 1), U = -0.5(1+cos(theta-theta0))
+    (ref: EXTRA-MOLECULE/angle_cosine_shift_exp.cpp)."""
+
+    umin: Array
+    theta0: Array
+    a: Array
+
+    def energy_one(self, d1, d2, t):
+        th = _acos_safe(_costheta(d1, d2))
+        u = -0.5 * (1.0 + jnp.cos(th - self.theta0[t]))
+        a = self.a[t]
+        return -self.umin[t] * jnp.expm1(-a * u) / jnp.expm1(a)
+
+
+# -- dihedrals ---------------------------------------------------------------
+
+
+@_style(["a1", "a2", "a3", "a4", "a5"])
+class DihedralMultiHarmonic:
+    """E = sum_i A_i cos^{i-1} phi
+    (ref: src/MOLECULE/dihedral_multi_harmonic.cpp)."""
+
+    a1: Array
+    a2: Array
+    a3: Array
+    a4: Array
+    a5: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        c = jnp.cos(_dihedral_phi(vb1, vb2, vb3))
+        return self.a1[t] + c * (self.a2[t] + c * (
+            self.a3[t] + c * (self.a4[t] + c * self.a5[t])))
+
+
+@_style(["a"])
+class DihedralNHarmonic:
+    """E = sum_{i=1..n} A_i cos^{i-1} phi, per-type term count (padded
+    coefficient matrix) (ref: EXTRA-MOLECULE/dihedral_nharmonic.cpp)."""
+
+    a: Array  # [ntypes+1, nmax]
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        c = jnp.cos(_dihedral_phi(vb1, vb2, vb3))
+        coef = self.a[t]
+        powers = c ** jnp.arange(coef.shape[0], dtype=c.dtype)
+        return jnp.sum(coef * powers)
+
+
+@_style(["k", "phi0"])
+class DihedralQuadratic:
+    """E = K (phi - phi0)^2, dphi wrapped to (-pi, pi]
+    (ref: EXTRA-MOLECULE/dihedral_quadratic.cpp)."""
+
+    k: Array
+    phi0: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        dphi = _dihedral_phi(vb1, vb2, vb3) - self.phi0[t]
+        dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
+        return self.k[t] * dphi * dphi
+
+
+@_style(["aphi", "bphi", "cphi"])
+class DihedralHelix:
+    """E = A(1-cos phi) + B(1+cos 3phi) + C(1+cos(phi+pi/4))
+    (ref: EXTRA-MOLECULE/dihedral_helix.cpp)."""
+
+    aphi: Array
+    bphi: Array
+    cphi: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        phi = _dihedral_phi(vb1, vb2, vb3)
+        return (self.aphi[t] * (1.0 - jnp.cos(phi))
+                + self.bphi[t] * (1.0 + jnp.cos(3.0 * phi))
+                + self.cphi[t] * (1.0 + jnp.cos(phi + 0.25 * jnp.pi)))
+
+
+# -- impropers (same charmm-convention bond vectors as bonded.py) ------------
+
+
+@_style(["k", "d", "n"])
+class ImproperCvff:
+    """E = K (1 + d cos(n phi)), phi the improper quadruple's dihedral
+    angle (ref: src/MOLECULE/improper_cvff.cpp Chebyshev ladder)."""
+
+    k: Array
+    d: Array
+    n: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        phi = _dihedral_phi(vb1, vb2, vb3)
+        return self.k[t] * (1.0 + self.d[t] * jnp.cos(self.n[t] * phi))
+
+
+@_style(["k", "chi0"])
+class ImproperCossq:
+    """E = 0.5 K cos^2(tau - chi0), tau the angle between bonds 1->2 and
+    3->4 (ref: EXTRA-MOLECULE/improper_cossq.cpp: rji = x2-x1 = -vb1,
+    rlk = x4-x3 = vb3).
+
+    Explicit forces replicate the reference verbatim: its
+    angfac = -K cos(tau-chi) omits the d tau/d cos chain factor
+    (improper_cossq.cpp:125-170), so the golden forces are not the exact
+    gradient of the documented energy."""
+
+    k: Array
+    chi0: Array
+
+    def compute(self, state, top, eflag, vflag):
+        arr = top.impropers
+        t = arr[:, 0]
+        a1, a2, a3, a4 = arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
+        cap = state.capacity
+        valid = t > 0
+        x = state.x
+        c1 = jnp.clip(a1, 0, cap - 1)
+        c2 = jnp.clip(a2, 0, cap - 1)
+        c3 = jnp.clip(a3, 0, cap - 1)
+        c4 = jnp.clip(a4, 0, cap - 1)
+        rji = state.box.min_image(x[c2] - x[c1])
+        rlk = state.box.min_image(x[c4] - x[c3])
+        cjiji = jnp.sum(rji * rji, axis=-1)
+        clklk = jnp.sum(rlk * rlk, axis=-1)
+        clkji = jnp.sum(rlk * rji, axis=-1)
+        denom = jnp.sqrt(jnp.where(valid, cjiji * clklk, 1.0))
+        cosphi = jnp.clip(clkji / denom, -1.0, 1.0)
+        tau = jnp.arccos(cosphi)
+        cchi = jnp.cos(tau - self.chi0[t])
+        angfac = -self.k[t] * cchi
+        cfact1 = angfac / denom
+        cfact2 = clkji / jnp.where(valid, clklk, 1.0)
+        cfact3 = clkji / jnp.where(valid, cjiji, 1.0)
+        f1 = cfact1[:, None] * (-rlk + cfact3[:, None] * rji)
+        f3 = cfact1[:, None] * (cfact2[:, None] * rlk - rji)
+        f1 = jnp.where(valid[:, None], f1, 0.0)
+        f3 = jnp.where(valid[:, None], f3, 0.0)
+
+        f = jnp.zeros_like(state.x)
+        f = f.at[a1].add(f1, mode="drop")
+        f = f.at[a2].add(-f1, mode="drop")
+        f = f.at[a3].add(f3, mode="drop")
+        f = f.at[a4].add(-f3, mode="drop")
+        energy = None
+        if eflag:
+            e = 0.5 * self.k[t] * cchi * cchi
+            energy = jnp.sum(jnp.where(valid, e, 0.0))
+        virial = None
+        if vflag:
+            # ev_tally(i1,i2,i3,i4, f1,f3,f4, vb1,vb2,vb3) convention with
+            # vb1 = x1-x2, vb2 = x3-x2, vb3 = x4-x3
+            vb1 = -rji
+            vb2 = state.box.min_image(x[c3] - x[c2])
+            vb3 = rlk
+            f4 = -f3
+            m = (jnp.einsum("na,nb->ab", vb1, f1)
+                 + jnp.einsum("na,nb->ab", vb2, f3)
+                 + jnp.einsum("na,nb->ab", vb2 + vb3, f4))
+            virial = jnp.array([m[0, 0], m[1, 1], m[2, 2],
+                                m[0, 1], m[0, 2], m[1, 2]])
+        return f, energy, virial
+
+
+@_style(["k", "w0", "C"])
+class ImproperUmbrella:
+    """Wilson out-of-plane: w the angle between bond 1->4 and the 1-2-3
+    plane. E = K(1 - cos w) if w0 == 0 else 0.5 C (cos w - cos w0)^2 with
+    C = K/sin^2(w0) (ref: src/MOLECULE/improper_umbrella.cpp; its vb1/2/3
+    all emanate from atom 1, remapped here from the charmm-convention
+    vectors via x1=vb1, x2=0, x3=vb2, x4=vb2+vb3)."""
+
+    k: Array
+    w0: Array
+    C: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        u1 = -vb1              # x2 - x1
+        u2 = vb2 - vb1         # x3 - x1
+        h = vb2 + vb3 - vb1    # x4 - x1
+        a = jnp.cross(u1, u2)
+        an = a / jnp.maximum(_r(a), 1e-12)
+        hn = h / jnp.maximum(_r(h), 1e-12)
+        c = jnp.clip(an @ hn, -1.0, 1.0)
+        s = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-12))
+        proj = hn @ (u1 / jnp.maximum(_r(u1), 1e-12)) \
+            + hn @ (u2 / jnp.maximum(_r(u2), 1e-12))
+        s = jnp.where(proj > 0.0, -s, s)
+        # cos w = s (w measured from the plane)
+        dom = s - jnp.cos(self.w0[t])
+        return jnp.where(self.w0[t] == 0.0,
+                         self.k[t] * (1.0 - s),
+                         0.5 * self.C[t] * dom * dom)
+
+
+# -- makers ------------------------------------------------------------------
+
+
+def make_bond_gromos(ntypes, coeffs, dtype=jnp.float64):
+    k, r0 = table(ntypes, coeffs, 2, dtype)
+    return BondGromos(k=k, r0=r0)
+
+
+def make_bond_morse(ntypes, coeffs, dtype=jnp.float64):
+    d0, al, r0 = table(ntypes, coeffs, 3, dtype)
+    return BondMorse(d0=d0, alpha=al, r0=r0)
+
+
+def make_bond_nonlinear(ntypes, coeffs, dtype=jnp.float64):
+    e, r0, lam = table(ntypes, coeffs, 3, dtype)
+    return BondNonlinear(epsilon=e, r0=r0, lamda=lam)
+
+
+def make_bond_class2(ntypes, coeffs, dtype=jnp.float64):
+    r0, k2, k3, k4 = table(ntypes, coeffs, 4, dtype)
+    return BondClass2(r0=r0, k2=k2, k3=k3, k4=k4)
+
+
+def _hshift(ntypes, coeffs, dtype, cls):
+    umin, r0, r1 = table(ntypes, coeffs, 3, dtype)
+    denom = jnp.where(r0 == r1, 1.0, (r0 - r1) ** 2)
+    return cls(k=umin / denom, r0=r0, r1=r1)
+
+
+def make_bond_harmonic_shift(ntypes, coeffs, dtype=jnp.float64):
+    return _hshift(ntypes, coeffs, dtype, BondHarmonicShift)
+
+
+def make_bond_harmonic_shift_cut(ntypes, coeffs, dtype=jnp.float64):
+    return _hshift(ntypes, coeffs, dtype, BondHarmonicShiftCut)
+
+
+def make_bond_fene_expand(ntypes, coeffs, dtype=jnp.float64):
+    k, r0, e, s, d = table(ntypes, coeffs, 5, dtype)
+    return BondFENEExpand(k=k, r0=r0, epsilon=e, sigma=s, shift=d)
+
+
+def make_angle_cosine_squared(ntypes, coeffs, dtype=jnp.float64):
+    k, th = table(ntypes, coeffs, 2, dtype)
+    return AngleCosineSquared(k=k, theta0=th * _D2R)
+
+
+def make_angle_quartic(ntypes, coeffs, dtype=jnp.float64):
+    th, k2, k3, k4 = table(ntypes, coeffs, 4, dtype)
+    return AngleQuartic(theta0=th * _D2R, k2=k2, k3=k3, k4=k4)
+
+
+def make_angle_cosine_delta(ntypes, coeffs, dtype=jnp.float64):
+    k, th = table(ntypes, coeffs, 2, dtype)
+    return AngleCosineDelta(k=k, theta0=th * _D2R)
+
+
+def make_angle_cosine_periodic(ntypes, coeffs, dtype=jnp.float64):
+    c, b, n = table(ntypes, coeffs, 3, dtype)
+    n = jnp.maximum(n, 1.0)
+    return AngleCosinePeriodic(k=c / (n * n), b=b, n=n)
+
+
+def make_angle_fourier(ntypes, coeffs, dtype=jnp.float64):
+    k, c0, c1, c2 = table(ntypes, coeffs, 4, dtype)
+    return AngleFourier(k=k, c0=c0, c1=c1, c2=c2)
+
+
+def make_angle_fourier_simple(ntypes, coeffs, dtype=jnp.float64):
+    k, c, n = table(ntypes, coeffs, 3, dtype)
+    return AngleFourierSimple(k=k, c=c, n=n)
+
+
+def make_angle_cosine_shift(ntypes, coeffs, dtype=jnp.float64):
+    u, th = table(ntypes, coeffs, 2, dtype)
+    return AngleCosineShift(umin=u, theta0=th * _D2R)
+
+
+def make_angle_cosine_shift_exp(ntypes, coeffs, dtype=jnp.float64):
+    u, th, a = table(ntypes, coeffs, 3, dtype)
+    a = jnp.where(a == 0.0, 1e-8, a)  # exact formula; a=0 limit regularized
+    return AngleCosineShiftExp(umin=u, theta0=th * _D2R, a=a)
+
+
+def make_dihedral_multi_harmonic(ntypes, coeffs, dtype=jnp.float64):
+    a1, a2, a3, a4, a5 = table(ntypes, coeffs, 5, dtype)
+    return DihedralMultiHarmonic(a1=a1, a2=a2, a3=a3, a4=a4, a5=a5)
+
+
+def make_dihedral_nharmonic(ntypes, coeffs, dtype=jnp.float64):
+    """coeff row: n A1 ... An (ref: dihedral_nharmonic.cpp coeff)."""
+    nmax = max(int(c[0]) for c in coeffs.values())
+    a = np.zeros((ntypes + 1, nmax))
+    for t, c in coeffs.items():
+        n = int(c[0])
+        a[t, :n] = c[1:1 + n]
+    return DihedralNHarmonic(a=jnp.asarray(a, dtype=dtype))
+
+
+def make_dihedral_quadratic(ntypes, coeffs, dtype=jnp.float64):
+    k, p0 = table(ntypes, coeffs, 2, dtype)
+    return DihedralQuadratic(k=k, phi0=p0 * _D2R)
+
+
+def make_dihedral_helix(ntypes, coeffs, dtype=jnp.float64):
+    a, b, c = table(ntypes, coeffs, 3, dtype)
+    return DihedralHelix(aphi=a, bphi=b, cphi=c)
+
+
+def make_improper_cvff(ntypes, coeffs, dtype=jnp.float64):
+    k, d, n = table(ntypes, coeffs, 3, dtype)
+    return ImproperCvff(k=k, d=d, n=n)
+
+
+def make_improper_cossq(ntypes, coeffs, dtype=jnp.float64):
+    k, chi = table(ntypes, coeffs, 2, dtype)
+    return ImproperCossq(k=k, chi0=chi * _D2R)
+
+
+def make_improper_umbrella(ntypes, coeffs, dtype=jnp.float64):
+    k, w0 = table(ntypes, coeffs, 2, dtype)
+    w0r = w0 * _D2R
+    s2 = jnp.sin(w0r) ** 2
+    C = jnp.where(s2 > 0, k / jnp.where(s2 > 0, s2, 1.0), k)
+    return ImproperUmbrella(k=k, w0=w0r, C=C)

@@ -582,16 +582,15 @@ class LammpsScript:
             from .io.eam_reader import read_funcfl
 
             t = int(a[0])
-            self.masses.setdefault(t, read_funcfl(a[2]).mass)
+            # coeff() OVERRIDES any data-file mass (ref: pair_eam.cpp:406)
+            self.masses[t] = read_funcfl(a[2]).mass
         elif name in ("eam/alloy", "eam/fs") and len(a) >= 4:
             from .io.eam_reader import read_setfl
 
             st = read_setfl(a[2], fs=name.endswith("fs"))
             for t, el in enumerate(a[3:3 + self.ntypes], start=1):
                 if el in st.elements:
-                    self.masses.setdefault(
-                        t, float(st.mass[st.elements.index(el)])
-                    )
+                    self.masses[t] = float(st.mass[st.elements.index(el)])
 
     def cmd_pair_modify(self, a):
         for i in range(0, len(a) - 1, 2):
@@ -1370,10 +1369,50 @@ class LammpsScript:
 
             dihedral = rbc.make_dihedral_bend2(
                 self.ndihedraltypes, self.dihedral_coeffs, dtype=dt)
+
+        # extended bonded styles (models/bonded_extra.py)
+        from .models import bonded_extra as bx
+
+        _extra = {
+            ("bond", "gromos"): bx.make_bond_gromos,
+            ("bond", "morse"): bx.make_bond_morse,
+            ("bond", "nonlinear"): bx.make_bond_nonlinear,
+            ("bond", "class2"): bx.make_bond_class2,
+            ("bond", "harmonic/shift"): bx.make_bond_harmonic_shift,
+            ("bond", "harmonic/shift/cut"): bx.make_bond_harmonic_shift_cut,
+            ("bond", "fene/expand"): bx.make_bond_fene_expand,
+            ("angle", "cosine/squared"): bx.make_angle_cosine_squared,
+            ("angle", "quartic"): bx.make_angle_quartic,
+            ("angle", "cosine/delta"): bx.make_angle_cosine_delta,
+            ("angle", "cosine/periodic"): bx.make_angle_cosine_periodic,
+            ("angle", "fourier"): bx.make_angle_fourier,
+            ("angle", "fourier/simple"): bx.make_angle_fourier_simple,
+            ("angle", "cosine/shift"): bx.make_angle_cosine_shift,
+            ("angle", "cosine/shift/exp"): bx.make_angle_cosine_shift_exp,
+            ("dihedral", "multi/harmonic"): bx.make_dihedral_multi_harmonic,
+            ("dihedral", "nharmonic"): bx.make_dihedral_nharmonic,
+            ("dihedral", "quadratic"): bx.make_dihedral_quadratic,
+            ("dihedral", "helix"): bx.make_dihedral_helix,
+            ("improper", "cvff"): bx.make_improper_cvff,
+            ("improper", "cossq"): bx.make_improper_cossq,
+            ("improper", "umbrella"): bx.make_improper_umbrella,
+        }
+        if bond is None and ("bond", self.bond_style_name) in _extra:
+            bond = _extra[("bond", self.bond_style_name)](
+                self.nbondtypes, self.bond_coeffs, dtype=dt)
+        if angle is None and ("angle", self.angle_style_name) in _extra:
+            angle = _extra[("angle", self.angle_style_name)](
+                self.nangletypes, self.angle_coeffs, dtype=dt)
+        if dihedral is None and ("dihedral", self.dihedral_style_name) in _extra:
+            dihedral = _extra[("dihedral", self.dihedral_style_name)](
+                self.ndihedraltypes, self.dihedral_coeffs, dtype=dt)
         if self.improper_style_name == "harmonic":
             improper = bonded.make_improper_harmonic(self.nimpropertypes,
                                                      self.improper_coeffs,
                                                      dtype=dt)
+        elif ("improper", self.improper_style_name) in _extra:
+            improper = _extra[("improper", self.improper_style_name)](
+                self.nimpropertypes, self.improper_coeffs, dtype=dt)
 
         top = None
         special = None

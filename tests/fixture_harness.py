@@ -198,6 +198,8 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64):
     raise NotImplementedError(name)
 
 
+from lammps_kokkos_port_tpu.models import bonded_extra as bx  # noqa: E402
+
 _BONDED_BUILDERS = {
     ("bond", "harmonic"): (bonded.make_bond_harmonic, 2),
     ("bond", "fene"): (bonded.make_bond_fene, 4),
@@ -208,6 +210,28 @@ _BONDED_BUILDERS = {
     ("dihedral", "charmm"): (None, 4),  # K n d w
     ("dihedral", "opls"): (bonded.make_dihedral_opls, 4),
     ("improper", "harmonic"): (bonded.make_improper_harmonic, 2),
+    ("bond", "gromos"): (bx.make_bond_gromos, 2),
+    ("bond", "morse"): (bx.make_bond_morse, 3),
+    ("bond", "nonlinear"): (bx.make_bond_nonlinear, 3),
+    ("bond", "class2"): (bx.make_bond_class2, 4),
+    ("bond", "harmonic/shift"): (bx.make_bond_harmonic_shift, 3),
+    ("bond", "harmonic/shift/cut"): (bx.make_bond_harmonic_shift_cut, 3),
+    ("bond", "fene/expand"): (bx.make_bond_fene_expand, 5),
+    ("angle", "cosine/squared"): (bx.make_angle_cosine_squared, 2),
+    ("angle", "quartic"): (bx.make_angle_quartic, 4),
+    ("angle", "cosine/delta"): (bx.make_angle_cosine_delta, 2),
+    ("angle", "cosine/periodic"): (bx.make_angle_cosine_periodic, 3),
+    ("angle", "fourier"): (bx.make_angle_fourier, 4),
+    ("angle", "fourier/simple"): (bx.make_angle_fourier_simple, 3),
+    ("angle", "cosine/shift"): (bx.make_angle_cosine_shift, 2),
+    ("angle", "cosine/shift/exp"): (bx.make_angle_cosine_shift_exp, 3),
+    ("dihedral", "multi/harmonic"): (bx.make_dihedral_multi_harmonic, 5),
+    ("dihedral", "nharmonic"): (bx.make_dihedral_nharmonic, 0),
+    ("dihedral", "quadratic"): (bx.make_dihedral_quadratic, 2),
+    ("dihedral", "helix"): (bx.make_dihedral_helix, 3),
+    ("improper", "cvff"): (bx.make_improper_cvff, 3),
+    ("improper", "cossq"): (bx.make_improper_cossq, 2),
+    ("improper", "umbrella"): (bx.make_improper_umbrella, 2),
 }
 
 
@@ -441,6 +465,193 @@ def build_manybody_pair(fix: dict, ntypes: int, dtype=jnp.float64):
 
     crow = rows[0][2:]  # drop the '* *'
     return one_style(name, words[1:], crow)
+
+
+def build_metal(dtype=jnp.float64):
+    """The 32-atom 2-type metal cell (ref: in.metal + data.metal)."""
+    df = read_data(f"{TESTS_DIR}/data.metal", atom_style="atomic")
+    box = Box.create([df.xlo, df.ylo, df.zlo], [df.xhi, df.yhi, df.zhi],
+                     dtype=jnp.float64)
+    state = create_state(
+        df.x, box, types=df.types, velocities=df.v, masses=df.masses,
+        tags=df.tags, images=df.image, units_name="metal", dtype=dtype,
+    )
+    return df, state
+
+
+def build_atomic_pair(fix: dict, ntypes: int, dtype=jnp.float64):
+    """Pair styles for the atomic-pair-* fixtures (EAM family).
+
+    Returns (pair, masses): EAM coeff() OVERRIDES per-type masses with the
+    potential-file values (ref: pair_eam.cpp:406 atom->set_mass,
+    pair_eam_alloy.cpp:96) — data.metal deliberately carries different
+    masses, so the run-4 trajectory goldens require the file masses."""
+    from lammps_kokkos_port_tpu.io.eam_reader import read_funcfl, read_setfl
+    from lammps_kokkos_port_tpu.models.pair_eam import (
+        make_eam_funcfl, make_eam_setfl,
+    )
+
+    name = fix["pair_style"].split()[0]
+    rows = parse_rows(fix.get("pair_coeff", ""))
+    masses = np.zeros(ntypes + 1)
+    if name == "eam":
+        files = {int(r[0]): _potfile(r[2]) for r in rows}
+        for t, fp in files.items():
+            masses[t] = read_funcfl(fp).mass
+        return make_eam_funcfl(ntypes, files, dtype=dtype), masses
+    if name in ("eam/alloy", "eam/fs"):
+        r = rows[0]
+        st = read_setfl(_potfile(r[2]), fs=(name == "eam/fs"))
+        for t, el in enumerate(r[3:3 + ntypes], start=1):
+            masses[t] = st.mass[st.elements.index(el)]
+        return make_eam_setfl(ntypes, st, type_elements=r[3:3 + ntypes],
+                              fs=(name == "eam/fs"), dtype=dtype), masses
+    raise NotImplementedError(name)
+
+
+def run_atomic_fixture(name: str, dtype=jnp.float64, skin=0.5):
+    """(got, want) at init for an atomic-pair-* fixture (metal cell)."""
+    fix = load_fixture(name)
+    df, state = build_metal(dtype=dtype)
+    pair, masses = build_atomic_pair(fix, df.natomtypes, dtype=dtype)
+    state = state.replace(mass=jnp.asarray(masses, dtype=state.mass.dtype))
+    p = nbr.size_for_system(state, cutneigh=pair.max_cutoff() + skin,
+                            skin=skin)
+    nl = nbr.build(state, p)
+    while bool(nl.overflow):
+        p = nbr.grow(p)
+        nl = nbr.build(state, p)
+    f, e, virial = pair.compute(state, nl, True, True)
+    n = df.natoms
+    got = dict(forces=np.asarray(f)[:n], vdwl=float(e),
+               stress=np.asarray(virial))
+    want = dict(
+        forces=parse_forces(fix["init_forces"], n),
+        vdwl=float(fix["init_vdwl"]),
+        stress=parse_stress(fix["init_stress"]),
+    )
+    return got, want
+
+
+# ---------------------------------------------------------------------------
+# run-4 trajectory comparison: the reference pins forces/energy/stress again
+# after `fix nve` + `run 4` (ref: test_pair_style.cpp:158-170 run_lammps;
+# deck timesteps: in.fourmol 0.1 real, in.metal/in.manybody 0.0001 metal)
+# ---------------------------------------------------------------------------
+
+_DECK_DT = {"real": 0.1, "metal": 0.0001}
+
+
+def _nve4(state, compute_f, dt: float, units_name: str, nsteps: int = 4):
+    """Plain velocity-Verlet for nsteps, recomputing forces fresh each step
+    (the 29/32-atom fixture cells never need a mid-run rebuild; the list is
+    rebuilt from scratch every force call anyway)."""
+    from lammps_kokkos_port_tpu.utils.units import get_units
+
+    u = get_units(units_name)
+    dtf = 0.5 * dt * u.ftm2v
+    m = state.mass[state.type]
+    m = jnp.where(m > 0, m, 1.0)[:, None]
+    f = compute_f(state)[0]
+    for _ in range(nsteps):
+        v = state.v + dtf * f / m
+        x = state.x + dt * v
+        state = state.replace(x=x, v=v)
+        f = compute_f(state)[0]
+        v = state.v + dtf * f / m
+        state = state.replace(v=v)
+    return state, compute_f(state)
+
+
+def run_pair_fixture_traj(name: str, kind: str = "mol", dtype=jnp.float64):
+    """(got, want) AFTER `fix nve; run 4` for a pair fixture.
+
+    kind: 'mol' (fourmol/real), 'atomic' or 'manybody' (metal cell).
+    Returns run_forces/run_vdwl/run_coul/run_stress comparisons.
+    """
+    fix = load_fixture(name)
+    if kind == "mol":
+        df, state, top, special = build_fourmol(dtype=dtype)
+        pair = build_pair_style(fix, df.natomtypes, dtype=dtype)
+        units = "real"
+    else:
+        df, state = (build_metal(dtype=dtype) if kind == "atomic"
+                     else build_manybody(dtype=dtype))
+        if kind == "atomic":
+            pair, masses = build_atomic_pair(fix, df.natomtypes, dtype=dtype)
+            state = state.replace(
+                mass=jnp.asarray(masses, dtype=state.mass.dtype))
+        else:
+            pair = build_manybody_pair(fix, df.natomtypes, dtype=dtype)
+        special = None
+        units = "metal"
+    skin = 2.0 if kind == "mol" else 0.5
+    p = nbr.size_for_system(state, cutneigh=pair.max_cutoff() + skin,
+                            skin=skin)
+
+    def compute_f(st, eflag=False, vflag=False):
+        nonlocal p
+        nl = nbr.build(st, p, special=special)
+        while bool(nl.overflow):
+            p = nbr.grow(p)
+            nl = nbr.build(st, p, special=special)
+        kw = {}
+        if special is not None:
+            kw = dict(special_lj=special.weights_lj,
+                      special_coul=special.weights_coul)
+        if hasattr(pair, "compute_detailed"):
+            f, ev, ec, vir = pair.compute_detailed(st, nl, eflag, vflag, **kw)
+            return f, ev, ec, vir
+        f, e, vir = pair.compute(st, nl, eflag, vflag, **kw)
+        return f, e, jnp.zeros(()), vir
+
+    state, _ = _nve4(state, compute_f, _DECK_DT[units], units)
+    f, ev, ec, vir = compute_f(state, True, True)
+    n = df.natoms
+    got = dict(forces=np.asarray(f)[:n], vdwl=float(ev),
+               coul=float(ec) if ec is not None else 0.0,
+               stress=np.asarray(vir))
+    want = dict(
+        forces=parse_forces(fix["run_forces"], n),
+        vdwl=float(fix["run_vdwl"]),
+        coul=float(fix.get("run_coul", 0.0)),
+        stress=parse_stress(fix["run_stress"]),
+    )
+    return got, want
+
+
+def run_bonded_fixture_traj(kind: str, name: str, dtype=jnp.float64):
+    """(got, want) AFTER `fix nve; run 4` for a bonded fixture (forces +
+    energy; the bonded harness pins run_energy, ref:
+    test_bond_style.cpp/test_angle_style.cpp same protocol)."""
+    fix = load_fixture(name)
+    df, state, top, special = build_fourmol(dtype=dtype)
+    style = build_bonded_style(kind, fix, getattr(df, f"n{kind}types"),
+                               dtype=dtype)
+
+    compute_map = {
+        "bond": lambda st, e, v: bonded.compute_bonds(style, st, top, e, v),
+        "angle": lambda st, e, v: bonded.compute_angles(style, st, top, e, v),
+        "dihedral": lambda st, e, v: bonded.compute_dihedrals(
+            style, st, top, e, v, which="dihedrals")[:3],
+        "improper": lambda st, e, v: bonded.compute_dihedrals(
+            style, st, top, e, v, which="impropers")[:3],
+    }
+
+    def compute_f(st, eflag=False, vflag=False):
+        return compute_map[kind](st, eflag, vflag)
+
+    state, _ = _nve4(state, compute_f, _DECK_DT["real"], "real")
+    f, e, vir = compute_f(state, True, True)
+    n = df.natoms
+    got = dict(forces=np.asarray(f)[:n], energy=float(e),
+               stress=np.asarray(vir))
+    want = dict(
+        forces=parse_forces(fix["run_forces"], n),
+        energy=float(fix["run_energy"]),
+        stress=parse_stress(fix["run_stress"]),
+    )
+    return got, want
 
 
 def run_manybody_fixture(name: str, dtype=jnp.float64, skin=0.5):

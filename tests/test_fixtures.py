@@ -55,6 +55,28 @@ BONDED_FIXTURES = [
     ("dihedral", "dihedral-harmonic.yaml"),
     ("dihedral", "dihedral-opls.yaml"),
     ("improper", "improper-harmonic.yaml"),
+    ("bond", "bond-gromos.yaml"),
+    ("bond", "bond-morse.yaml"),
+    ("bond", "bond-nonlinear.yaml"),
+    ("bond", "bond-class2.yaml"),
+    ("bond", "bond-harmonic_shift.yaml"),
+    ("bond", "bond-harmonic_shift_cut.yaml"),
+    ("bond", "bond-fene_expand.yaml"),
+    ("angle", "angle-cosine_squared.yaml"),
+    ("angle", "angle-quartic.yaml"),
+    ("angle", "angle-cosine_delta.yaml"),
+    ("angle", "angle-cosine_periodic.yaml"),
+    ("angle", "angle-fourier.yaml"),
+    ("angle", "angle-fourier_simple.yaml"),
+    ("angle", "angle-cosine_shift.yaml"),
+    ("angle", "angle-cosine_shift_exp.yaml"),
+    ("dihedral", "dihedral-multi_harmonic.yaml"),
+    ("dihedral", "dihedral-nharmonic.yaml"),
+    ("dihedral", "dihedral-quadratic.yaml"),
+    ("dihedral", "dihedral-helix.yaml"),
+    ("improper", "improper-cvff.yaml"),
+    ("improper", "improper-cossq.yaml"),
+    ("improper", "improper-umbrella.yaml"),
 ]
 
 
@@ -95,3 +117,72 @@ def test_manybody_fixture(name):
     sscale = np.abs(want["stress"]).max()
     np.testing.assert_allclose(got["stress"], want["stress"],
                                atol=sscale * 1e-9, rtol=0)
+
+
+ATOMIC_FIXTURES = [
+    "atomic-pair-eam.yaml",          # funcfl, 2 elements mixed
+    "atomic-pair-eam_alloy.yaml",    # setfl CuNi
+    "atomic-pair-eam_fs.yaml",       # Finnis-Sinclair AlFe
+]
+
+
+@pytest.mark.parametrize("name", ATOMIC_FIXTURES)
+def test_atomic_fixture(name):
+    from fixture_harness import run_atomic_fixture
+
+    got, want = run_atomic_fixture(name)
+    assert got["vdwl"] == pytest.approx(want["vdwl"], rel=1e-10)
+    scale = np.abs(want["forces"]).max()
+    np.testing.assert_allclose(got["forces"], want["forces"],
+                               atol=scale * 1e-10, rtol=0)
+    sscale = np.abs(want["stress"]).max()
+    np.testing.assert_allclose(got["stress"], want["stress"],
+                               atol=sscale * 1e-9, rtol=0)
+
+
+# -- run-4 trajectory goldens (ref: test_pair_style.cpp:158-170 pins the
+# post-`run 4` forces/energies/stress too; SURVEY.md §4.1) ------------------
+
+TRAJ_PAIR = [
+    ("mol", "mol-pair-lj_cut.yaml"),
+    ("mol", "mol-pair-lj_cut_coul_long.yaml"),
+    ("mol", "mol-pair-lj_charmm_coul_long.yaml"),
+    ("atomic", "atomic-pair-eam.yaml"),
+    ("atomic", "atomic-pair-eam_alloy.yaml"),
+    ("atomic", "atomic-pair-eam_fs.yaml"),
+    ("manybody", "manybody-pair-tersoff.yaml"),
+    ("manybody", "manybody-pair-sw.yaml"),
+]
+
+
+@pytest.mark.parametrize("kind,name", TRAJ_PAIR)
+def test_pair_fixture_run4(kind, name):
+    from fixture_harness import run_pair_fixture_traj
+
+    got, want = run_pair_fixture_traj(name, kind=kind)
+    assert got["vdwl"] == pytest.approx(want["vdwl"], rel=1e-8)
+    scale = max(np.abs(want["forces"]).max(), 1e-30)
+    np.testing.assert_allclose(got["forces"], want["forces"],
+                               atol=scale * 1e-7, rtol=0)
+    sscale = np.abs(want["stress"]).max()
+    np.testing.assert_allclose(got["stress"], want["stress"],
+                               atol=sscale * 1e-7, rtol=0)
+
+
+TRAJ_BONDED = [
+    ("bond", "bond-harmonic.yaml"),
+    ("angle", "angle-charmm.yaml"),
+    ("dihedral", "dihedral-opls.yaml"),
+    ("improper", "improper-harmonic.yaml"),
+]
+
+
+@pytest.mark.parametrize("kind,name", TRAJ_BONDED)
+def test_bonded_fixture_run4(kind, name):
+    from fixture_harness import run_bonded_fixture_traj
+
+    got, want = run_bonded_fixture_traj(kind, name)
+    assert got["energy"] == pytest.approx(want["energy"], rel=1e-8, abs=1e-8)
+    scale = max(np.abs(want["forces"]).max(), 1e-30)
+    np.testing.assert_allclose(got["forces"], want["forces"],
+                               atol=scale * 1e-7, rtol=0)
