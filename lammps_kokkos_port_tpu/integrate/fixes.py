@@ -185,11 +185,14 @@ class FixEnforce2D(AuxFix):
 
 @dataclasses.dataclass(frozen=True)
 class FixSpring(AuxFix):
-    """fix spring tether: harmonic pull of the group's COM toward a point
-    (ref: src/fix_spring.cpp, `tether K x y z R0` with R0=0)."""
+    """fix spring tether K x y z R0: harmonic pull of the group's COM
+    toward a point, engaging beyond rest length R0; NULL components (None
+    in x0) are excluded from the displacement
+    (ref: src/fix_spring.cpp spring_tether: unwrapped group xcm)."""
 
     k: float = 1.0
-    x0: tuple = (0.0, 0.0, 0.0)
+    x0: tuple = (0.0, 0.0, 0.0)  # entries may be None (NULL)
+    r0: float = 0.0
     groupbit: int = 1
 
     def post_force(self, state: State) -> State:
@@ -197,10 +200,17 @@ class FixSpring(AuxFix):
         m = state.per_atom_mass[:, None]
         mg = jnp.where(g, m, 0.0)
         mtot = jnp.maximum(jnp.sum(mg), 1e-300)
-        com = jnp.sum(mg * state.x, axis=0) / mtot
-        dr = com - jnp.asarray(self.x0, state.dtype)
-        # per-atom share proportional to mass/masstotal
-        fadd = -self.k * dr[None, :] * (mg / mtot)
+        prd = state.box.prd.astype(state.dtype)
+        xu = state.x + state.image.astype(state.dtype) * prd
+        com = jnp.sum(mg * xu, axis=0) / mtot
+        sel = jnp.asarray([0.0 if c is None else 1.0 for c in self.x0],
+                          state.dtype)
+        pt = jnp.asarray([0.0 if c is None else float(c) for c in self.x0],
+                         state.dtype)
+        dr = (com - pt) * sel
+        r = jnp.maximum(jnp.sqrt(jnp.sum(dr * dr)), 1e-10)
+        fmag = self.k * (r - self.r0) / r  # k dr/r (ref :177-186)
+        fadd = -fmag * dr[None, :] * (mg / mtot)
         return state.replace(f=state.f + fadd)
 
 
@@ -229,3 +239,278 @@ class FixRecenter(AuxFix):
         shift = state.aux[self.aux_key] - com
         x = state.x + jnp.where(g, shift[None, :], 0.0)
         return state.replace(x=x)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixAveForce(AuxFix):
+    """fix aveforce: replace each non-None component with the group
+    average plus the given constant (ref: src/fix_aveforce.cpp)."""
+
+    fx: float | None = None
+    fy: float | None = None
+    fz: float | None = None
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        n = jnp.maximum(jnp.sum(g), 1)
+        f = state.f
+        for d, val in enumerate((self.fx, self.fy, self.fz)):
+            if val is not None:
+                avg = jnp.sum(jnp.where(g, f[:, d], 0.0)) / n
+                f = f.at[:, d].set(jnp.where(g, avg + val, f[:, d]))
+        return state.replace(f=f)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixSpringSelf(AuxFix):
+    """fix spring/self: per-atom tether to the setup position
+    (ref: src/fix_spring_self.cpp; unwrapped coordinates)."""
+
+    k: float = 1.0
+    groupbit: int = 1
+    aux_key: str = "springself_x0"
+
+    def _unwrap(self, state: State) -> Array:
+        prd = state.box.prd.astype(state.dtype)
+        return state.x + state.image.astype(state.dtype) * prd
+
+    def setup(self, state: State) -> State:
+        return state.replace(
+            aux={**state.aux, self.aux_key: self._unwrap(state)})
+
+    def post_force(self, state: State) -> State:
+        dx = self._unwrap(state) - state.aux[self.aux_key]
+        f = state.f - jnp.where(_gmask(state, self.groupbit),
+                                self.k * dx, 0.0)
+        return state.replace(f=f)
+
+
+def _group_temp(state: State, groupbit: int, units: Units):
+    """Group-scoped compute temp: T = sum m v^2 mvv2e / (dof kB),
+    dof = dim*N - dim (ref: src/compute_temp.cpp dof_compute)."""
+    g = _gmask(state, groupbit)[:, 0]
+    m = jnp.where(g, state.per_atom_mass, 0.0)
+    ke = jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
+    dim = 3 if state.dimension == 3 else 2
+    dof = dim * jnp.sum(g) - dim
+    return units.mvv2e * ke / (jnp.maximum(dof, 1) * units.boltz)
+
+
+def _run_delta(state: State):
+    """(step - beginstep)/(endstep - beginstep) ramp fraction using the
+    run window installed in aux (ref: update->beginstep/endstep)."""
+    if "nh_run" in state.aux:
+        run = state.aux["nh_run"]
+        begin = run[0].astype(state.dtype)
+        span = jnp.maximum(run[1].astype(state.dtype) - begin, 1.0)
+        return jnp.clip(
+            (state.ntimestep.astype(state.dtype) - begin) / span, 0.0, 1.0)
+    return jnp.zeros((), state.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixTempRescale(AuxFix):
+    """fix temp/rescale N t_start t_stop window fraction: every N steps,
+    if |T - target| > window rescale group velocities by
+    sqrt(T'/T), T' = T - fraction (T - target)
+    (ref: src/fix_temp_rescale.cpp end_of_step)."""
+
+    every: int = 1
+    t_start: float = 1.0
+    t_stop: float = 1.0
+    window: float = 0.0
+    fraction: float = 1.0
+    units: Units = None
+    groupbit: int = 1
+
+    def end_of_step(self, state: State) -> State:
+        t_cur = _group_temp(state, self.groupbit, self.units)
+        t_target = self.t_start + _run_delta(state) * (self.t_stop
+                                                       - self.t_start)
+        tp = t_cur - self.fraction * (t_cur - t_target)
+        factor = jnp.sqrt(tp / jnp.maximum(t_cur, 1e-300))
+        do = jnp.logical_and(
+            jnp.mod(state.ntimestep, self.every) == 0,
+            jnp.abs(t_cur - t_target) > self.window,
+        )
+        factor = jnp.where(do, factor, 1.0)
+        v = jnp.where(_gmask(state, self.groupbit), state.v * factor,
+                      state.v)
+        return state.replace(v=v)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixTempBerendsen(AuxFix):
+    """fix temp/berendsen t_start t_stop t_period: every step rescale by
+    lamda = sqrt(1 + dt/t_period (target/T - 1))
+    (ref: src/fix_temp_berendsen.cpp end_of_step)."""
+
+    t_start: float = 1.0
+    t_stop: float = 1.0
+    t_period: float = 1.0
+    dt: float = 0.005
+    units: Units = None
+    groupbit: int = 1
+
+    def end_of_step(self, state: State) -> State:
+        t_cur = _group_temp(state, self.groupbit, self.units)
+        t_target = self.t_start + _run_delta(state) * (self.t_stop
+                                                       - self.t_start)
+        lam = jnp.sqrt(1.0 + self.dt / self.t_period
+                       * (t_target / jnp.maximum(t_cur, 1e-300) - 1.0))
+        v = jnp.where(_gmask(state, self.groupbit), state.v * lam, state.v)
+        return state.replace(v=v)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixPlaneForce(AuxFix):
+    """fix planeforce: project force onto the plane normal to n
+    (ref: src/fix_planeforce.cpp)."""
+
+    nx: float = 0.0
+    ny: float = 0.0
+    nz: float = 1.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        n = jnp.asarray([self.nx, self.ny, self.nz], state.dtype)
+        n = n / jnp.sqrt(jnp.sum(n * n))
+        dot = state.f @ n
+        f = state.f - jnp.where(_gmask(state, self.groupbit),
+                                dot[:, None] * n[None, :], 0.0)
+        return state.replace(f=f)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixLineForce(AuxFix):
+    """fix lineforce: keep only the force component along n
+    (ref: src/fix_lineforce.cpp)."""
+
+    nx: float = 0.0
+    ny: float = 0.0
+    nz: float = 1.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        n = jnp.asarray([self.nx, self.ny, self.nz], state.dtype)
+        n = n / jnp.sqrt(jnp.sum(n * n))
+        dot = state.f @ n
+        proj = dot[:, None] * n[None, :]
+        f = jnp.where(_gmask(state, self.groupbit), proj, state.f)
+        return state.replace(f=f)
+
+
+_WALL_FACES = {"xlo": (0, -1), "xhi": (0, +1), "ylo": (1, -1),
+               "yhi": (1, +1), "zlo": (2, -1), "zhi": (2, +1)}
+
+
+@dataclasses.dataclass(frozen=True)
+class FixWall(AuxFix):
+    """fix wall/{lj93,lj126,lj1043,harmonic,morse}: flat-wall potentials
+    (ref: src/fix_wall.cpp geometry + per-style precompute/wall_particle in
+    src/fix_wall_lj93.cpp etc.). walls: tuple of
+    (face, coord|None for EDGE, eps, sigma[, alpha], cutoff); style names
+    follow the reference. Forces only (wall energy is a scalar output the
+    thermo table does not consume here)."""
+
+    style: str = "lj93"
+    walls: tuple = ()
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        f = state.f
+        g = _gmask(state, self.groupbit)[:, 0]
+        lo = state.box.lo
+        hi = state.box.hi
+        for w in self.walls:
+            face, coord, eps, sig, alpha, cutoff = w
+            dim, side = _WALL_FACES[face]
+            c = jnp.where(
+                jnp.isnan(jnp.asarray(coord, state.dtype)),
+                jnp.where(side < 0, lo[dim], hi[dim]),
+                jnp.asarray(coord, state.dtype),
+            )
+            delta = jnp.where(side < 0, state.x[:, dim] - c,
+                              c - state.x[:, dim])
+            inside = jnp.logical_and(g, jnp.logical_and(delta > 0.0,
+                                                        delta < cutoff))
+            d = jnp.where(inside, delta, 1.0)
+            rinv = 1.0 / d
+            if self.style == "lj93":
+                c1 = 6.0 / 5.0 * eps * sig ** 9
+                c2 = 3.0 * eps * sig ** 3
+                fwall = c1 * rinv ** 10 - c2 * rinv ** 4
+            elif self.style == "lj126":
+                c1 = 48.0 * eps * sig ** 12
+                c2 = 24.0 * eps * sig ** 6
+                fwall = rinv ** 6 * (c1 * rinv ** 6 - c2) * rinv
+            elif self.style == "lj1043":
+                tp = 2.0 * jnp.pi
+                c1 = tp * 2.0 / 5.0 * eps * sig ** 10
+                c2 = tp * eps * sig ** 4
+                c3 = tp * (2.0 ** 0.5) / 3.0 * eps * sig ** 3
+                c4 = 0.61 / (2.0 ** 0.5) * sig
+                fwall = (10.0 * c1 * rinv ** 11 - 4.0 * c2 * rinv ** 5
+                         - 3.0 * c3 * (d + c4) ** -4)
+            elif self.style == "harmonic":
+                fwall = 2.0 * eps * (cutoff - d)
+            elif self.style == "morse":
+                dexp = jnp.exp(-alpha * (d - sig))
+                fwall = 2.0 * eps * alpha * (dexp * dexp - dexp)
+            else:
+                raise ValueError(self.style)
+            df = jnp.where(inside, -float(side) * fwall, 0.0)
+            f = f.at[:, dim].add(df)
+        return state.replace(f=f)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixMomentumFull(AuxFix):
+    """fix momentum with linear + angular + rescale options
+    (ref: src/fix_momentum.cpp end_of_step: vcm subtraction, omega = I^-1 L
+    about the unwrapped COM, KE-preserving rescale)."""
+
+    every: int = 1
+    groupbit: int = 1
+    linear: tuple | None = (True, True, True)
+    angular: bool = False
+    rescale: bool = False
+
+    def end_of_step(self, state: State) -> State:
+        def apply(v):
+            g = _gmask(state, self.groupbit)
+            m = state.per_atom_mass[:, None]
+            mg = jnp.where(g, m, 0.0)
+            mtot = jnp.maximum(jnp.sum(mg), 1e-300)
+            ke_old = jnp.sum(mg * v * v)
+            if self.linear is not None:
+                vcm = jnp.sum(mg * v, axis=0) / mtot
+                sel = jnp.asarray([float(s) for s in self.linear],
+                                  state.dtype)
+                v = v - jnp.where(g, (vcm * sel)[None, :], 0.0)
+            if self.angular:
+                prd = state.box.prd.astype(state.dtype)
+                xu = state.x + state.image.astype(state.dtype) * prd
+                xcm = jnp.sum(mg * xu, axis=0) / mtot
+                r = xu - xcm
+                L = jnp.sum(mg * jnp.cross(r, v), axis=0)
+                r2 = jnp.sum(r * r, axis=-1)
+                eye = jnp.eye(3, dtype=state.dtype)
+                inertia = jnp.sum(
+                    mg[:, :, None]
+                    * (r2[:, None, None] * eye
+                       - r[:, :, None] * r[:, None, :]), axis=0)
+                omega = jnp.linalg.solve(
+                    inertia + 1e-300 * eye, L)
+                v = v - jnp.where(g, jnp.cross(
+                    jnp.broadcast_to(omega, r.shape), r), 0.0)
+            if self.rescale:
+                ke_new = jnp.maximum(jnp.sum(mg * v * v), 1e-300)
+                factor = jnp.sqrt(ke_old / ke_new)
+                v = jnp.where(g, v * factor, v)
+            return v
+
+        do = jnp.mod(state.ntimestep, self.every) == 0
+        v = jax.lax.cond(do, apply, lambda v: v, state.v)
+        return state.replace(v=v)

@@ -76,11 +76,19 @@ class FixNVT(Integrator):
     # -- helpers -------------------------------------------------------------
 
     def _tdof(self, state: State) -> Array:
+        """Thermostatted DOF: group-scoped (ref: the fix's own temperature
+        compute runs on its group, src/fix_nh.cpp:519 + compute_temp.cpp
+        dof_compute: dim*N_group - extra)."""
         dim = state.dimension
         extra = self.extra_dof if self.extra_dof is not None else dim
-        return dim * state.nlocal.astype(state.dtype) - extra
+        g = state.valid_mask & state.group_mask(self.groupbit)
+        return dim * jnp.sum(g).astype(state.dtype) - extra
 
     def _t_target(self, state: State) -> Array:
+        # ensemble override: parallel tempering swaps targets per replica
+        # at runtime (ref: temper.cpp:183 whichfix->reset_target)
+        if "t_target" in state.aux:
+            return state.aux["t_target"].astype(state.dtype)
         run = state.aux["nh_run"]
         begin = run[0].astype(state.dtype)
         end = run[1].astype(state.dtype)
@@ -91,10 +99,11 @@ class FixNVT(Integrator):
         return self.t_start + delta * (self.t_stop - self.t_start)
 
     def _t_current(self, state: State) -> Array:
-        return thermo_mod.temperature(
-            state, self.units,
-            self.extra_dof if self.extra_dof is not None else state.dimension,
-        )
+        g = state.valid_mask & state.group_mask(self.groupbit)
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        ke = jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
+        return self.units.mvv2e * ke / (
+            jnp.maximum(self._tdof(state), 1.0) * self.units.boltz)
 
     def _nhc_temp_integrate(self, state: State) -> State:
         """One half-step of the thermostat chain + velocity rescale

@@ -83,6 +83,40 @@ class Integrator:
         return state
 
 
+@dataclasses.dataclass(frozen=True)
+class IntegratorNVELimit(Integrator):
+    """fix nve/limit xmax: clamp |v| to xmax/dt after each half kick
+    (ref: src/fix_nve_limit.cpp initial/final_integrate)."""
+
+    xmax: float = 0.1
+
+    def _clamp(self, state: State) -> State:
+        vlimitsq = (self.xmax / self.dt) ** 2
+        vsq = jnp.sum(state.v * state.v, axis=-1, keepdims=True)
+        scale = jnp.where(vsq > vlimitsq,
+                          jnp.sqrt(vlimitsq / jnp.maximum(vsq, 1e-300)), 1.0)
+        v = jnp.where(self._gmask(state), state.v * scale, state.v)
+        return state.replace(v=v)
+
+    def initial_integrate(self, state: State) -> State:
+        return self.nve_x(self._clamp(self.nve_v(state)))
+
+    def final_integrate(self, state: State) -> State:
+        return self._clamp(self.nve_v(state))
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorNVENoforce(Integrator):
+    """fix nve/noforce: drift only, no kicks
+    (ref: src/fix_nve_noforce.cpp)."""
+
+    def initial_integrate(self, state: State) -> State:
+        return self.nve_x(state)
+
+    def final_integrate(self, state: State) -> State:
+        return state
+
+
 class AuxFix:
     """Interface for non-integrating fixes (ref: Fix lifecycle hooks,
     src/fix.h:144-222). Override the hooks you need; all are identity by

@@ -48,8 +48,18 @@ class ForceField:
             cut = max(cut, self.kspace.real_cutoff())
         return cut
 
+    ALL_CATS = ("pair", "bond", "angle", "dihedral", "improper", "kspace")
+
     def compute(self, state: State, nl, eflag: bool, vflag: bool):
         """Returns (f, epair, emol, virial6)."""
+        return self.compute_categories(state, nl, self.ALL_CATS, eflag,
+                                       vflag)
+
+    def compute_categories(self, state: State, nl, cats, eflag: bool,
+                           vflag: bool):
+        """Evaluate only the listed force categories — the rRESPA level
+        slicing hook (ref: src/respa.cpp level_bond/level_pair assignment;
+        each level's force pass runs a subset of the styles)."""
         from ..ops import cellforce, gridforce, sortedforce
 
         if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells,
@@ -81,7 +91,7 @@ class ForceField:
         def acc(tot, val):
             return tot + val if val is not None and tot is not None else tot
 
-        if self.pair is not None:
+        if "pair" in cats and self.pair is not None:
             slj = self.special.weights_lj if self.special is not None else None
             scoul = (self.special.weights_coul
                      if self.special is not None else None)
@@ -97,7 +107,7 @@ class ForceField:
             virial = acc(virial, pv)
 
         top = self.topology
-        if self.bond is not None and top is not None:
+        if "bond" in cats and self.bond is not None and top is not None:
             # explicit-force styles (e.g. the RBC bond wlc_pow_all_visc,
             # non-conservative) provide compute() directly; conservative
             # styles go through the autodiff engine
@@ -112,7 +122,7 @@ class ForceField:
                 f = f + bf
                 emol = acc(emol, be)
                 virial = acc(virial, bv)
-        if self.angle is not None and top is not None:
+        if "angle" in cats and self.angle is not None and top is not None:
             if hasattr(self.angle, "compute"):
                 out = (self.angle.compute(state, top, eflag, vflag)
                        if top.angles.shape[0] else None)
@@ -124,7 +134,7 @@ class ForceField:
                 f = f + af
                 emol = acc(emol, ae)
                 virial = acc(virial, av)
-        if self.dihedral is not None and top is not None:
+        if "dihedral" in cats and self.dihedral is not None and top is not None:
             if hasattr(self.dihedral, "compute"):
                 out = (self.dihedral.compute(state, top, eflag, vflag)
                        if top.dihedrals.shape[0] else None)
@@ -144,7 +154,7 @@ class ForceField:
                     # reference (dihedral_charmm.cpp:281 pair->ev_tally)
                     epair = acc(epair, extra14[0])
                     virial = acc(virial, extra14[1])
-        if self.improper is not None and top is not None:
+        if "improper" in cats and self.improper is not None and top is not None:
             out = bonded_mod.compute_dihedrals(
                 self.improper, state, top, eflag, vflag, which="impropers"
             )
@@ -154,7 +164,7 @@ class ForceField:
                 emol = acc(emol, ie)
                 virial = acc(virial, iv)
 
-        if self.kspace is not None:
+        if "kspace" in cats and self.kspace is not None:
             kf, ke, kv = self.kspace.compute(state, eflag, vflag)
             f = f + kf
             epair = acc(epair, ke)

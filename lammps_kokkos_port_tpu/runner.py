@@ -43,8 +43,10 @@ class Simulation:
         neigh_check: bool = True,
         extra_dof: int | None = None,
         list_mode: str = "auto",
+        respa=None,
     ):
         self._list_mode_req = list_mode
+        self.respa = respa  # RespaLevels | None (run_style respa)
         self.state = state
         from .models.forcefield import ForceField, from_pair
 
@@ -89,6 +91,11 @@ class Simulation:
         self.state = self.integrator.setup(self.state)
         for fx in self.fixes:
             self.state = fx.setup(self.state)
+        if "nh_run" not in self.state.aux:
+            # run window for t_target ramps (ref: update->beginstep/endstep;
+            # consumed by FixNH and the temp/langevin fixes)
+            self.state = self.state.replace(aux={
+                **self.state.aux, "nh_run": jnp.zeros(2, dtype=jnp.int32)})
         cutneigh = self.forcefield.max_cutoff() + self.skin
         params = nbr.size_for_system(
             self.state,
@@ -116,6 +123,18 @@ class Simulation:
         self.state = self.state.replace(f=f)
         if vflag:
             self.state = self.state.replace(virial=virial)
+        # setup applies post_force hooks so step 1's first half-kick sees
+        # the modified forces (ref: Modify::setup -> fix->setup -> post_force,
+        # src/fix_setforce.cpp setup)
+        for fx in self.fixes:
+            self.state = fx.post_force(self.state)
+        if self.respa is not None:
+            from .integrate.respa import make_respa_step
+
+            _, setup_forces = make_respa_step(
+                self.integrator, self.forcefield, self.respa, self.fixes,
+                special=self.forcefield.special)
+            self.state = setup_forces(self.state, self.nl)
         self._segment_cache.clear()
 
     def _pick_list_mode(self, params):
@@ -124,6 +143,9 @@ class Simulation:
         path; ops/gridforce); otherwise the [N,K] matrix engine. `cell`
         (ops/cellforce) remains selectable explicitly."""
         ff = self.forcefield
+        if self.respa is not None:
+            self.list_mode = "matrix"  # rRESPA slices categories per level
+            return
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
             return
@@ -195,10 +217,17 @@ class Simulation:
         key = (self.nl.params, self.state.capacity)
         runner = self._segment_cache.get(key)
         if runner is None:
-            step = make_step(
-                self.integrator, self.force_fn, self.fixes,
-                special=self.forcefield.special,
-            )
+            if self.respa is not None:
+                from .integrate.respa import make_respa_step
+
+                step, _ = make_respa_step(
+                    self.integrator, self.forcefield, self.respa,
+                    self.fixes, special=self.forcefield.special)
+            else:
+                step = make_step(
+                    self.integrator, self.force_fn, self.fixes,
+                    special=self.forcefield.special,
+                )
 
             def run_segment(state, nl, nsteps: int):
                 def body(carry, _):

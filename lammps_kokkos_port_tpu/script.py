@@ -113,6 +113,7 @@ class LammpsScript:
         self.neigh_every = 1
         self.neigh_delay = 0
         self.neigh_check = True
+        self.respa = None
         self.fixes: list[PendingFix] = []
         self.dt: float | None = None
         self.thermo_every = 0
@@ -591,6 +592,38 @@ class LammpsScript:
             for t, el in enumerate(a[3:3 + self.ntypes], start=1):
                 if el in st.elements:
                     self.masses[t] = float(st.mass[st.elements.index(el)])
+
+    def cmd_run_style(self, a):
+        """run_style verlet | respa N n1 [n2...] [bond b] [pair p] ...
+        (ref: src/respa.cpp arg parsing; levels are 1-based in input)."""
+        if a[0] == "verlet":
+            self.respa = None
+            return
+        if a[0] != "respa":
+            raise ScriptError(f"run_style {a[0]} unsupported")
+        from .integrate.respa import RespaLevels
+
+        n = int(a[1])
+        loops = tuple(int(x) for x in a[2:2 + (n - 1)])
+        rest = a[2 + (n - 1):]
+        level_of = []
+        i = 0
+        while i + 1 < len(rest):
+            cat = rest[i]
+            if cat in ("bond", "angle", "dihedral", "improper", "pair",
+                       "kspace"):
+                level_of.append((cat, int(rest[i + 1]) - 1))
+            i += 2
+        self.respa = RespaLevels(nlevels=n, loops=loops,
+                                 level_of=tuple(level_of))
+        self.sim = None  # force rebuild with the new run style
+
+    def cmd_fix_modify(self, a):
+        # recorded only: energy/virial tally toggles are implicit in our
+        # design (fix energies flow through AuxFix.energy; virial via the
+        # integrator's needs_virial) (ref: src/fix.cpp modify_params)
+        self.fix_modify = getattr(self, "fix_modify", {})
+        self.fix_modify[a[0]] = tuple(a[1:])
 
     def cmd_pair_modify(self, a):
         for i in range(0, len(a) - 1, 2):
@@ -1174,6 +1207,7 @@ class LammpsScript:
             neigh_every=self.neigh_every,
             neigh_delay=self.neigh_delay,
             neigh_check=self.neigh_check,
+            respa=self.respa,
         )
         sim.setup()
         sim.ntimestep = self.ntimestep
@@ -1618,6 +1652,7 @@ class LammpsScript:
                 integ = Integrator(dt=dt, units=units, groupbit=gbit)
             elif f.style == "nvt":
                 kw = self._nh_kw(f.args)
+                kw.pop("mtk", None)  # barostat-only keyword (fix_nh.cpp)
                 integ = FixNVT(dt=dt, units=units, groupbit=gbit, **kw)
             elif f.style in ("npt", "nph"):
                 kw = self._nh_kw(f.args)
@@ -1640,8 +1675,99 @@ class LammpsScript:
                                          fy=float(f.args[1]),
                                          fz=float(f.args[2]), groupbit=gbit))
             elif f.style == "momentum":
-                fixes.append(FixMomentum(every=int(f.args[0]),
-                                         groupbit=gbit))
+                args = f.args
+                linear = None
+                angular = "angular" in args
+                rescale = "rescale" in args
+                if "linear" in args:
+                    li = args.index("linear")
+                    linear = tuple(bool(int(args[li + 1 + d]))
+                                   for d in range(3))
+                if angular or rescale:
+                    from .integrate.fixes import FixMomentumFull
+
+                    fixes.append(FixMomentumFull(
+                        every=int(args[0]), groupbit=gbit, linear=linear,
+                        angular=angular, rescale=rescale))
+                else:
+                    fixes.append(FixMomentum(
+                        every=int(args[0]), groupbit=gbit,
+                        linear=linear or (True, True, True)))
+            elif f.style == "nve/limit":
+                from .integrate.verlet import IntegratorNVELimit
+
+                integ = IntegratorNVELimit(dt=dt, units=units,
+                                           groupbit=gbit,
+                                           xmax=float(f.args[0]))
+            elif f.style == "nve/noforce":
+                from .integrate.verlet import IntegratorNVENoforce
+
+                integ = IntegratorNVENoforce(dt=dt, units=units,
+                                             groupbit=gbit)
+            elif f.style == "aveforce":
+                from .integrate.fixes import FixAveForce
+
+                def av(s):
+                    return None if s == "NULL" else float(s)
+
+                fixes.append(FixAveForce(fx=av(f.args[0]), fy=av(f.args[1]),
+                                         fz=av(f.args[2]), groupbit=gbit))
+            elif f.style == "spring/self":
+                from .integrate.fixes import FixSpringSelf
+
+                fixes.append(FixSpringSelf(k=float(f.args[0]),
+                                           groupbit=gbit))
+            elif f.style == "temp/rescale":
+                from .integrate.fixes import FixTempRescale
+
+                fixes.append(FixTempRescale(
+                    every=int(f.args[0]), t_start=float(f.args[1]),
+                    t_stop=float(f.args[2]), window=float(f.args[3]),
+                    fraction=float(f.args[4]), units=units, groupbit=gbit))
+            elif f.style == "temp/berendsen":
+                from .integrate.fixes import FixTempBerendsen
+
+                fixes.append(FixTempBerendsen(
+                    t_start=float(f.args[0]), t_stop=float(f.args[1]),
+                    t_period=float(f.args[2]), dt=dt, units=units,
+                    groupbit=gbit))
+            elif f.style in ("planeforce", "lineforce"):
+                from .integrate.fixes import FixLineForce, FixPlaneForce
+
+                cls = (FixPlaneForce if f.style == "planeforce"
+                       else FixLineForce)
+                fixes.append(cls(nx=float(f.args[0]), ny=float(f.args[1]),
+                                 nz=float(f.args[2]), groupbit=gbit))
+            elif f.style.startswith("wall/") and f.style[5:] in (
+                    "lj93", "lj126", "lj1043", "harmonic", "morse"):
+                from .integrate.fixes import FixWall
+
+                wstyle = f.style[5:]
+                walls = []
+                i = 0
+                a = f.args
+                while i < len(a):
+                    face = a[i]
+                    if face not in ("xlo", "xhi", "ylo", "yhi",
+                                    "zlo", "zhi"):
+                        i += 1  # trailing keyword (units/pbc) — skip
+                        continue
+                    coord = float("nan") if a[i + 1] == "EDGE" \
+                        else float(a[i + 1])
+                    if wstyle == "morse":
+                        # face coord D alpha r0 cutoff
+                        walls.append((face, coord, float(a[i + 2]),
+                                      float(a[i + 4]), float(a[i + 3]),
+                                      float(a[i + 5])))
+                        i += 6
+                    else:
+                        # face coord eps sigma cutoff
+                        walls.append((face, coord, float(a[i + 2]),
+                                      float(a[i + 3]), 0.0,
+                                      float(a[i + 4])))
+                        i += 5
+                fixes.append(FixWall(style=wstyle, walls=tuple(walls),
+                                     groupbit=gbit))
             elif f.style == "enforce2d":
                 fixes.append(FixEnforce2D(groupbit=gbit))
             elif f.style == "viscous":
@@ -1651,8 +1777,9 @@ class LammpsScript:
                 if f.args[0] == "tether":
                     fixes.append(FixSpring(
                         k=float(f.args[1]),
-                        x0=tuple(0.0 if s == "NULL" else float(s)
+                        x0=tuple(None if s == "NULL" else float(s)
                                  for s in f.args[2:5]),
+                        r0=float(f.args[5]) if len(f.args) > 5 else 0.0,
                         groupbit=gbit))
             elif f.style == "recenter":
                 fixes.append(FixRecenter(groupbit=gbit))

@@ -674,3 +674,63 @@ def run_manybody_fixture(name: str, dtype=jnp.float64, skin=0.5):
         stress=parse_stress(fix["init_stress"]),
     )
     return got, want
+
+
+# ---------------------------------------------------------------------------
+# fix-timestep fixtures: the reference applies a fix to the `solute` group
+# of the fourmol system under a fixed lj/cut+harmonic force field and pins
+# positions/velocities after 8 steps of dt=0.25
+# (ref: unittest/force-styles/test_fix_timestep.cpp:95-140)
+# ---------------------------------------------------------------------------
+
+_FIXTS_FF = [
+    "pair_style lj/cut 8.0",
+    "pair_coeff 1 1 0.02 2.5",
+    "pair_coeff 2 2 0.005 1.0",
+    "pair_coeff 2 4 0.005 0.5",
+    "pair_coeff 3 3 0.02 3.2",
+    "pair_coeff 4 4 0.015 3.1",
+    "pair_coeff 5 5 0.015 3.1",
+    "bond_style harmonic",
+    "bond_coeff 1 250.0 1.5",
+    "bond_coeff 2 300.0 1.1",
+    "bond_coeff 3 350.0 1.3",
+    "bond_coeff 4 650.0 1.2",
+    "bond_coeff 5 450.0 1.0",
+    "angle_style harmonic",
+    "angle_coeff 1 75.0 110.1",
+    "angle_coeff 2 45.0 111.0",
+    "angle_coeff 3 50.0 120.0",
+    "angle_coeff 4 100.0 108.5",
+    "group solute molecule 1:2",
+    "group solvent molecule 3:5",
+]
+
+
+def run_fix_timestep(name: str, dtype=jnp.float64):
+    """Replay a fix-timestep-*.yaml fixture through the interpreter.
+    Returns (got_pos, got_vel, want_pos, want_vel, box)."""
+    from lammps_kokkos_port_tpu.script import LammpsScript
+
+    fix = load_fixture(name)
+    s = LammpsScript(dtype=dtype, var_overrides={"input_dir": TESTS_DIR})
+    s.file(f"{TESTS_DIR}/in.fourmol")
+    for c in _FIXTS_FF:
+        s.one(c)
+    for ln in (fix.get("post_commands") or "").splitlines():
+        if ln.strip():
+            s.one(ln.strip())
+    s.one("timestep 0.25")
+    s.one("run 8")
+
+    st = s.sim.state
+    tags = np.asarray(st.tag)
+    valid = np.asarray(st.valid_mask)
+    order = np.argsort(tags[valid])
+    x = np.asarray(st.x)[valid][order]
+    v = np.asarray(st.v)[valid][order]
+    n = int(fix["natoms"])
+    want_pos = parse_forces(fix["run_pos"], n)
+    want_vel = parse_forces(fix["run_vel"], n)
+    prd = np.asarray(st.box.prd)
+    return x, v, want_pos, want_vel, prd

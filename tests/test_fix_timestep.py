@@ -1,0 +1,43 @@
+"""fix-timestep golden fixtures: positions/velocities after 8 steps with
+the fix under test applied to the `solute` group (SURVEY.md §4.1; ref:
+unittest/force-styles/test_fix_timestep.cpp + 96 fix-timestep-*.yaml)."""
+
+import numpy as np
+import pytest
+
+from fixture_harness import run_fix_timestep
+
+FIXTURES = [
+    "fix-timestep-nve.yaml",
+    "fix-timestep-nve_limit.yaml",
+    "fix-timestep-nve_noforce.yaml",
+    "fix-timestep-nvt.yaml",
+    "fix-timestep-momentum.yaml",
+    "fix-timestep-setforce_const.yaml",
+    "fix-timestep-addforce_const.yaml",
+    "fix-timestep-aveforce_const.yaml",
+    "fix-timestep-spring_self.yaml",
+    "fix-timestep-spring_tether.yaml",
+    "fix-timestep-temp_rescale.yaml",
+    "fix-timestep-temp_berendsen.yaml",
+    "fix-timestep-planeforce.yaml",
+    "fix-timestep-lineforce.yaml",
+    "fix-timestep-wall_lj93_const.yaml",
+    "fix-timestep-wall_lj126_const.yaml",
+    "fix-timestep-wall_lj1043_const.yaml",
+    "fix-timestep-wall_harmonic_const.yaml",
+    "fix-timestep-wall_morse_const.yaml",
+]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_fix_timestep(name):
+    x, v, want_pos, want_vel, prd = run_fix_timestep(name)
+    assert x.shape == want_pos.shape
+    # compare positions modulo the periodic box (wrap policies may differ)
+    dx = x - want_pos
+    dx -= prd[None, :] * np.round(dx / prd[None, :])
+    scale = max(np.abs(want_pos).max(), 1.0)
+    np.testing.assert_allclose(dx, 0.0, atol=scale * 1e-8)
+    vscale = max(np.abs(want_vel).max(), 1e-10)
+    np.testing.assert_allclose(v, want_vel, atol=vscale * 1e-7, rtol=0)
