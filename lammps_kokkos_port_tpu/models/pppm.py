@@ -82,7 +82,7 @@ def _fft_friendly(n: int) -> bool:
     jax.tree_util.register_dataclass,
     data_fields=["gf", "wx2", "wy2", "wz2", "den", "fvec", "alias_idx"],
     meta_fields=["ngrid", "order", "g_ewald", "accuracy", "nalias",
-                 "dynamic"],
+                 "dynamic", "grid_sharding"],
 )
 @dataclasses.dataclass(frozen=True)
 class PPPM:
@@ -112,6 +112,12 @@ class PPPM:
     accuracy: float
     nalias: int = 2
     dynamic: bool = False
+    # Optional jax.sharding.NamedSharding for the rho/E grids: the GSPMD
+    # analog of the reference's distributed PPPM grid + FFT pencil remaps
+    # (ref: src/KSPACE/remap.cpp:63 remap_3d, src/KOKKOS/grid3d_kokkos.cpp)
+    # — annotate the grid layout once and XLA inserts the all-to-alls and
+    # ghost-plane reductions the reference hand-codes.
+    grid_sharding: object = None
 
     @staticmethod
     def create(box, g_ewald: float, accuracy_rel: float = 1e-4,
@@ -279,11 +285,19 @@ class PPPM:
         grid = grid.at[ix.reshape(-1), iy.reshape(-1), iz.reshape(-1)].add(
             vals.reshape(-1)
         )
+        if self.grid_sharding is not None:
+            # pin the grid layout; GSPMD inserts the scatter reduction
+            # (ghost-plane sums, ref grid3d reverse_comm) and the FFT
+            # all-to-alls (ref remap_3d) around this constraint
+            grid = jax.lax.with_sharding_constraint(grid, self.grid_sharding)
         return grid
 
     def _mesh_energy(self, x: Array, state: State, gf: Array) -> Array:
         rho = self._spread(x, state)
         rho_k = jnp.fft.fftn(rho)
+        if self.grid_sharding is not None:
+            rho_k = jax.lax.with_sharding_constraint(rho_k,
+                                                     self.grid_sharding)
         return jnp.sum(gf * jnp.abs(rho_k) ** 2)
 
     def _corrections(self, state: State) -> Array:
