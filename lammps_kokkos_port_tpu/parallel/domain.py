@@ -97,6 +97,7 @@ class ShardedMD:
         integrator: str = "nve",
         t_target: float | None = None,
         t_period: float | None = None,
+        balance: bool = False,
     ):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("x",))
@@ -128,13 +129,21 @@ class ShardedMD:
                 "copies would double-count the x-periodic images; use the "
                 "single-chip Simulation instead)"
             )
+        # slab boundaries in fractional x: uniform, or weighted so each
+        # shard owns ~equal atom counts (the `balance x uniform/weighted`
+        # command analog, 1-D RCB; ref: src/balance.cpp, src/rcb.cpp)
+        self.balance = balance
+        self.cuts = self._compute_cuts(state) if balance else np.linspace(
+            0.0, 1.0, self.ndev + 1)
+
         prd = np.asarray(jax.device_get(state.box.prd))
-        if prd[0] / self.ndev <= self.cutghost:
+        min_slab = float(np.min(np.diff(self.cuts))) * prd[0]
+        if min_slab <= self.cutghost:
             raise ValueError(
-                f"slab width {prd[0]/self.ndev:.3f} <= ghost cutoff "
+                f"slab width {min_slab:.3f} <= ghost cutoff "
                 f"{self.cutghost:.3f}: too many shards for this box"
             )
-        if self.ndev == 2 and prd[0] / self.ndev <= 2.0 * self.cutghost:
+        if self.ndev == 2 and min_slab <= 2.0 * self.cutghost:
             # with 2 shards the left and right neighbor are the SAME device:
             # an atom inside both face bands would arrive twice and the
             # x-periodic min-image would double-count its pair forces
@@ -149,6 +158,65 @@ class ShardedMD:
         self.k_mult = 1.4
         self._distribute(state, cap_mult, ghost_cap_mult)
         self._build_runner()
+
+    # -- load balancing (ref: src/balance.cpp static `balance` command;
+    # fix balance = rebalance() at segment boundaries) ------------------------
+
+    def _compute_cuts(self, state: State) -> np.ndarray:
+        """Slab boundaries at atom-count quantiles of fractional x — each
+        shard owns ~natoms/ndev (recursive bisection degenerates to
+        quantiles in 1-D; ref: src/rcb.cpp)."""
+        n = int(jax.device_get(state.nlocal))
+        x = np.asarray(jax.device_get(state.x))[:n]
+        hinv = np.asarray(jax.device_get(state.box.h_inv))
+        lo = np.asarray(jax.device_get(state.box.lo))
+        lamx = ((x - lo) @ hinv.T)[:, 0]
+        lamx = lamx - np.floor(lamx)
+        qs = np.quantile(lamx, np.linspace(0.0, 1.0, self.ndev + 1))
+        qs[0], qs[-1] = 0.0, 1.0
+        # keep each slab wide enough for the ghost cutoff
+        prd_x = float(np.asarray(jax.device_get(state.box.prd))[0])
+        min_frac = 1.05 * self.cutghost / prd_x
+        for k in range(1, self.ndev):
+            qs[k] = max(qs[k], qs[k - 1] + min_frac)
+        for k in range(self.ndev - 1, 0, -1):
+            qs[k] = min(qs[k], qs[k + 1] - min_frac)
+        return qs
+
+    def imbalance(self) -> float:
+        """max/mean per-shard atom count (the reference's imbalance factor,
+        ref: src/imbalance.cpp / Finish's histogram)."""
+        counts = np.asarray(jax.device_get(self.nloc))
+        return float(counts.max() / max(counts.mean(), 1e-300))
+
+    def rebalance(self):
+        """Re-cut slabs from current positions and redistribute — the
+        `fix balance` analog, run between segments (ref: src/fix_balance.cpp
+        rebalancing at output boundaries)."""
+        g = self._gather_arrays()
+        st = self.global_state
+        x = np.asarray(g["x"])
+        hinv = np.asarray(jax.device_get(st.box.h_inv))
+        lo = np.asarray(jax.device_get(st.box.lo))
+        lamx = ((x - lo) @ hinv.T)[:, 0]
+        lamx = lamx - np.floor(lamx)
+        qs = np.quantile(lamx, np.linspace(0.0, 1.0, self.ndev + 1))
+        qs[0], qs[-1] = 0.0, 1.0
+        prd_x = float(np.asarray(jax.device_get(st.box.prd))[0])
+        min_frac = 1.05 * self.cutghost / prd_x
+        for k in range(1, self.ndev):
+            qs[k] = max(qs[k], qs[k - 1] + min_frac)
+        for k in range(self.ndev - 1, 0, -1):
+            qs[k] = min(qs[k], qs[k + 1] - min_frac)
+        self.cuts = qs
+        self._distribute_arrays(
+            x, np.asarray(g["v"]), np.asarray(g["type"]),
+            np.asarray(g["tag"]),
+            np.asarray(g["q"]) if g.get("q") is not None else None,
+            self.cap_mult, self.ghost_cap_mult,
+        )
+        self._build_runner()
+        self._runner_cache = {}
 
     # -- host-side distribution ----------------------------------------------
 
@@ -173,7 +241,8 @@ class ShardedMD:
         lo = np.asarray(jax.device_get(state.box.lo))
         lam = (x[:n] - lo) @ hinv.T
         lamx = lam[:, 0] - np.floor(lam[:, 0])
-        owner = np.minimum((lamx * nd).astype(int), nd - 1)
+        owner = np.clip(np.searchsorted(self.cuts, lamx, side="right") - 1,
+                        0, nd - 1)
 
         counts = np.bincount(owner, minlength=nd)
         capS = int(np.ceil(counts.max() * cap_mult / 8) * 8)
@@ -257,6 +326,8 @@ class ShardedMD:
         p = self.nparams
         perm_l = [(i, (i - 1) % nd) for i in range(nd)]  # send to left
         perm_r = [(i, (i + 1) % nd) for i in range(nd)]  # send to right
+        cuts_j = jnp.asarray(self.cuts, dtype=np.dtype(
+            self.global_state.dtype))
         has_q = self.qs is not None
 
         def pseudo_state(x_ext, t_ext, m_ext, q_ext, nloc):
@@ -293,14 +364,16 @@ class ShardedMD:
                 x = jnp.where((msk != 0)[:, None], xw, x)
                 lam = box.to_lamda(x)[:, 0]
                 lam = lam - jnp.floor(lam)
-                owner = jnp.minimum((lam * nd).astype(jnp.int32), nd - 1)
+                owner = jnp.clip(
+                    jnp.searchsorted(cuts_j, lam, side="right") - 1,
+                    0, nd - 1).astype(jnp.int32)
                 exists = msk != 0
                 stay = exists & (owner == me)
                 # route by which boundary was crossed (ref: CommBrick
                 # exchange sends per dim-direction) — owner-identity would
                 # double-send when ndev == 2 (left neighbor == right)
-                my_lo_b = me.astype(x.dtype) / nd
-                my_hi_b = (me.astype(x.dtype) + 1.0) / nd
+                my_lo_b = cuts_j[me]
+                my_hi_b = cuts_j[me + 1]
                 dist_l = jnp.mod(my_lo_b - lam, 1.0)  # how far below my slab
                 dist_r = jnp.mod(lam - my_hi_b, 1.0)
                 go_l = exists & ~stay & (dist_l <= dist_r)
@@ -368,8 +441,8 @@ class ShardedMD:
                 lam = box.to_lamda(x)[:, 0]
                 lam = lam - jnp.floor(lam)
                 exists = msk != 0
-                my_lo = me.astype(x.dtype) / nd
-                my_hi = (me.astype(x.dtype) + 1.0) / nd
+                my_lo = cuts_j[me]
+                my_hi = cuts_j[me + 1]
                 gf = self.cutghost / prd_x
                 near_lo = exists & (lam < my_lo + gf)
                 near_hi = exists & (lam > my_hi - gf)
@@ -660,8 +733,9 @@ class ShardedMD:
         lam = box.to_lamda(x)[:, 0]
         lam = lam - jnp.floor(lam)
         exists = msk != 0
-        my_lo = me.astype(x.dtype) / nd
-        my_hi = (me.astype(x.dtype) + 1.0) / nd
+        cuts_j = jnp.asarray(self.cuts, dtype=x.dtype)
+        my_lo = cuts_j[me]
+        my_hi = cuts_j[me + 1]
         gf = self.cutghost / prd_x
         near_lo = exists & (lam < my_lo + gf)
         near_hi = exists & (lam > my_hi - gf)

@@ -378,7 +378,13 @@ class Simulation:
             em_v = em_v / n
             ke_v = ke_v / n
         pe_v = ep_v + em_v
-        return {
+        ptens = jax.device_get(thermo_mod.pressure_tensor(st, virial, u))
+        fmag = jnp.where(st.valid_mask[:, None], f, 0.0)
+        fnorm = float(jax.device_get(jnp.sqrt(jnp.sum(fmag * fmag))))
+        fmax = float(jax.device_get(jnp.max(jnp.abs(fmag))))
+        lo = jax.device_get(st.box.lo)
+        hi = jax.device_get(st.box.hi)
+        row = {
             "temp": float(t_v),
             "epair": float(ep_v),
             "emol": float(em_v),
@@ -388,7 +394,19 @@ class Simulation:
             "press": float(p_v),
             "vol": vol,
             "natoms": int(n),
+            "fnorm": fnorm,
+            "fmax": fmax,
+            "enthalpy": float(pe_v + ke_v) + float(p_v) * vol
+            / (n if norm else 1) / u.nktv2p,
+            "dt": self.dt,
         }
+        for i, k in enumerate(("pxx", "pyy", "pzz", "pxy", "pxz", "pyz")):
+            row[k] = float(ptens[i])
+        for d, k in enumerate(("xlo", "ylo", "zlo")):
+            row[k] = float(lo[d])
+        for d, k in enumerate(("xhi", "yhi", "zhi")):
+            row[k] = float(hi[d])
+        return row
 
 
 def _print_thermo_row(row: dict):

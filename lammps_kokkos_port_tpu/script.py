@@ -468,42 +468,154 @@ class LammpsScript:
         )
 
     def cmd_region(self, a):
+        """region styles block/sphere/cylinder/prism with units/side
+        keywords (ref: src/region_block.cpp, region_sphere.cpp,
+        region_cylinder.cpp, region_prism.cpp)."""
         name, style = a[0], a[1]
-        if style != "block":
+        rest = list(a[2:])
+        units = "lattice"
+        side = "in"
+        clean = []
+        i = 0
+        while i < len(rest):
+            if rest[i] == "units":
+                units = rest[i + 1]
+                i += 2
+            elif rest[i] == "side":
+                side = rest[i + 1]
+                i += 2
+            else:
+                clean.append(rest[i])
+                i += 1
+
+        def num(s):
+            if s in ("INF", "EDGE"):
+                return None
+            return float(s)
+
+        if style == "block":
+            params = [num(x) for x in clean[:6]]
+        elif style == "sphere":
+            params = [float(x) for x in clean[:4]]  # x y z R
+        elif style == "cylinder":
+            # axis c1 c2 R lo hi
+            params = [clean[0]] + [num(x) for x in clean[1:6]]
+        elif style == "prism":
+            params = [num(x) for x in clean[:9]]  # 6 bounds + xy xz yz
+        else:
             raise ScriptError(f"region style {style} not supported yet")
-        bounds = [float(x) for x in a[2:8]]
-        self.regions[name] = ("block", bounds)
+        self.regions[name] = (style, params, units, side)
+
+    def _region_scale(self, units: str) -> np.ndarray:
+        if units == "box" or self.lattice is None:
+            return np.ones(3)
+        return np.asarray(self.lattice.spacing)
+
+    def _region_bbox(self, name: str):
+        """(lo, hi) bounding box in box units."""
+        style, p, units, _ = self.regions[name]
+        sp = self._region_scale(units)
+        blo = self._box_lo_np if hasattr(self, "_box_lo_np") else None
+        bhi = self._box_hi_np if hasattr(self, "_box_hi_np") else None
+
+        def b(v, d, which):
+            if v is not None:
+                return v * sp[d]
+            return (blo[d] if which == "lo" else bhi[d])
+
+        if style in ("block", "prism"):
+            lo = np.array([b(p[0], 0, "lo"), b(p[2], 1, "lo"),
+                           b(p[4], 2, "lo")])
+            hi = np.array([b(p[1], 0, "hi"), b(p[3], 1, "hi"),
+                           b(p[5], 2, "hi")])
+            return lo, hi
+        if style == "sphere":
+            c = np.array(p[:3]) * sp
+            r = p[3] * sp[0]
+            return c - r, c + r
+        if style == "cylinder":
+            ax = {"x": 0, "y": 1, "z": 2}[p[0]]
+            d1, d2 = [d for d in range(3) if d != ax]
+            c1, c2, r = p[1] * sp[d1], p[2] * sp[d2], p[3] * sp[d1]
+            lo = np.zeros(3)
+            hi = np.zeros(3)
+            lo[ax] = b(p[4], ax, "lo")
+            hi[ax] = b(p[5], ax, "hi")
+            lo[d1], hi[d1] = c1 - r, c1 + r
+            lo[d2], hi[d2] = c2 - r, c2 + r
+            return lo, hi
+        raise ScriptError(style)
+
+    def _region_contains(self, name: str, pts: np.ndarray) -> np.ndarray:
+        """Boolean inside-mask for points in box units (ref:
+        Region::match; side out inverts)."""
+        style, p, units, side = self.regions[name]
+        sp = self._region_scale(units)
+        if style in ("block", "prism"):
+            lo, hi = self._region_bbox(name)
+            sel = np.all((pts >= lo) & (pts <= hi), axis=1)
+        elif style == "sphere":
+            c = np.array(p[:3]) * sp
+            r = p[3] * sp[0]
+            sel = np.sum((pts - c) ** 2, axis=1) <= r * r
+        elif style == "cylinder":
+            ax = {"x": 0, "y": 1, "z": 2}[p[0]]
+            d1, d2 = [d for d in range(3) if d != ax]
+            c1, c2, r = p[1] * sp[d1], p[2] * sp[d2], p[3] * sp[d1]
+            lo_ax = (p[4] * sp[ax] if p[4] is not None
+                     else self._box_lo_np[ax])
+            hi_ax = (p[5] * sp[ax] if p[5] is not None
+                     else self._box_hi_np[ax])
+            sel = ((pts[:, d1] - c1) ** 2 + (pts[:, d2] - c2) ** 2
+                   <= r * r)
+            sel &= (pts[:, ax] >= lo_ax) & (pts[:, ax] <= hi_ax)
+        else:
+            raise ScriptError(style)
+        return ~sel if side == "out" else sel
 
     def cmd_create_box(self, a):
         self.ntypes = int(a[0])
-        region = self.regions[a[1]]
-        _, b = region
-        sp = self.lattice.spacing if self.lattice else np.ones(3)
-        lo = np.array([b[0], b[2], b[4]]) * sp
-        hi = np.array([b[1], b[3], b[5]]) * sp
+        style, p, units, _ = self.regions[a[1]]
+        if style not in ("block", "prism"):
+            raise ScriptError("create_box needs a block or prism region")
+        sp = self._region_scale(units)
+        lo = np.array([p[0], p[2], p[4]], dtype=float) * sp
+        hi = np.array([p[1], p[3], p[5]], dtype=float) * sp
+        self._box_tilt = (np.array(p[6:9], dtype=float) * sp
+                          if style == "prism" else None)
         # keep exact fp64 bounds on the host: lattice-point inclusion must
         # not depend on the device float width (f32 round-trip would admit
         # duplicate boundary planes)
         self._box_lo_np = lo
         self._box_hi_np = hi
         periodic = tuple(p.startswith("p") for p in self.boundary)
-        self.box = Box.create(lo, hi, periodic=periodic, dtype=jnp.float64)
+        self.box = Box.create(lo, hi, tilt=getattr(self, "_box_tilt", None),
+                              periodic=periodic, dtype=jnp.float64)
 
     def cmd_create_atoms(self, a):
         type_id = int(a[0])
-        if a[1] not in ("box", "region"):
-            raise ScriptError("create_atoms: only box/region styles")
+        if a[1] not in ("box", "region", "single"):
+            raise ScriptError("create_atoms: only box/region/single styles")
+        if a[1] == "single":
+            # create_atoms TYPE single x y z (lattice units by default)
+            sp = self._region_scale("lattice")
+            pt = np.array([float(a[2]), float(a[3]), float(a[4])]) * sp
+            self.positions.append(tuple(pt))
+            self.types.append(type_id)
+            return
         if a[1] == "box":
             lo = self._box_lo_np
             hi = self._box_hi_np
         else:
-            _, b = self.regions[a[2]]
-            sp = self.lattice.spacing
-            lo = np.array([b[0], b[2], b[4]]) * sp
-            hi = np.array([b[1], b[3], b[5]]) * sp
+            lo, hi = self._region_bbox(a[2])
+            lo = np.maximum(lo, self._box_lo_np)
+            hi = np.minimum(hi, self._box_hi_np)
         x, t = lattice_create_atoms(self.lattice, lo, hi, type_id=type_id)
-        self.positions.extend(x.tolist())
-        self.types.extend(t.tolist())
+        if a[1] == "region" and len(x):
+            keep = self._region_contains(a[2], np.asarray(x))
+            x, t = np.asarray(x)[keep], np.asarray(t)[keep]
+        self.positions.extend(np.asarray(x).tolist())
+        self.types.extend(np.asarray(t).tolist())
 
     def cmd_mass(self, a):
         if a[0] == "*":
@@ -756,11 +868,7 @@ class LammpsScript:
                        if self.molecules else np.zeros(n, dtype=np.int64))
                 sel = self._parse_index_list(args, mol)
             elif style == "region":
-                _, b = self.regions[args[0]]
-                sp = self.lattice.spacing if self.lattice else np.ones(3)
-                lo = np.array([b[0], b[2], b[4]]) * sp
-                hi = np.array([b[1], b[3], b[5]]) * sp
-                sel = np.all((x[:n] >= lo) & (x[:n] <= hi), axis=1)
+                sel = self._region_contains(args[0], np.asarray(x[:n]))
             elif style == "union":
                 sel = np.zeros(n, dtype=bool)
                 for g in args:
@@ -905,6 +1013,15 @@ class LammpsScript:
         "density": ("Density", "{:>14.8g}"), "lx": ("Lx", "{:>12.8g}"),
         "ly": ("Ly", "{:>12.8g}"), "lz": ("Lz", "{:>12.8g}"),
         "cpu": ("CPU", "{:>10.4g}"), "elapsed": ("Elaps", "{:>10d}"),
+        "pxx": ("Pxx", "{:>14.8g}"), "pyy": ("Pyy", "{:>14.8g}"),
+        "pzz": ("Pzz", "{:>14.8g}"), "pxy": ("Pxy", "{:>14.8g}"),
+        "pxz": ("Pxz", "{:>14.8g}"), "pyz": ("Pyz", "{:>14.8g}"),
+        "xlo": ("Xlo", "{:>12.8g}"), "xhi": ("Xhi", "{:>12.8g}"),
+        "ylo": ("Ylo", "{:>12.8g}"), "yhi": ("Yhi", "{:>12.8g}"),
+        "zlo": ("Zlo", "{:>12.8g}"), "zhi": ("Zhi", "{:>12.8g}"),
+        "fmax": ("Fmax", "{:>14.8g}"), "fnorm": ("Fnorm", "{:>14.8g}"),
+        "enthalpy": ("Enthalpy", "{:>14.8g}"), "dt": ("Dt", "{:>12.6g}"),
+        "time": ("Time", "{:>12.8g}"),
     }
 
     def _thermo_columns(self):

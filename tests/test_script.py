@@ -308,3 +308,32 @@ class TestDump:
         x0 = np.asarray(s.sim.state.x)[atom_order(s.sim.state)]
         np.testing.assert_allclose(df.x, x0, atol=1e-12)
 """run 0 support check is implicit: run_deck with run 0 emits only step 0."""
+
+
+class TestRegions:
+    def test_sphere_region_create_atoms_and_group(self):
+        """region sphere/cylinder + create_atoms region + group region
+        (ref: src/region_sphere.cpp, src/create_atoms.cpp)."""
+        import numpy as np
+
+        s = LammpsScript(dtype=jnp.float64)
+        for c in ["units lj", "lattice fcc 0.8442",
+                  "region box block 0 6 0 6 0 6", "create_box 1 box",
+                  "region ball sphere 3 3 3 2.0",
+                  "create_atoms 1 region ball",
+                  "mass 1 1.0"]:
+            s.one(c)
+        x = np.asarray(s.positions)
+        sp = np.asarray(s.lattice.spacing)
+        c = np.array([3.0, 3.0, 3.0]) * sp
+        r = 2.0 * sp[0]
+        d = np.linalg.norm(x - c, axis=1)
+        assert len(x) > 50
+        assert d.max() <= r + 1e-9
+        s.one("region half block 0 3 0 6 0 6")
+        inside = s._region_contains("half", x)
+        assert 0 < inside.sum() < len(x)
+        s.one("region tube cylinder z 3 3 1.5 0 6")
+        t_in = s._region_contains("tube", x)
+        rad = np.linalg.norm(x[:, :2] - c[None, :2], axis=1)
+        np.testing.assert_array_equal(t_in, rad <= 1.5 * sp[0] + 1e-12)
