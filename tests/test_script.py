@@ -335,5 +335,6 @@ class TestRegions:
         assert 0 < inside.sum() < len(x)
         s.one("region tube cylinder z 3 3 1.5 0 6")
         t_in = s._region_contains("tube", x)
-        rad = np.linalg.norm(x[:, :2] - c[None, :2], axis=1)
-        np.testing.assert_array_equal(t_in, rad <= 1.5 * sp[0] + 1e-12)
+        r_t = 1.5 * sp[0]
+        d2 = (x[:, 0] - c[0]) ** 2 + (x[:, 1] - c[1]) ** 2
+        np.testing.assert_array_equal(t_in, d2 <= r_t * r_t)
