@@ -129,6 +129,13 @@ class AuxFix:
     def post_force(self, state: State) -> State:
         return state
 
+    def setup_post_force(self, state: State) -> State:
+        """Force hook applied during run setup (ref: Modify::setup ->
+        Fix::setup). Most fixes apply the same adjustment as in-run
+        post_force; constraint fixes override (SHAKE projects coordinates
+        and uses a half-step prediction there, fix_shake.cpp:465-512)."""
+        return self.post_force(state)
+
     def end_of_step(self, state: State) -> State:
         return state
 

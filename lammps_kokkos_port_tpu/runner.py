@@ -125,9 +125,10 @@ class Simulation:
             self.state = self.state.replace(virial=virial)
         # setup applies post_force hooks so step 1's first half-kick sees
         # the modified forces (ref: Modify::setup -> fix->setup -> post_force,
-        # src/fix_setforce.cpp setup)
+        # src/fix_setforce.cpp setup; SHAKE's setup variant projects
+        # coordinates + uses a half-kick prediction, fix_shake.cpp:465-512)
         for fx in self.fixes:
-            self.state = fx.post_force(self.state)
+            self.state = fx.setup_post_force(self.state)
         if self.respa is not None:
             from .integrate.respa import make_respa_step
 
@@ -136,6 +137,19 @@ class Simulation:
                 special=self.forcefield.special)
             self.state = setup_forces(self.state, self.nl)
         self._segment_cache.clear()
+
+    def presetup_forces(self):
+        """The `run ... pre yes` force pass between consecutive runs
+        (ref: Verlet::setup re-run): recompute forces from the current
+        state and re-apply post_force hooks — NO fix/integrator state
+        reset (NH chains etc. survive)."""
+        vflag = self.integrator.needs_virial
+        f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
+        self.state = self.state.replace(f=f)
+        if vflag:
+            self.state = self.state.replace(virial=virial)
+        for fx in self.fixes:
+            self.state = fx.setup_post_force(self.state)
 
     def _pick_list_mode(self, params):
         """Grid-roll dense path when the force field is a bare pair_terms

@@ -933,7 +933,19 @@ class LammpsScript:
         self.dumps.pop(a[0], None)
 
     def cmd_dump_modify(self, a):
-        pass
+        """dump_modify ID sort id|off (ref: src/dump.cpp modify_params;
+        other keywords recorded and ignored)."""
+        did = a[0]
+        d = self.dumps.get(did)
+        if d is None:
+            return
+        i = 1
+        while i < len(a) - 1:
+            if a[i] == "sort":
+                d["sort"] = a[i + 1] != "off"
+                i += 2
+            else:
+                i += 2
 
     def cmd_read_data(self, a):
         from .io.data_reader import read_data
@@ -1054,19 +1066,37 @@ class LammpsScript:
         return row
 
     def cmd_run(self, a):
-        """run N: the Output scheduler loop — thermo and every dump fire at
-        their OWN cadence (ref: src/output.cpp:339 next-step bookkeeping;
-        dumps are independent of thermo)."""
+        """run N [start S stop E] [pre yes/no] [post yes/no]: the Output
+        scheduler loop — thermo and every dump fire at their OWN cadence
+        (ref: src/output.cpp:339; src/run.cpp arg parsing). `pre yes`
+        (default) re-runs the setup force pass — forces recomputed from the
+        current state and post_force hooks re-applied, exactly like
+        Verlet::setup on consecutive runs (constraint fixes re-solve with
+        full-step velocities there)."""
         nsteps = int(a[0])
+        start = stop = None
+        pre = True
+        i = 1
+        while i < len(a) - 1:
+            if a[i] == "start":
+                start = int(a[i + 1])
+            elif a[i] == "stop":
+                stop = int(a[i + 1])
+            elif a[i] == "pre":
+                pre = a[i + 1] == "yes"
+            i += 2
+        fresh = self.sim is None
         sim = self._build_simulation()
         if sim.nl is None:
             sim.setup()
+        elif pre and not fresh:
+            sim.presetup_forces()
         if "nh_run" in sim.state.aux:
-            begin = sim.ntimestep
+            begin = sim.ntimestep if start is None else start
+            end = begin + nsteps if stop is None else stop
             sim.state = sim.state.replace(aux={
                 **sim.state.aux,
-                "nh_run": jnp.asarray([begin, begin + nsteps],
-                                      dtype=jnp.int32),
+                "nh_run": jnp.asarray([begin, end], dtype=jnp.int32),
             })
         self._emit(" ".join(self._THERMO_COLS[c][0]
                             for c in self._thermo_columns()))
@@ -1123,7 +1153,7 @@ class LammpsScript:
         pe/atom — evaluated on demand via get_compute)."""
         cid, group, style = a[0], a[1], a[2]
         known = ("temp", "pressure", "pe", "ke", "msd", "com", "rdf",
-                 "ke/atom", "pe/atom")
+                 "ke/atom", "pe/atom", "stress/atom")
         if style not in known:
             raise ScriptError(f"compute style {style} unsupported")
         self.computes[cid] = (group, style, a[3:])
@@ -1168,6 +1198,8 @@ class LammpsScript:
             return np.asarray(obs.ke_atom(st))
         if style == "pe/atom":
             return np.asarray(obs.pe_atom(sim, groupbit=gbit))
+        if style == "stress/atom":
+            return np.asarray(obs.stress_atom(sim))
         raise ScriptError(style)
 
     def cmd_minimize(self, a):
@@ -1261,7 +1293,9 @@ class LammpsScript:
             if d["every"] > 0 and step_no % d["every"] == 0:
                 path = d["path"].replace("*", str(step_no))
                 write_dump_frame(path, self.sim, style=d["style"],
-                                 args=d.get("args", ()), append="*" not in d["path"])
+                                 args=d.get("args", ()),
+                                 append="*" not in d["path"],
+                                 sort=d.get("sort", False))
 
     # -- simulation materialization -----------------------------------------
 
@@ -1707,6 +1741,15 @@ class LammpsScript:
             msel |= np.abs(masses[tj] - m) <= MASSDELTA
         sel = (np.isin(bl[:, 0], btypes) | np.isin(ti, ttypes)
                | np.isin(tj, ttypes) | msel)
+        # the fix's group scopes eligibility: ALL cluster atoms must be in
+        # the group (ref: fix_shake.cpp:925 `mask[i] & groupbit` per atom)
+        if spec.group != "all" and self._group_defs:
+            n = len(types)
+            gm = self._resolve_group_masks(
+                np.asarray(self.positions), types, n, n)
+            gbit = self.groups.get(spec.group, 1)
+            ing = (gm & gbit) != 0
+            sel &= ing[bl[:, 1]] & ing[bl[:, 2]]
         sel_bonds = bl[sel]
 
         bond_r0 = {}
@@ -1723,6 +1766,8 @@ class LammpsScript:
             al = np.asarray(raw["angles"]).copy()
             al[:, 1:] -= 1
             asel = np.isin(al[:, 0], atypes)
+            if spec.group != "all" and self._group_defs:
+                asel &= (ing[al[:, 1]] & ing[al[:, 2]] & ing[al[:, 3]])
             sel_angles = al[asel]
             for t in atypes:
                 c = self.angle_coeffs.get(int(t))
@@ -1730,12 +1775,16 @@ class LammpsScript:
                     raise ScriptError(f"fix shake: no angle coeff {t}")
                 angle_theta0[int(t)] = float(c[1]) * np.pi / 180.0
 
-        from .integrate.shake import make_shake
+        from .integrate.shake import make_shake_clusters
 
-        fix = make_shake(
-            cap, sel_bonds, [int(t) for t in np.unique(sel_bonds[:, 0])],
-            bond_r0, angles=sel_angles if len(sel_angles) else None,
-            angle_types=atypes, angle_theta0=angle_theta0,
+        units = get_units(self.units_name)
+        dt_step = self.dt if self.dt is not None else units.dt
+        fix = make_shake_clusters(
+            cap, sel_bonds, bond_r0,
+            angles=sel_angles if len(sel_angles) else None,
+            angle_theta0=angle_theta0,
+            tol=float(spec.args[0]), max_iter=int(spec.args[1]),
+            dt=dt_step, ftm2v=units.ftm2v,
             dtype=jnp.float64 if self.dtype == jnp.float64 else self.dtype,
         )
 

@@ -721,7 +721,13 @@ def run_fix_timestep(name: str, dtype=jnp.float64):
         if ln.strip():
             s.one(ln.strip())
     s.one("timestep 0.25")
-    s.one("run 8")
+    # the reference protocol is a setup-only run 0 (projects SHAKE
+    # coordinates so run 1 computes forces at corrected positions), then
+    # TWO runs with a re-setup between (pre yes recomputes forces and
+    # constraints) and a shared ramp window (test_fix_timestep.cpp:133-138)
+    s.one("run 0 post no")
+    s.one("run 4 post no start 0 stop 8")
+    s.one("run 4 post no start 0 stop 8")
 
     st = s.sim.state
     tags = np.asarray(st.tag)

@@ -27,6 +27,8 @@ FIXTURES = [
     "fix-timestep-wall_lj1043_const.yaml",
     "fix-timestep-wall_harmonic_const.yaml",
     "fix-timestep-wall_morse_const.yaml",
+    "fix-timestep-shake_bond.yaml",
+    "fix-timestep-shake_angle.yaml",
 ]
 
 

@@ -48,3 +48,43 @@ class TestObservables:
         assert core.max() < 0.2
         peak_r = centers[np.argmax(g)]
         assert 0.9 < peak_r < 1.4
+
+
+class TestStressAtom:
+    """compute stress/atom: per-atom shares must sum to the global
+    pressure tensor identity sum_i S_i = -V P_voigt
+    (ref: src/compute_stress_atom.cpp tally = compute_pressure's)."""
+
+    def test_lj_sums_to_pressure_tensor(self, sim):
+        from lammps_kokkos_port_tpu.compute.thermo import pressure_tensor
+
+        f, pe, emol, vir = sim.forcefield.compute(sim.state, sim.nl,
+                                                  True, True)
+        sa = np.asarray(obs.stress_atom(sim))
+        ptens = np.asarray(pressure_tensor(sim.state, vir, sim.units))
+        vol = float(sim.state.box.volume)
+        np.testing.assert_allclose(sa.sum(axis=0), -vol * ptens,
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_molecular_sums_to_pressure_tensor(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from fixture_harness import TESTS_DIR, _FIXTS_FF
+        from lammps_kokkos_port_tpu.script import LammpsScript
+        from lammps_kokkos_port_tpu.compute.thermo import pressure_tensor
+
+        s = LammpsScript(dtype=jnp.float64,
+                         var_overrides={"input_dir": TESTS_DIR})
+        s.file(f"{TESTS_DIR}/in.fourmol")
+        for c in _FIXTS_FF:
+            s.one(c)
+        s.one("run 0 post no")
+        sim = s.sim
+        s.one("compute sp all stress/atom NULL")
+        sa = s.get_compute("sp")
+        f, pe, emol, vir = sim.forcefield.compute(sim.state, sim.nl,
+                                                  True, True)
+        ptens = np.asarray(pressure_tensor(sim.state, vir, sim.units))
+        vol = float(sim.state.box.volume)
+        np.testing.assert_allclose(sa.sum(axis=0), -vol * ptens,
+                                   rtol=1e-9, atol=1e-7)

