@@ -471,3 +471,136 @@ def make_shake_clusters(
         tol=float(tol), max_iter=int(max_iter), dtv=float(dt),
         dtfsq=float(dt * dt * ftm2v), ncons=ncons,
     )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["atoms", "d", "nc", "aflag"],
+    meta_fields=["tol", "max_iter", "dtv", "dtfsq", "ncons", "groupbit"],
+)
+@dataclasses.dataclass(frozen=True)
+class FixRattleClusters(FixShakeClusters):
+    """fix rattle (ref: src/RIGID/fix_rattle.cpp): SHAKE's coordinate
+    constraint force PLUS an exact velocity constraint so v stays tangent
+    to the manifold.
+
+    Per reference step ordering (rattle comes after all integration
+    fixes): post_force solves the LINEAR velocity system on the predicted
+    full-step velocities and corrects v in place (vrattle2/3/4/3angle,
+    fix_rattle.cpp:231-516); the coordinate constraint force is applied
+    AFTER the final kick (our end_of_step slot = the reference's
+    FixRattle::final_integrate) with dtfsq = dt^2/2 ftm2v ALWAYS (the
+    force only acts through the next initial half kick;
+    fix_shake.cpp:482-483 keeps the half factor when rattle)."""
+
+    def _solve_v(self, state: State, vp_all):
+        """Velocity-constraint corrections: dv[a] = invm_a sum_c
+        sign_c(a) l_c r_c with A l = c, A_{cc'} = g_{cc'} (r_c . r_c'),
+        c_c = -(vp_pa - vp_pb) . r_c — the reference's exact 1x1/2x2/3x3
+        solves in one masked form."""
+        cap = state.capacity
+        invm_all = 1.0 / state.per_atom_mass
+        x_all = state.x
+
+        def cluster(aidx, nc, aflag):
+            safe = jnp.minimum(aidx, cap - 1)
+            pad = aidx >= cap
+            xc = x_all[safe]
+            vc = vp_all[safe]
+            im = jnp.where(pad, 0.0, invm_all[safe])
+
+            pa = jnp.array([0, 0, 0])
+            pb = jnp.array([1, 2, 3])
+            pa = pa.at[2].set(jnp.where(aflag > 0, 1, 0))
+            pb = pb.at[2].set(jnp.where(aflag > 0, 2, 3))
+            active = jnp.arange(3) < nc
+
+            r = xc[pa] - xc[pb]
+            dv = vc[pa] - vc[pb]
+            sign = (jnp.zeros((3, 4))
+                    .at[jnp.arange(3), pa].add(1.0)
+                    .at[jnp.arange(3), pb].add(-1.0))
+            sign = sign * active[:, None]
+            g = jnp.einsum("ca,a,da->cd", sign, im, sign)
+
+            A = g * (r @ r.T)
+            eye = jnp.eye(3)
+            msk2 = active[:, None] & active[None, :]
+            A = jnp.where(msk2, A, eye)
+            c = jnp.where(active, -jnp.sum(dv * r, axis=1), 0.0)
+            l = jnp.linalg.solve(A, c)
+            l = jnp.where(active, l, 0.0)
+            dvc = im[:, None] * jnp.einsum("ca,c,cx->ax", sign, l, r)
+            return dvc
+
+        return jax.vmap(cluster)(self.atoms, self.nc, self.aflag)
+
+    def post_force(self, state: State) -> State:
+        """Velocity correction on the predicted v(t+dt)
+        (ref: FixRattle::post_force -> update_v_half_nocons + vrattle*)."""
+        if self.atoms.shape[0] == 0:
+            return state
+        # dtfv = 0.5 dt ftm2v (ref: update_v_half_nocons); dtfsq is
+        # already 0.5 dt^2 ftm2v for rattle, so dtfv = dtfsq / dt
+        dtfv = self.dtfsq / self.dtv
+        invm = 1.0 / state.per_atom_mass
+        vp = state.v + (dtfv * invm)[:, None] * state.f
+        dvc = self._solve_v(state, vp)
+        v = state.v.at[self.atoms.reshape(-1)].add(
+            dvc.reshape(-1, 3).astype(state.dtype), mode="drop")
+        return state.replace(v=v)
+
+    def end_of_step(self, state: State) -> State:
+        """Coordinate constraint force for the NEXT step's initial kick
+        (ref: FixRattle::final_integrate -> FixShake::post_force with the
+        half dtfsq)."""
+        if self.atoms.shape[0] == 0:
+            return state
+        invm_all = 1.0 / state.per_atom_mass
+        xs_all = (state.x + self.dtv * state.v
+                  + (self.dtfsq * invm_all)[:, None] * state.f)
+        df, _ = self._solve(state, state.x, xs_all)
+        f = state.f.at[self.atoms.reshape(-1)].add(
+            (df / self.dtfsq).reshape(-1, 3).astype(state.dtype),
+            mode="drop")
+        return state.replace(f=f)
+
+    def setup_post_force(self, state: State) -> State:
+        """Setup (ref: FixShake::setup with rattle=1): project coordinates,
+        remove velocity components along bonds (correct_velocities with
+        vp = v, fix_rattle.cpp:746-780), then the half-kick constraint
+        force."""
+        if self.atoms.shape[0] == 0:
+            return state
+        # 1. coordinate projection
+        df, im = self._solve(state, state.x, state.x)
+        corr = df * im[..., None]
+        x = state.x.at[self.atoms.reshape(-1)].add(
+            corr.reshape(-1, 3).astype(state.dtype), mode="drop")
+        state = state.replace(x=x)
+        # 2. velocity projection (instantaneous: vp = v)
+        dvc = self._solve_v(state, state.v)
+        v = state.v.at[self.atoms.reshape(-1)].add(
+            dvc.reshape(-1, 3).astype(state.dtype), mode="drop")
+        state = state.replace(v=v)
+        # 3. constraint force for the first half kick (dtfsq already half)
+        invm_all = 1.0 / state.per_atom_mass
+        xs_all = (state.x + self.dtv * state.v
+                  + (self.dtfsq * invm_all)[:, None] * state.f)
+        df, _ = self._solve(state, state.x, xs_all)
+        f = state.f.at[self.atoms.reshape(-1)].add(
+            (df / self.dtfsq).reshape(-1, 3).astype(state.dtype),
+            mode="drop")
+        return state.replace(f=f)
+
+
+def make_rattle_clusters(*args, **kw) -> FixRattleClusters:
+    """fix rattle factory: identical cluster discovery; dtfsq stays at
+    dt^2/2 ftm2v (ref: fix_shake.cpp:482 keeps the half factor when
+    rattle)."""
+    base = make_shake_clusters(*args, **kw)
+    return FixRattleClusters(
+        atoms=base.atoms, d=base.d, nc=base.nc, aflag=base.aflag,
+        tol=base.tol, max_iter=base.max_iter, dtv=base.dtv,
+        dtfsq=0.5 * base.dtfsq, ncons=base.ncons, groupbit=base.groupbit,
+    )

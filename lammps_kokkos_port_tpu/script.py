@@ -1703,7 +1703,8 @@ class LammpsScript:
         t, or either atom mass within 0.1 of an m value). Constrained
         bonds/angles are zeroed out of the force topology like the
         reference's type negation (fix_shake.cpp:2775,2832)."""
-        spec = next((f for f in self.fixes if f.style == "shake"), None)
+        spec = next((f for f in self.fixes
+                     if f.style in ("shake", "rattle")), None)
         if spec is None:
             return None
         raw = self.topology_raw
@@ -1775,11 +1776,14 @@ class LammpsScript:
                     raise ScriptError(f"fix shake: no angle coeff {t}")
                 angle_theta0[int(t)] = float(c[1]) * np.pi / 180.0
 
-        from .integrate.shake import make_shake_clusters
+        from .integrate.shake import (make_rattle_clusters,
+                                      make_shake_clusters)
 
         units = get_units(self.units_name)
         dt_step = self.dt if self.dt is not None else units.dt
-        fix = make_shake_clusters(
+        mk = (make_rattle_clusters if spec.style == "rattle"
+              else make_shake_clusters)
+        fix = mk(
             cap, sel_bonds, bond_r0,
             angles=sel_angles if len(sel_angles) else None,
             angle_theta0=angle_theta0,
@@ -1949,7 +1953,7 @@ class LammpsScript:
                         groupbit=gbit))
             elif f.style == "recenter":
                 fixes.append(FixRecenter(groupbit=gbit))
-            elif f.style == "shake":
+            elif f.style in ("shake", "rattle"):
                 pass  # materialized by _build_shake (needs topology)
             elif f.style == "sph":
                 # summation density: rho needs no time integration, so

@@ -29,6 +29,8 @@ FIXTURES = [
     "fix-timestep-wall_morse_const.yaml",
     "fix-timestep-shake_bond.yaml",
     "fix-timestep-shake_angle.yaml",
+    "fix-timestep-rattle_bond.yaml",
+    "fix-timestep-rattle_angle.yaml",
 ]
 
 
