@@ -227,7 +227,11 @@ class FixNPT(FixNVT):
     p_stop: tuple = (0.0, 0.0, 0.0)
     p_period: tuple = (1.0, 1.0, 1.0)
     p_flag: tuple = (True, True, True)
-    pcouple: str = "iso"  # iso | aniso (xyz/none coupling)
+    pcouple: str = "iso"  # iso | aniso | xy | yz | xz (couple styles)
+    dilate_all: bool = True     # ref: allremap (dilate all vs a group)
+    dilate_groupbit: int = 1
+    p_temp: float | None = None  # ptemp: barostat reference temperature
+    fixed_point: tuple | None = None  # ref: fixedpoint (default box center)
     mpchain: int = 3
     nc_pchain: int = 1
     mtk: bool = True
@@ -264,7 +268,23 @@ class FixNPT(FixNVT):
             "vol0": state.box.volume.astype(dt),
         })
         aux[AUX_KEY] = nh
-        return state.replace(aux=aux)
+        state = state.replace(aux=aux)
+        # barostat masses are FROZEN at segment setup (omega_mass_flag=0 /
+        # etap_mass_flag=0 defaults, fix_nh.cpp:84-85,797-822) — only the
+        # thermostat's eta_mass tracks the ramped t_target
+        return self.refresh_segment(state)
+
+    def refresh_segment(self, state: State) -> State:
+        """Recompute frozen barostat masses from t_target at the CURRENT
+        step — called at every run-segment setup like FixNH::setup
+        (the run command resets beginstep/endstep first)."""
+        nh = dict(state.aux[AUX_KEY])
+        kt = self.units.boltz * self._t_target(state)
+        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
+        pfreq = jnp.asarray(self.p_freq, state.dtype)
+        nh["omega_mass"] = nkt / (pfreq * pfreq)
+        nh["etap_kt"] = kt
+        return state.replace(aux={**state.aux, AUX_KEY: nh})
 
     # -- pressure plumbing ---------------------------------------------------
 
@@ -285,17 +305,38 @@ class FixNPT(FixNVT):
         return pt, p_hydro
 
     def _p_current(self, state: State):
-        """Coupled current pressure from KE tensor + carried virial
-        (ref: couple(); ISO averages, aniso uses the diagonal)."""
-        ptens = thermo_mod.pressure_tensor(state, state.virial, self.units)
+        """Coupled current pressure: GROUP KE tensor + global virial
+        (ref: the fix's pressure compute uses its group-scoped temp
+        compute's KE tensor, fix_nh.cpp:519-545 + compute_pressure.cpp
+        compute_vector; couple() then averages per pcouple)."""
+        vol = state.box.volume
         if self.pcouple == "iso":
-            avg = (ptens[0] + ptens[1] + ptens[2]) / 3.0
+            # ISO uses the SCALAR pressure: dof-scaled group temperature,
+            # not the raw mvv tensor (ref: compute_pressure.cpp
+            # compute_scalar keflag branch)
+            tdof = self._tdof(state)
+            t_cur = self._t_current(state)
+            vtrace = state.virial[0] + state.virial[1] + state.virial[2]
+            avg = ((tdof * self.units.boltz * t_cur + vtrace)
+                   / (3.0 * vol) * self.units.nktv2p)
             return jnp.stack([avg, avg, avg])
-        return ptens[:3]
+        kin = self._mvv_current(state)  # group Voigt diag, mvv2e applied
+        ptens = (kin + state.virial[:3]) / vol * self.units.nktv2p
+        if self.pcouple == "xy":
+            avg = 0.5 * (ptens[0] + ptens[1])
+            return jnp.stack([avg, avg, ptens[2]])
+        if self.pcouple == "yz":
+            avg = 0.5 * (ptens[1] + ptens[2])
+            return jnp.stack([ptens[0], avg, avg])
+        if self.pcouple == "xz":
+            avg = 0.5 * (ptens[0] + ptens[2])
+            return jnp.stack([avg, ptens[1], avg])
+        return ptens
 
     def _mvv_current(self, state: State):
+        g = state.valid_mask & state.group_mask(self.groupbit)
         m = state.per_atom_mass[:, None]
-        v = jnp.where(state.valid_mask[:, None], state.v, 0.0)
+        v = jnp.where(g[:, None], state.v, 0.0)
         return jnp.sum(m * v * v, axis=0) * self.units.mvv2e
 
     def _nh_omega_dot(self, state: State) -> State:
@@ -306,11 +347,7 @@ class FixNPT(FixNVT):
         omega_dot = nh["omega_dot"]
 
         vol = state.box.volume
-        t_target = self._t_target(state)
-        kt = boltz * t_target
-        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
-        pfreq = jnp.asarray(self.p_freq, state.dtype)
-        omega_mass = nkt / (pfreq * pfreq)
+        omega_mass = nh["omega_mass"]  # frozen at segment setup
 
         p_current = self._p_current(state)
         _, p_hydro = self._p_target(state)
@@ -379,11 +416,9 @@ class FixNPT(FixNVT):
         omega_dot = nh["omega_dot"]
 
         t_target = self._t_target(state)
-        kt = boltz * t_target
-        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
-        pfreq = jnp.asarray(self.p_freq, state.dtype)
-        omega_mass = nkt / (pfreq * pfreq)
-        em = kt / (self.p_freq_max * self.p_freq_max)
+        kt = boltz * t_target  # CURRENT kt for the chain force terms
+        omega_mass = nh["omega_mass"]  # frozen at segment setup
+        em = nh["etap_kt"] / (self.p_freq_max * self.p_freq_max)
 
         flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
         kecurrent = jnp.sum(flags * omega_mass * omega_dot[:3] * omega_dot[:3])
@@ -453,7 +488,10 @@ class FixNPT(FixNVT):
 
         lamda = box.to_lamda(state.x)
 
-        center = 0.5 * (box.lo + box.hi)
+        if self.fixed_point is not None:
+            center = jnp.asarray(self.fixed_point, state.dtype)
+        else:
+            center = 0.5 * (box.lo + box.hi)
         expfac = jnp.exp(dto * od[:3])
         flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
         expfac = jnp.where(flags > 0, expfac, 1.0)
@@ -462,8 +500,14 @@ class FixNPT(FixNVT):
         new_box = dataclasses.replace(box, lo=new_lo, hi=new_hi)
 
         x = new_box.to_box(lamda)
-        gmask = self._gmask(state)
-        x = jnp.where(gmask, x, state.x)
+        # dilate selection (ref: allremap vs dilate_group_bit,
+        # fix_nh.cpp:1084-1090); NOT the fix's own group by default
+        if self.dilate_all:
+            dmask = state.valid_mask[:, None]
+        else:
+            dmask = (state.valid_mask
+                     & state.group_mask(self.dilate_groupbit))[:, None]
+        x = jnp.where(dmask, x, state.x)
 
         omega = nh["omega"] + dto * od
         aux = dict(state.aux)
@@ -480,7 +524,7 @@ class FixNPT(FixNVT):
         t_target = self._t_target(state)
         kt = boltz * t_target
         lkt_press = kt if self.pcouple == "iso" else self.pdim * kt
-        em = kt / (self.p_freq_max * self.p_freq_max)
+        em = nh["etap_kt"] / (self.p_freq_max * self.p_freq_max)
 
         if self.mpchain:
             e = lkt_press * nh["etap"][0] + 0.5 * em * nh["etap_dot"][0] ** 2
@@ -490,9 +534,7 @@ class FixNPT(FixNVT):
         else:
             e = jnp.zeros((), state.dtype)
 
-        nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
-        pfreq = jnp.asarray(self.p_freq, state.dtype)
-        omega_mass = nkt / (pfreq * pfreq)
+        omega_mass = nh["omega_mass"]  # frozen at segment setup
         flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
         od = nh["omega_dot"][:3]
         e = e + jnp.sum(flags * 0.5 * omega_mass * od * od)
@@ -530,6 +572,13 @@ class FixNPH(FixNPT):
 
     def _nhc_temp_integrate(self, state: State) -> State:
         return state
+
+    def _t_target(self, state: State) -> Array:
+        """Barostat reference temperature: ptemp when given
+        (ref: fix_nh.cpp:260-264 + setup t0 = p_temp)."""
+        if self.p_temp is not None:
+            return jnp.asarray(self.p_temp, state.dtype)
+        return super()._t_target(state)
 
     def thermostat_energy(self, state: State) -> Array:
         return jnp.zeros((), state.dtype)

@@ -57,6 +57,12 @@ class Integrator:
         """Install any internal (aux) state before the run starts."""
         return state
 
+    def refresh_segment(self, state: State) -> State:
+        """Per-run-segment re-setup after the run window (nh_run) is
+        installed — barostats freeze their masses here
+        (ref: FixNH::setup runs once per `run` command)."""
+        return state
+
     def _gmask(self, state: State) -> Array:
         return (state.valid_mask & state.group_mask(self.groupbit))[:, None]
 

@@ -287,6 +287,7 @@ class Simulation:
                     "nh_run": jnp.asarray([begin, begin + nsteps], dtype=jnp.int32),
                 }
             )
+            self.state = self.integrator.refresh_segment(self.state)
 
         rows = []
 

@@ -1098,6 +1098,9 @@ class LammpsScript:
                 **sim.state.aux,
                 "nh_run": jnp.asarray([begin, end], dtype=jnp.int32),
             })
+            # re-freeze barostat masses for this segment's window
+            # (ref: FixNH::setup runs once per `run` command)
+            sim.state = sim.integrator.refresh_segment(sim.state)
         self._emit(" ".join(self._THERMO_COLS[c][0]
                             for c in self._thermo_columns()))
         t0 = time.perf_counter()
@@ -2025,6 +2028,28 @@ class LammpsScript:
                 kw["mtk"] = args[i + 1] == "yes"; i += 2
             elif k == "drag":
                 kw["drag"] = float(args[i + 1]); i += 2
+            elif k == "couple":
+                c = args[i + 1]
+                kw["pcouple"] = {"xyz": "iso", "none": "aniso"}.get(c, c)
+                i += 2
+            elif k == "dilate":
+                g = args[i + 1]
+                if g == "all":
+                    kw["dilate_all"] = True
+                else:
+                    kw["dilate_all"] = False
+                    kw["dilate_groupbit"] = self.groups.get(g, 1)
+                i += 2
+            elif k == "ptemp":
+                kw["p_temp"] = float(args[i + 1]); i += 2
+            elif k == "fixedpoint":
+                kw["fixed_point"] = (float(args[i + 1]), float(args[i + 2]),
+                                     float(args[i + 3]))
+                i += 4
+            elif k in ("flip", "scalexy", "scalexz", "scaleyz"):
+                i += 2  # recorded-and-ignored (ortho box path)
+            elif k == "nreset":
+                i += 2  # h0 reference reset: no strain-energy term yet
             else:
                 i += 1
         return kw

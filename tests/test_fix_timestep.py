@@ -31,6 +31,8 @@ FIXTURES = [
     "fix-timestep-shake_angle.yaml",
     "fix-timestep-rattle_bond.yaml",
     "fix-timestep-rattle_angle.yaml",
+    "fix-timestep-nvt_mtk.yaml",
+    "fix-timestep-nvt_drag.yaml",
 ]
 
 
