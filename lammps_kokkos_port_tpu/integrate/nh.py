@@ -54,6 +54,15 @@ class FixNVT(Integrator):
     extra_dof: int | None = None
 
     @property
+    def tbit(self) -> int:
+        """Group bit for the fix's TEMPERATURE/PRESSURE sensing.
+        fix nvt senses its own group (fix_nvt.cpp:34 creates
+        `compute .. <group> temp`); fix npt/nph sense group ALL
+        (fix_npt.cpp:35 / fix_nph.cpp:35 create `compute .. all temp`)
+        even when integrating a subgroup — FixNPT overrides."""
+        return self.groupbit
+
+    @property
     def t_freq(self) -> float:
         return 1.0 / self.t_period
 
@@ -69,9 +78,38 @@ class FixNVT(Integrator):
         aux[AUX_KEY] = {
             "eta": jnp.zeros(self.mtchain, dtype=dt),
             "eta_dot": jnp.zeros(self.mtchain + 1, dtype=dt),
+            # PERSISTENT members (ref: FixNH keeps t_current and
+            # eta_dotdot across calls; the thermostat's in-chain
+            # bookkeeping t_current *= factor^2 feeds the next
+            # initial_integrate, and eta_dotdot[1:] is never refreshed
+            # at entry)
+            "t_cur": jnp.zeros((), dtype=dt),
+            "t_tgt": jnp.zeros((), dtype=dt),
+            "eta_dotdot": jnp.zeros(self.mtchain, dtype=dt),
         }
         aux.setdefault("nh_run", jnp.zeros(2, dtype=jnp.int32))
-        return state.replace(aux=aux)
+        return self.refresh_segment(state.replace(aux=aux))
+
+    def refresh_segment(self, state: State) -> State:
+        """Per-run-segment re-setup (ref: FixNH::setup): fresh-measure
+        t_current and the thermostat chain's initial forces."""
+        nh = dict(state.aux[AUX_KEY])
+        nh["t_cur"] = self._t_current(state)
+        # the t_target MEMBER (ref: compute_temp_target at setup); during
+        # a run it is refreshed at each initial_integrate AFTER the press
+        # chain ran (fix_nh.cpp:832-838 order), so the press chain always
+        # sees the previous half-step's value
+        nh["t_tgt"] = self._t_target(state)
+        kt = self.units.boltz * self._t_target(state)
+        qk = kt / (self.t_freq * self.t_freq)
+        q0 = self._tdof(state) * kt / (self.t_freq * self.t_freq)
+        edd = nh["eta_dotdot"]
+        for ich in range(1, self.mtchain):
+            qprev = q0 if ich == 1 else qk
+            edd = edd.at[ich].set(
+                (qprev * nh["eta_dot"][ich - 1] ** 2 - kt) / qk)
+        nh["eta_dotdot"] = edd
+        return state.replace(aux={**state.aux, AUX_KEY: nh})
 
     # -- helpers -------------------------------------------------------------
 
@@ -81,7 +119,7 @@ class FixNVT(Integrator):
         dof_compute: dim*N_group - extra)."""
         dim = state.dimension
         extra = self.extra_dof if self.extra_dof is not None else dim
-        g = state.valid_mask & state.group_mask(self.groupbit)
+        g = state.valid_mask & state.group_mask(self.tbit)
         return dim * jnp.sum(g).astype(state.dtype) - extra
 
     def _t_target(self, state: State) -> Array:
@@ -99,7 +137,7 @@ class FixNVT(Integrator):
         return self.t_start + delta * (self.t_stop - self.t_start)
 
     def _t_current(self, state: State) -> Array:
-        g = state.valid_mask & state.group_mask(self.groupbit)
+        g = state.valid_mask & state.group_mask(self.tbit)
         m = jnp.where(g, state.per_atom_mass, 0.0)
         ke = jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
         return self.units.mvv2e * ke / (
@@ -119,8 +157,12 @@ class FixNVT(Integrator):
         eta_dot = nh["eta_dot"]
 
         tdof = self._tdof(state)
-        t_target = self._t_target(state)
-        t_current = self._t_current(state)
+        t_target = nh["t_tgt"]  # member, set by compute_temp_target timing
+        # PERSISTENT bookkeeping value, NOT a fresh measurement: carries
+        # the previous call's in-chain *= factor^2 scaling (exact only
+        # when the sensed group equals the scaled group; the reference
+        # keeps the approximation — fix_nh.cpp:1807 comment)
+        t_current = nh["t_cur"]
         ke_target = tdof * boltz * t_target
 
         # masses preserve initial freq (eta_mass_flag default on)
@@ -128,13 +170,9 @@ class FixNVT(Integrator):
         qk = boltz * t_target / (self.t_freq * self.t_freq)
 
         kecurrent = tdof * boltz * t_current
-        eta_dotdot = jnp.zeros(M, dtype=state.dtype)
+        # eta_dotdot[1:] persists across calls (no entry refresh)
+        eta_dotdot = nh["eta_dotdot"]
         eta_dotdot = eta_dotdot.at[0].set((kecurrent - ke_target) / q0)
-        for ich in range(1, M):
-            qprev = q0 if ich == 1 else qk
-            eta_dotdot = eta_dotdot.at[ich].set(
-                (qprev * eta_dot[ich - 1] ** 2 - boltz * t_target) / qk
-            )
 
         ncfac = 1.0 / self.nc_tchain
         v = state.v
@@ -183,19 +221,41 @@ class FixNVT(Integrator):
         v = jnp.where(gmask, v * scale_total, v)
 
         aux = dict(state.aux)
-        aux[AUX_KEY] = {**nh, "eta": eta, "eta_dot": eta_dot}
+        aux[AUX_KEY] = {**nh, "eta": eta, "eta_dot": eta_dot,
+                        "eta_dotdot": eta_dotdot, "t_cur": t_current}
         return state.replace(v=v, aux=aux)
+
+    tstat: bool = True  # fix nph disables compute_temp_target
+
+    def _update_t_target(self, state: State) -> State:
+        """compute_temp_target (ref: fix_nh.cpp:1720): refresh the
+        t_target member from the ramp — only when thermostatting."""
+        if not self.tstat:
+            return state
+        nh = dict(state.aux[AUX_KEY])
+        nh["t_tgt"] = self._t_target(state)
+        return state.replace(aux={**state.aux, AUX_KEY: nh})
 
     # -- hooks (ref: FixNH::initial_integrate/final_integrate) ---------------
 
     def initial_integrate(self, state: State) -> State:
+        state = self._update_t_target(state)
         state = self._nhc_temp_integrate(state)
         state = self.nve_v(state)
         state = self.nve_x(state)
         return state
 
+    def _measure_t_cur(self, state: State) -> State:
+        # final_integrate fresh-measures the persistent t_current member
+        # (ref: fix_nh.cpp final_integrate `t_current =
+        # temperature->compute_scalar()`)
+        nh = dict(state.aux[AUX_KEY])
+        nh["t_cur"] = self._t_current(state)
+        return state.replace(aux={**state.aux, AUX_KEY: nh})
+
     def final_integrate(self, state: State) -> State:
         state = self.nve_v(state)
+        state = self._measure_t_cur(state)
         state = self._nhc_temp_integrate(state)
         return state
 
@@ -233,6 +293,13 @@ class FixNPT(FixNVT):
     p_temp: float | None = None  # ptemp: barostat reference temperature
     fixed_point: tuple | None = None  # ref: fixedpoint (default box center)
     mpchain: int = 3
+
+    @property
+    def tbit(self) -> int:
+        # fix npt/nph sense GLOBAL temperature/pressure (their temp and
+        # pressure computes are created on group all, fix_npt.cpp:35,
+        # fix_nph.cpp:35) even when integrating a subgroup
+        return 1
     nc_pchain: int = 1
     mtk: bool = True
     needs_virial: bool = True
@@ -263,6 +330,7 @@ class FixNPT(FixNVT):
             "etap_dot": jnp.zeros(self.mpchain + 1, dtype=dt),
             "omega": jnp.zeros(6, dtype=dt),
             "omega_dot": jnp.zeros(6, dtype=dt),
+            "etap_dotdot": jnp.zeros(self.mpchain, dtype=dt),
             # reference volume for the PV strain-energy term
             # (ref: FixNH::setup vol0 / compute_scalar)
             "vol0": state.box.volume.astype(dt),
@@ -278,12 +346,23 @@ class FixNPT(FixNVT):
         """Recompute frozen barostat masses from t_target at the CURRENT
         step — called at every run-segment setup like FixNH::setup
         (the run command resets beginstep/endstep first)."""
+        state = super().refresh_segment(state)
         nh = dict(state.aux[AUX_KEY])
+        if "etap_dot" not in nh:
+            return state  # mid-construction: barostat keys arrive next
         kt = self.units.boltz * self._t_target(state)
         nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
         pfreq = jnp.asarray(self.p_freq, state.dtype)
         nh["omega_mass"] = nkt / (pfreq * pfreq)
         nh["etap_kt"] = kt
+        # initial chain forces (ref: FixNH::setup etap_dotdot block)
+        if self.mpchain:
+            em = kt / (self.p_freq_max * self.p_freq_max)
+            edd = nh["etap_dotdot"]
+            for ich in range(1, self.mpchain):
+                edd = edd.at[ich].set(
+                    (em * nh["etap_dot"][ich - 1] ** 2 - kt) / em)
+            nh["etap_dotdot"] = edd
         return state.replace(aux={**state.aux, AUX_KEY: nh})
 
     # -- pressure plumbing ---------------------------------------------------
@@ -334,7 +413,7 @@ class FixNPT(FixNVT):
         return ptens
 
     def _mvv_current(self, state: State):
-        g = state.valid_mask & state.group_mask(self.groupbit)
+        g = state.valid_mask & state.group_mask(self.tbit)
         m = state.per_atom_mass[:, None]
         v = jnp.where(g[:, None], state.v, 0.0)
         return jnp.sum(m * v * v, axis=0) * self.units.mvv2e
@@ -356,7 +435,11 @@ class FixNPT(FixNVT):
         if self.mtk:
             if self.pcouple == "iso":
                 tdof = self._tdof(state)
-                t_current = self._t_current(state)
+                # the PERSISTENT t_current member: in-chain bookkeeping at
+                # initial_integrate, fresh-measured by final_integrate
+                # (ref: nh_omega_dot reads this->t_current, which
+                # initial_integrate does NOT re-assign)
+                t_current = nh["t_cur"]
                 mtk_term1 = (tdof * boltz * t_current) / (
                     self.pdim * state.nlocal.astype(state.dtype)
                 )
@@ -415,8 +498,10 @@ class FixNPT(FixNVT):
         etap_dot = nh["etap_dot"]
         omega_dot = nh["omega_dot"]
 
-        t_target = self._t_target(state)
-        kt = boltz * t_target  # CURRENT kt for the chain force terms
+        t_target = nh["t_tgt"]  # the MEMBER: at initial_integrate this
+        # is still LAST step's target (compute_temp_target runs after the
+        # press chain, fix_nh.cpp:832-838)
+        kt = boltz * t_target
         omega_mass = nh["omega_mass"]  # frozen at segment setup
         em = nh["etap_kt"] / (self.p_freq_max * self.p_freq_max)
 
@@ -424,12 +509,11 @@ class FixNPT(FixNVT):
         kecurrent = jnp.sum(flags * omega_mass * omega_dot[:3] * omega_dot[:3])
         lkt_press = kt if self.pcouple == "iso" else self.pdim * kt
 
-        etap_dotdot = jnp.zeros(M, dtype=state.dtype)
+        # etap_dotdot[1:] is PERSISTENT (etap_mass_flag=0: the reference
+        # does not refresh it at entry — values carry over from the last
+        # call's final loop / segment setup); only [0] is recomputed here
+        etap_dotdot = nh["etap_dotdot"]
         etap_dotdot = etap_dotdot.at[0].set((kecurrent - lkt_press) / em)
-        for ich in range(1, M):
-            etap_dotdot = etap_dotdot.at[ich].set(
-                (em * etap_dot[ich - 1] ** 2 - kt) / em
-            )
 
         ncfac = 1.0 / self.nc_pchain
         for _ in range(self.nc_pchain):
@@ -475,6 +559,7 @@ class FixNPT(FixNVT):
         aux = dict(state.aux)
         aux[AUX_KEY] = {
             **nh, "etap": etap, "etap_dot": etap_dot, "omega_dot": omega_dot,
+            "etap_dotdot": etap_dotdot,
         }
         return state.replace(aux=aux)
 
@@ -546,7 +631,8 @@ class FixNPT(FixNVT):
     # -- hooks (order per fix_nh.cpp:828-884) --------------------------------
 
     def initial_integrate(self, state: State) -> State:
-        state = self._nhc_press_integrate(state)
+        state = self._nhc_press_integrate(state)  # sees LAST t_target
+        state = self._update_t_target(state)
         state = self._nhc_temp_integrate(state)
         state = self._nh_omega_dot(state)
         state = self._nh_v_press(state)
@@ -559,6 +645,7 @@ class FixNPT(FixNVT):
     def final_integrate(self, state: State) -> State:
         state = self.nve_v(state)
         state = self._nh_v_press(state)
+        state = self._measure_t_cur(state)
         state = self._nh_omega_dot(state)
         state = self._nhc_temp_integrate(state)
         state = self._nhc_press_integrate(state)
@@ -569,6 +656,8 @@ class FixNPT(FixNVT):
 class FixNPH(FixNPT):
     """fix nph: barostat only — the thermostat chain is disabled
     (ref: fix_nph.cpp: tstat_flag off)."""
+
+    tstat: bool = False
 
     def _nhc_temp_integrate(self, state: State) -> State:
         return state

@@ -33,6 +33,9 @@ FIXTURES = [
     "fix-timestep-rattle_angle.yaml",
     "fix-timestep-nvt_mtk.yaml",
     "fix-timestep-nvt_drag.yaml",
+    "fix-timestep-npt_iso.yaml",
+    "fix-timestep-npt_aniso.yaml",
+    "fix-timestep-nph.yaml",
 ]
 
 
