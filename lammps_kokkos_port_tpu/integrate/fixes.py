@@ -87,9 +87,12 @@ class FixSetForce(AuxFix):
     fy: float | None = None
     fz: float | None = None
     groupbit: int = 1
+    region: object | None = None
 
     def post_force(self, state: State) -> State:
         g = _gmask(state, self.groupbit)[:, 0]
+        if self.region is not None:
+            g = g & self.region.match(state.x)
         f = state.f
         for d, val in enumerate((self.fx, self.fy, self.fz)):
             if val is not None:
@@ -250,9 +253,12 @@ class FixAveForce(AuxFix):
     fy: float | None = None
     fz: float | None = None
     groupbit: int = 1
+    region: object | None = None
 
     def post_force(self, state: State) -> State:
         g = _gmask(state, self.groupbit)[:, 0]
+        if self.region is not None:
+            g = g & self.region.match(state.x)
         n = jnp.maximum(jnp.sum(g), 1)
         f = state.f
         for d, val in enumerate((self.fx, self.fy, self.fz)):
@@ -514,3 +520,322 @@ class FixMomentumFull(AuxFix):
         do = jnp.mod(state.ntimestep, self.every) == 0
         v = jax.lax.cond(do, apply, lambda v: v, state.v)
         return state.replace(v=v)
+
+
+def _com(state: State, groupbit: int):
+    """Unwrapped COM + total mass of a group (ref: Group::xcm)."""
+    g = _gmask(state, groupbit)
+    m = state.per_atom_mass[:, None]
+    mg = jnp.where(g, m, 0.0)
+    mtot = jnp.maximum(jnp.sum(mg), 1e-300)
+    prd = state.box.prd.astype(state.dtype)
+    xu = state.x + state.image.astype(state.dtype) * prd
+    com = jnp.sum(mg * xu, axis=0) / mtot
+    return com, mtot, mg, xu
+
+
+@dataclasses.dataclass(frozen=True)
+class FixEfield(AuxFix):
+    """fix efield Ex Ey Ez: f += qE (components pre-multiplied by qe2f
+    at build; ref: src/fix_efield.cpp:60-75 + post_force qflag branch).
+    Optional region scoping (keyword `region`)."""
+
+    ex: float = 0.0
+    ey: float = 0.0
+    ez: float = 0.0
+    groupbit: int = 1
+    region: object | None = None
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)
+        if self.region is not None:
+            g = g & self.region.match(state.x)[:, None]
+        e = jnp.asarray([self.ex, self.ey, self.ez], state.dtype)
+        add = state.q[:, None] * e[None, :]
+        return state.replace(f=state.f + jnp.where(g, add, 0.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class FixDrag(AuxFix):
+    """fix drag x y z fmag delta: constant-magnitude force pulling each
+    group atom toward the (min-imaged) point when farther than delta
+    (ref: src/EXTRA-FIX/fix_drag.cpp post_force)."""
+
+    pt: tuple = (0.0, 0.0, 0.0)  # entries None = NULL (dim excluded)
+    fmag: float = 0.0
+    delta: float = 0.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        sel = jnp.asarray([0.0 if c is None else 1.0 for c in self.pt],
+                          state.dtype)
+        pt = jnp.asarray([0.0 if c is None else float(c) for c in self.pt],
+                         state.dtype)
+        d = state.box.min_image((state.x - pt[None, :]) * sel[None, :])
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        on = g & (r > self.delta)
+        pref = self.fmag / jnp.maximum(r, 1e-300)
+        fadd = jnp.where(on[:, None], -pref[:, None] * d, 0.0)
+        return state.replace(f=state.f + fadd.astype(state.dtype))
+
+
+@dataclasses.dataclass(frozen=True)
+class FixOneway(AuxFix):
+    """fix oneway N region -x|+x|...: every N steps, flip the offending
+    velocity component of group atoms inside the region
+    (ref: src/EXTRA-FIX/fix_oneway.cpp end_of_step)."""
+
+    nevery: int = 1
+    region: object | None = None
+    dim: int = 0
+    minus: bool = False
+    groupbit: int = 1
+
+    def end_of_step(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        if self.region is not None:
+            g = g & self.region.match(state.x)
+        g = g & (state.ntimestep % self.nevery == 0)
+        vd = state.v[:, self.dim]
+        bad = (vd > 0.0) if self.minus else (vd < 0.0)
+        v = state.v.at[:, self.dim].set(jnp.where(g & bad, -vd, vd))
+        return state.replace(v=v)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixHeat(AuxFix):
+    """fix heat N flux [region]: every N steps add/subtract kinetic
+    energy via a momentum-conserving velocity rescale
+    (ref: src/fix_heat.cpp end_of_step, CONSTANT branch)."""
+
+    nevery: int = 1
+    flux: float = 0.0
+    ftm2v: float = 1.0
+    region: object | None = None
+    groupbit: int = 1
+
+    def end_of_step(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        if self.region is not None:
+            g = g & self.region.match(state.x)
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        mtot = jnp.maximum(jnp.sum(m), 1e-300)
+        vcm = jnp.sum(m[:, None] * state.v, axis=0) / mtot
+        ke = 0.5 * jnp.sum(m * jnp.sum(state.v * state.v, axis=-1))
+        vcmsq = jnp.sum(vcm * vcm)
+        heat = self.flux * self.nevery * self.dt * self.ftm2v
+        denom = ke - 0.5 * vcmsq * mtot
+        escale = (denom + heat) / denom
+        scale = jnp.sqrt(jnp.maximum(escale, 0.0))
+        vsub = (scale - 1.0) * vcm
+        fire = (state.ntimestep % self.nevery == 0)
+        vnew = scale * state.v - vsub[None, :]
+        v = jnp.where((g & fire)[:, None], vnew, state.v)
+        return state.replace(v=v)
+
+    dt: float = 0.005
+
+
+@dataclasses.dataclass(frozen=True)
+class FixSpringCouple(AuxFix):
+    """fix spring couple group2 K x y z R0: spring between two groups'
+    COMs; mass-weighted equal/opposite forces
+    (ref: src/fix_spring.cpp spring_couple)."""
+
+    k: float = 1.0
+    group2bit: int = 1
+    x0: tuple = (0.0, 0.0, 0.0)  # None entries = NULL
+    r0: float = 0.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        com1, mtot1, mg1, _ = _com(state, self.groupbit)
+        com2, mtot2, mg2, _ = _com(state, self.group2bit)
+        sel = jnp.asarray([0.0 if c is None else 1.0 for c in self.x0],
+                          state.dtype)
+        pt = jnp.asarray([0.0 if c is None else float(c) for c in self.x0],
+                         state.dtype)
+        d = (com2 - com1 - pt) * sel
+        r = jnp.maximum(jnp.sqrt(jnp.sum(d * d)), 1e-10)
+        fv = self.k * d * (r - self.r0) / r  # [3]
+        fadd = (fv[None, :] * (mg1 / mtot1)
+                - fv[None, :] * (mg2 / mtot2))
+        return state.replace(f=state.f + fadd)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixSpringRG(AuxFix):
+    """fix spring/rg K RG0: radius-of-gyration restraint; RG0=NULL
+    captures the initial Rg at setup (ref: src/EXTRA-FIX/
+    fix_spring_rg.cpp). f_i -= 2K(1 - rg0/rg)(xu_i - com) m_i/M."""
+
+    k: float = 1.0
+    rg0: float | None = None  # None = NULL -> captured at setup
+    groupbit: int = 1
+    aux_key: str = "spring_rg0"
+
+    def _rg(self, state: State):
+        com, mtot, mg, xu = _com(state, self.groupbit)
+        d = xu - com[None, :]
+        rg2 = jnp.sum(mg[:, 0] * jnp.sum(d * d, axis=-1)) / mtot
+        return jnp.sqrt(rg2), com, mtot, mg, d
+
+    def setup(self, state: State) -> State:
+        rg, *_ = self._rg(state)
+        val = rg if self.rg0 is None else jnp.asarray(self.rg0, state.dtype)
+        return state.replace(aux={**state.aux, self.aux_key: val})
+
+    def post_force(self, state: State) -> State:
+        rg, com, mtot, mg, d = self._rg(state)
+        rg0 = state.aux[self.aux_key]
+        term1 = 2.0 * self.k * (1.0 - rg0 / rg)
+        fadd = -term1 * d * (mg / mtot)
+        return state.replace(f=state.f + fadd)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixSMD(AuxFix):
+    """fix smd cvel|cfor ... tether|couple ...: steered MD — constant
+    velocity (spring anchor moving at v along the initial direction) or
+    constant force on the group COM (ref: src/EXTRA-FIX/fix_smd.cpp).
+    r_old (the moving anchor length) persists in state.aux."""
+
+    cvel: bool = False
+    k: float = 0.0       # k_smd (cvel)
+    v: float = 0.0       # v_smd (cvel)
+    fmag: float = 0.0    # f_smd (cfor)
+    couple: bool = False
+    group2bit: int = 1
+    pt: tuple = (0.0, 0.0, 0.0)  # None=NULL, "auto"=renormalized (couple)
+    r0: float = 0.0
+    dt: float = 0.005
+    groupbit: int = 1
+    aux_key: str = "smd_state"
+
+    def _dir0(self, state: State):
+        """Initial spring geometry (ref: FixSMD::init)."""
+        com, _, _, _ = _com(state, self.groupbit)
+        pt = [0.0 if c in (None, "auto") else float(c) for c in self.pt]
+        sel = jnp.asarray([0.0 if c is None else 1.0 for c in self.pt],
+                          state.dtype)
+        if self.couple:
+            com2, _, _, _ = _com(state, self.group2bit)
+            auto = jnp.asarray([1.0 if c == "auto" else 0.0
+                                for c in self.pt], state.dtype)
+            d = (auto * (com2 - com)
+                 + (1.0 - auto) * jnp.asarray(pt, state.dtype)) * sel
+        else:
+            d = (jnp.asarray(pt, state.dtype) - com) * sel
+        r = jnp.sqrt(jnp.sum(d * d))
+        n = jnp.where(r > 1e-10, d / jnp.maximum(r, 1e-300), 0.0)
+        return r, n
+
+    def setup(self, state: State) -> State:
+        r_old, n = self._dir0(state)
+        return state.replace(aux={**state.aux, self.aux_key: {
+            "r_old": r_old, "n": n}})
+
+    def setup_post_force(self, state: State) -> State:
+        """Each run's setup re-runs FixSMD::init — the anchor length
+        r_old and direction reset from the CURRENT geometry (constants
+        for non-auto couple dims) — then applies post_force like
+        FixSMD::setup."""
+        state = self.setup(state)
+        return self.post_force(state)
+
+    def post_force(self, state: State) -> State:
+        sm = state.aux[self.aux_key]
+        r_old, n = sm["r_old"], sm["n"]
+        sel = jnp.asarray([0.0 if c is None else 1.0 for c in self.pt],
+                          state.dtype)
+        com1, mtot1, mg1, _ = _com(state, self.groupbit)
+        if self.couple:
+            com2, mtot2, mg2, _ = _com(state, self.group2bit)
+            auto = jnp.asarray([1.0 if c == "auto" else 0.0
+                                for c in self.pt], state.dtype)
+            # renormalize direction (ref: smd_couple head)
+            d = (auto * (com2 - com1) + (1.0 - auto) * n * r_old) * sel
+            r = jnp.sqrt(jnp.sum(d * d))
+            n = jnp.where(r > 1e-10, d / jnp.maximum(r, 1e-300), n)
+            if self.cvel:
+                d = com2 - com1 - n * r_old
+                d = d * sel
+                r = jnp.sqrt(jnp.sum(d * d))
+                dr = r - self.r0
+                fv = jnp.where(r > 1e-10,
+                               self.k * d * dr / jnp.maximum(r, 1e-300),
+                               0.0)
+            else:
+                d = (com2 - com1) * sel
+                r = jnp.maximum(jnp.sqrt(jnp.sum(d * d)), 1e-300)
+                fv = self.fmag * d / r
+                r_old = r
+            fadd = (fv[None, :] * (mg1 / mtot1)
+                    - fv[None, :] * (mg2 / mtot2))
+        else:
+            pt = jnp.asarray([0.0 if c in (None, "auto") else float(c)
+                              for c in self.pt], state.dtype)
+            d_full = com1 - pt
+            d = d_full * sel
+            r = jnp.sqrt(jnp.sum(d * d))
+            if self.cvel:
+                dr = r - self.r0 - r_old
+                fv = jnp.where(r > 1e-10,
+                               self.k * d * dr / jnp.maximum(r, 1e-300),
+                               0.0)
+            else:
+                r_old = r
+                fv = self.fmag * d / jnp.maximum(r, 1e-300)
+            fadd = -fv[None, :] * (mg1 / mtot1)
+        if self.cvel:
+            r_old = r_old + self.v * self.dt
+        aux = {**state.aux, self.aux_key: {"r_old": r_old, "n": n}}
+        return state.replace(f=state.f + fadd, aux=aux)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixPressBerendsen(AuxFix):
+    """fix press/berendsen iso P0 P1 Pdamp [modulus K]: weak-coupling
+    barostat — end-of-step isotropic rescale of box + ALL atoms by
+    dilation = (1 - dt/Pdamp (Ptarget - P)/bulkmodulus)^(1/3); pressure
+    sensed globally (its computes are created on group all,
+    fix_press_berendsen.cpp:225-233, end_of_step :339-360, remap :401)."""
+
+    p_start: float = 0.0
+    p_stop: float = 0.0
+    p_period: float = 1.0
+    bulkmodulus: float = 10.0
+    units_obj: object = None
+    dt: float = 0.005
+    groupbit: int = 1
+    needs_virial: bool = True
+
+    def end_of_step(self, state: State) -> State:
+        import dataclasses as _dc
+
+        from ..compute import thermo as thermo_mod
+
+        u = self.units_obj
+        p = thermo_mod.pressure(state, state.virial, u)
+        run = state.aux.get("nh_run")
+        if run is not None:
+            delta = jnp.clip(
+                (state.ntimestep.astype(state.dtype)
+                 - run[0].astype(state.dtype)) /
+                jnp.maximum((run[1] - run[0]).astype(state.dtype), 1.0),
+                0.0, 1.0)
+        else:
+            delta = 0.0
+        p_tgt = self.p_start + delta * (self.p_stop - self.p_start)
+        mu = (1.0 - self.dt / self.p_period
+              * (p_tgt - p) / self.bulkmodulus) ** (1.0 / 3.0)
+        box = state.box
+        center = 0.5 * (box.lo + box.hi)
+        lam = box.to_lamda(state.x)
+        new_lo = (box.lo - center) * mu + center
+        new_hi = (box.hi - center) * mu + center
+        nb = _dc.replace(box, lo=new_lo, hi=new_hi)
+        x = nb.to_box(lam)
+        x = jnp.where(state.valid_mask[:, None], x, state.x)
+        return state.replace(x=x, box=nb)

@@ -174,7 +174,8 @@ def make_step(
     on rebuild steps, as in the reference (Verlet::run calls domain->pbc()
     only when reneighboring, ref: src/verlet.cpp:262-293).
     """
-    vflag = integrator.needs_virial
+    vflag = integrator.needs_virial or any(
+        getattr(fx, "needs_virial", False) for fx in fixes)
 
     def list_ops(nl):
         from ..ops import cellforce, gridforce, sortedforce

@@ -118,7 +118,8 @@ class Simulation:
             )
         self.nl = self._build_list(self.state, params)
         self._check_overflow_and_grow()
-        vflag = self.integrator.needs_virial
+        vflag = self.integrator.needs_virial or any(
+            getattr(fx, "needs_virial", False) for fx in self.fixes)
         f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
         self.state = self.state.replace(f=f)
         if vflag:
@@ -143,7 +144,8 @@ class Simulation:
         (ref: Verlet::setup re-run): recompute forces from the current
         state and re-apply post_force hooks — NO fix/integrator state
         reset (NH chains etc. survive)."""
-        vflag = self.integrator.needs_virial
+        vflag = self.integrator.needs_virial or any(
+            getattr(fx, "needs_virial", False) for fx in self.fixes)
         f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
         self.state = self.state.replace(f=f)
         if vflag:

@@ -573,6 +573,42 @@ class LammpsScript:
             raise ScriptError(style)
         return ~sel if side == "out" else sel
 
+    def _region_match(self, name: str):
+        """Static device-side region record for jit fixes
+        (ref: Region::match consumers; core/region.py)."""
+        from .core.region import RegionMatch
+
+        style, p, units, side = self.regions[name]
+        sp = self._region_scale(units)
+        if style in ("block", "prism"):
+            lo, hi = self._region_bbox(name)
+            params = (float(lo[0]), float(hi[0]), float(lo[1]),
+                      float(hi[1]), float(lo[2]), float(hi[2]))
+            return RegionMatch("block", params, side)
+        if style == "sphere":
+            return RegionMatch("sphere", (float(p[0] * sp[0]),
+                                          float(p[1] * sp[1]),
+                                          float(p[2] * sp[2]),
+                                          float(p[3] * sp[0])), side)
+        if style == "cylinder":
+            ax = {"x": 0, "y": 1, "z": 2}[p[0]]
+            d1, d2 = [d for d in range(3) if d != ax]
+            lo_ax = (p[4] * sp[ax] if p[4] is not None
+                     else float(self._box_lo_np[ax]))
+            hi_ax = (p[5] * sp[ax] if p[5] is not None
+                     else float(self._box_hi_np[ax]))
+            return RegionMatch("cylinder", (ax, float(p[1] * sp[d1]),
+                                            float(p[2] * sp[d2]),
+                                            float(p[3] * sp[d1]),
+                                            float(lo_ax), float(hi_ax)),
+                               side)
+        raise ScriptError(style)
+
+    def _fix_region_kw(self, args):
+        if "region" in args:
+            return self._region_match(args[list(args).index("region") + 1])
+        return None
+
     def cmd_create_box(self, a):
         self.ntypes = int(a[0])
         style, p, units, _ = self.regions[a[1]]
@@ -963,6 +999,9 @@ class LammpsScript:
             tilt=tilt if any(t != 0 for t in tilt) else None,
             periodic=periodic, dtype=jnp.float64,
         )
+        # EDGE resolution for later region commands needs host bounds
+        self._box_lo_np = np.array([df.xlo, df.ylo, df.zlo], dtype=float)
+        self._box_hi_np = np.array([df.xhi, df.yhi, df.zhi], dtype=float)
         self.positions = df.x.tolist()
         self.types = df.types.tolist()
         if df.q is not None:
@@ -1842,7 +1881,8 @@ class LammpsScript:
                     return None if s == "NULL" else float(s)
 
                 fixes.append(FixSetForce(fx=fv(f.args[0]), fy=fv(f.args[1]),
-                                         fz=fv(f.args[2]), groupbit=gbit))
+                                         fz=fv(f.args[2]), groupbit=gbit,
+                                         region=self._fix_region_kw(f.args)))
             elif f.style == "addforce":
                 fixes.append(FixAddForce(fx=float(f.args[0]),
                                          fy=float(f.args[1]),
@@ -1884,7 +1924,8 @@ class LammpsScript:
                     return None if s == "NULL" else float(s)
 
                 fixes.append(FixAveForce(fx=av(f.args[0]), fy=av(f.args[1]),
-                                         fz=av(f.args[2]), groupbit=gbit))
+                                         fz=av(f.args[2]), groupbit=gbit,
+                                         region=self._fix_region_kw(f.args)))
             elif f.style == "spring/self":
                 from .integrate.fixes import FixSpringSelf
 
@@ -1954,6 +1995,99 @@ class LammpsScript:
                                  for s in f.args[2:5]),
                         r0=float(f.args[5]) if len(f.args) > 5 else 0.0,
                         groupbit=gbit))
+                elif f.args[0] == "couple":
+                    from .integrate.fixes import FixSpringCouple
+
+                    fixes.append(FixSpringCouple(
+                        k=float(f.args[2]),
+                        group2bit=self.groups.get(f.args[1], 1),
+                        x0=tuple(None if s == "NULL" else float(s)
+                                 for s in f.args[3:6]),
+                        r0=float(f.args[6]), groupbit=gbit))
+                else:
+                    raise ScriptError(f"fix spring {f.args[0]}")
+            elif f.style == "spring/rg":
+                from .integrate.fixes import FixSpringRG
+
+                fixes.append(FixSpringRG(
+                    k=float(f.args[0]),
+                    rg0=None if f.args[1] == "NULL" else float(f.args[1]),
+                    groupbit=gbit))
+            elif f.style == "efield":
+                from .integrate.fixes import FixEfield
+
+                q = units.qe2f
+                fixes.append(FixEfield(
+                    ex=q * float(f.args[0]), ey=q * float(f.args[1]),
+                    ez=q * float(f.args[2]), groupbit=gbit,
+                    region=self._fix_region_kw(f.args)))
+            elif f.style == "drag":
+                from .integrate.fixes import FixDrag
+
+                fixes.append(FixDrag(
+                    pt=tuple(None if s == "NULL" else float(s)
+                             for s in f.args[0:3]),
+                    fmag=float(f.args[3]), delta=float(f.args[4]),
+                    groupbit=gbit))
+            elif f.style == "oneway":
+                from .integrate.fixes import FixOneway
+
+                d = f.args[2]
+                fixes.append(FixOneway(
+                    nevery=int(f.args[0]),
+                    region=self._region_match(f.args[1]),
+                    dim={"x": 0, "y": 1, "z": 2}[d[-1]],
+                    minus=d.startswith("-"), groupbit=gbit))
+            elif f.style == "heat":
+                from .integrate.fixes import FixHeat
+
+                fixes.append(FixHeat(
+                    nevery=int(f.args[0]), flux=float(f.args[1]),
+                    ftm2v=units.ftm2v, dt=dt, groupbit=gbit,
+                    region=self._fix_region_kw(f.args)))
+            elif f.style == "smd":
+                from .integrate.fixes import FixSMD
+
+                a = list(f.args)
+                kw2 = dict(dt=dt, groupbit=gbit)
+                i = 0
+                if a[i] == "cvel":
+                    kw2.update(cvel=True, k=float(a[i + 1]),
+                               v=float(a[i + 2]))
+                    i += 3
+                else:  # cfor
+                    kw2.update(cvel=False, fmag=float(a[i + 1]))
+                    i += 2
+                if a[i] == "tether":
+                    pt = tuple(None if s == "NULL" else float(s)
+                               for s in a[i + 1:i + 4])
+                    kw2.update(couple=False, pt=pt, r0=float(a[i + 4]))
+                else:  # couple
+                    g2 = self.groups.get(a[i + 1], 1)
+                    pt = tuple(None if s == "NULL"
+                               else ("auto" if s == "auto" else float(s))
+                               for s in a[i + 2:i + 5])
+                    kw2.update(couple=True, group2bit=g2, pt=pt,
+                               r0=float(a[i + 5]))
+                fixes.append(FixSMD(**kw2))
+            elif f.style == "press/berendsen":
+                from .integrate.fixes import FixPressBerendsen
+
+                a = list(f.args)
+                kw2 = dict(units_obj=units, dt=dt, groupbit=gbit)
+                i = 0
+                while i < len(a):
+                    if a[i] in ("iso", "aniso"):
+                        kw2.update(p_start=float(a[i + 1]),
+                                   p_stop=float(a[i + 2]),
+                                   p_period=float(a[i + 3]))
+                        i += 4
+                    elif a[i] == "modulus":
+                        kw2.update(bulkmodulus=float(a[i + 1]))
+                        i += 2
+                    else:
+                        i += 2
+                fixes.append(FixPressBerendsen(**kw2))
             elif f.style == "recenter":
                 fixes.append(FixRecenter(groupbit=gbit))
             elif f.style in ("shake", "rattle"):

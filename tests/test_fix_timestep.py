@@ -36,6 +36,17 @@ FIXTURES = [
     "fix-timestep-npt_iso.yaml",
     "fix-timestep-npt_aniso.yaml",
     "fix-timestep-nph.yaml",
+    "fix-timestep-efield_const.yaml",
+    "fix-timestep-drag.yaml",
+    "fix-timestep-oneway.yaml",
+    "fix-timestep-heat.yaml",
+    "fix-timestep-heat_region.yaml",
+    "fix-timestep-setforce_region.yaml",
+    "fix-timestep-spring_couple.yaml",
+    "fix-timestep-spring_rg.yaml",
+    "fix-timestep-smd_tether.yaml",
+    "fix-timestep-smd_couple.yaml",
+    "fix-timestep-press_berendsen_iso.yaml",
 ]
 
 
