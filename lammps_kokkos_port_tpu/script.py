@@ -1385,10 +1385,16 @@ class LammpsScript:
         # — constrained types are negated so ntopo skips them)
         shake_fix = self._build_shake(types, cap)
 
+        # fix rigid pre-pass: body map lives in state.aux (the integrator's
+        # setup derives masses/inertia/frames from it)
+        rigid_integ, state = self._build_rigid(state, x, types, cap, n)
+
         ff = self._build_forcefield(state, cap, n)
         integ, fixes = self._build_fixes()
         if shake_fix is not None:
             fixes = fixes + (shake_fix,)
+        if rigid_integ is not None:
+            integ = rigid_integ
 
         units = get_units(self.units_name)
         sim = Simulation(
@@ -1737,6 +1743,48 @@ class LammpsScript:
             except ValueError:
                 pass
         return 10.0
+
+    def _build_rigid(self, state, x, types, cap: int, n: int):
+        """Materialize `fix <g> rigid|rigid/nve[/small] single|molecule|
+        group N g1..` (ref: src/RIGID/fix_rigid.cpp body styles; /small
+        variants share the physics). Installs the [cap] body map in
+        state.aux and returns the rigid integrator."""
+        spec = next((f for f in self.fixes
+                     if f.style.split("/")[0] == "rigid"), None)
+        if spec is None:
+            return None, state
+        parts = spec.style.split("/")
+        if any(p not in ("rigid", "nve", "small") for p in parts):
+            raise ScriptError(f"fix {spec.style} unsupported (nvt/npt "
+                              "rigid variants not yet wired)")
+        from .integrate.rigid import IntegratorRigid, build_rigid_bodies
+
+        gm = self._resolve_group_masks(x, types, n, cap)
+        gbit = self.groups.get(spec.group, 1)
+        groupmask = (gm & gbit) != 0
+        bstyle = spec.args[0]
+        mol = None
+        gmasks = None
+        if bstyle == "molecule":
+            mol = np.full(cap, -1, dtype=np.int64)
+            mol[:n] = np.asarray(self.molecules, dtype=np.int64)
+        elif bstyle == "group":
+            ng = int(spec.args[1])
+            gmasks = []
+            for gname in spec.args[2:2 + ng]:
+                gb = self.groups.get(gname)
+                if gb is None:
+                    raise ScriptError(f"fix rigid group {gname} undefined")
+                gmasks.append((gm & gb) != 0)
+        body, nbody = build_rigid_bodies(cap, groupmask, bstyle,
+                                         molecule=mol, group_masks=gmasks)
+        state = state.replace(aux={**state.aux,
+                                   "rigid_body": jnp.asarray(body)})
+        units = get_units(self.units_name)
+        dt_step = self.dt if self.dt is not None else units.dt
+        integ = IntegratorRigid(dt=dt_step, units=units, groupbit=gbit,
+                                nbody=nbody)
+        return integ, state
 
     def _build_shake(self, types: np.ndarray, cap: int):
         """Materialize `fix ... shake tol iter N [b types] [a types]
@@ -2092,6 +2140,8 @@ class LammpsScript:
                 fixes.append(FixRecenter(groupbit=gbit))
             elif f.style in ("shake", "rattle"):
                 pass  # materialized by _build_shake (needs topology)
+            elif f.style.split("/")[0] == "rigid":
+                pass  # materialized by _build_rigid (needs state)
             elif f.style == "sph":
                 # summation density: rho needs no time integration, so
                 # `fix sph` is group-scoped velocity-Verlet

@@ -47,6 +47,14 @@ FIXTURES = [
     "fix-timestep-smd_tether.yaml",
     "fix-timestep-smd_couple.yaml",
     "fix-timestep-press_berendsen_iso.yaml",
+    "fix-timestep-rigid_single.yaml",
+    "fix-timestep-rigid_molecule.yaml",
+    "fix-timestep-rigid_group.yaml",
+    "fix-timestep-rigid_small.yaml",
+    "fix-timestep-rigid_nve_single.yaml",
+    "fix-timestep-rigid_nve_molecule.yaml",
+    "fix-timestep-rigid_nve_group.yaml",
+    "fix-timestep-rigid_nve_small.yaml",
 ]
 
 
