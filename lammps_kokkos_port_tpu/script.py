@@ -2142,6 +2142,40 @@ class LammpsScript:
                 pass  # materialized by _build_shake (needs topology)
             elif f.style.split("/")[0] == "rigid":
                 pass  # materialized by _build_rigid (needs state)
+            elif f.style == "move":
+                from .integrate.move import IntegratorMove
+
+                a = list(f.args)
+                ms = a[0]
+
+                def nv(s):
+                    return None if s == "NULL" else float(s)
+
+                if ms == "linear":
+                    integ = IntegratorMove(
+                        dt=dt, units=units, groupbit=gbit, style=ms,
+                        vel=(nv(a[1]), nv(a[2]), nv(a[3])),
+                        time_origin=self.ntimestep)
+                elif ms == "wiggle":
+                    integ = IntegratorMove(
+                        dt=dt, units=units, groupbit=gbit, style=ms,
+                        amp=(nv(a[1]), nv(a[2]), nv(a[3])),
+                        period=float(a[4]), time_origin=self.ntimestep)
+                elif ms == "rotate":
+                    integ = IntegratorMove(
+                        dt=dt, units=units, groupbit=gbit, style=ms,
+                        point=tuple(float(s) for s in a[1:4]),
+                        axis=tuple(float(s) for s in a[4:7]),
+                        period=float(a[7]), time_origin=self.ntimestep)
+                elif ms == "transrot":
+                    integ = IntegratorMove(
+                        dt=dt, units=units, groupbit=gbit, style=ms,
+                        vel=(nv(a[1]), nv(a[2]), nv(a[3])),
+                        point=tuple(float(s) for s in a[4:7]),
+                        axis=tuple(float(s) for s in a[7:10]),
+                        period=float(a[10]), time_origin=self.ntimestep)
+                else:
+                    raise ScriptError(f"fix move {ms} unsupported")
             elif f.style == "sph":
                 # summation density: rho needs no time integration, so
                 # `fix sph` is group-scoped velocity-Verlet

@@ -55,6 +55,10 @@ FIXTURES = [
     "fix-timestep-rigid_nve_molecule.yaml",
     "fix-timestep-rigid_nve_group.yaml",
     "fix-timestep-rigid_nve_small.yaml",
+    "fix-timestep-move_linear.yaml",
+    "fix-timestep-move_wiggle.yaml",
+    "fix-timestep-move_rotate.yaml",
+    "fix-timestep-move_transrot.yaml",
 ]
 
 
