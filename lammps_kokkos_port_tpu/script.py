@@ -1754,10 +1754,11 @@ class LammpsScript:
         if spec is None:
             return None, state
         parts = spec.style.split("/")
-        if any(p not in ("rigid", "nve", "small") for p in parts):
-            raise ScriptError(f"fix {spec.style} unsupported (nvt/npt "
-                              "rigid variants not yet wired)")
-        from .integrate.rigid import IntegratorRigid, build_rigid_bodies
+        if any(p not in ("rigid", "nve", "nvt", "npt", "nph", "small")
+               for p in parts):
+            raise ScriptError(f"fix {spec.style} unsupported")
+        from .integrate.rigid import (IntegratorRigid, IntegratorRigidNH,
+                                      build_rigid_bodies)
 
         gm = self._resolve_group_masks(x, types, n, cap)
         gbit = self.groups.get(spec.group, 1)
@@ -1782,8 +1783,96 @@ class LammpsScript:
                                    "rigid_body": jnp.asarray(body)})
         units = get_units(self.units_name)
         dt_step = self.dt if self.dt is not None else units.dt
-        integ = IntegratorRigid(dt=dt_step, units=units, groupbit=gbit,
-                                nbody=nbody)
+        kind = ("nvt" if "nvt" in parts else "npt" if "npt" in parts
+                else "nph" if "nph" in parts else "nve")
+        if kind == "nve":
+            return IntegratorRigid(dt=dt_step, units=units, groupbit=gbit,
+                                   nbody=nbody), state
+
+        # thermostatted/barostatted variants (ref: fix_rigid_nh.cpp).
+        # DOF: nf_t = 3*nbody; nf_r = 3*nbody minus zero-inertia dims —
+        # the inertia eigenvalues come from the same setup math, so count
+        # on the host here (ref: FixRigidNH::init nf_t/nf_r)
+        kw = {}
+        skip = (2 + int(spec.args[1])) if bstyle == "group" else 1
+        args = list(spec.args[skip:])
+        i = 0
+        while i < len(args):
+            a = args[i]
+            if a == "temp":
+                kw.update(tstat=True, t_start=float(args[i + 1]),
+                          t_stop=float(args[i + 2]),
+                          t_period=float(args[i + 3]))
+                i += 4
+            elif a in ("iso", "aniso"):
+                kw.update(pstat=True,
+                          p_start=(float(args[i + 1]),) * 3,
+                          p_stop=(float(args[i + 2]),) * 3,
+                          p_period=(float(args[i + 3]),) * 3,
+                          p_flag=(True, True, True),
+                          pcouple="iso" if a == "iso" else "aniso")
+                i += 4
+            elif a == "tparam":
+                kw.update(t_chain=int(args[i + 1]),
+                          t_iter=int(args[i + 2]),
+                          t_order=int(args[i + 3]))
+                i += 4
+            elif a == "pchain":
+                kw.update(p_chain=int(args[i + 1]))
+                i += 2
+            else:
+                i += 2
+        if kind in ("npt", "nph") and not kw.get("pstat"):
+            raise ScriptError(f"fix rigid/{kind} needs a barostat")
+        if kind == "nph":
+            kw.pop("tstat", None)
+
+        # host-side inertia for DOF counting (mirrors IntegratorRigid.setup)
+        nf_t = 3.0 * nbody
+        nf_r = 3.0 * nbody
+        xs = np.asarray(self.positions)
+        ms = self._mass_table()[types]
+        for ib in range(nbody):
+            idx = np.flatnonzero(body[:n] == ib)
+            d = xs[idx] - np.average(xs[idx], axis=0,
+                                     weights=ms[idx])
+            mm = ms[idx]
+            t = np.zeros((3, 3))
+            t[0, 0] = np.sum(mm * (d[:, 1] ** 2 + d[:, 2] ** 2))
+            t[1, 1] = np.sum(mm * (d[:, 0] ** 2 + d[:, 2] ** 2))
+            t[2, 2] = np.sum(mm * (d[:, 0] ** 2 + d[:, 1] ** 2))
+            t[0, 1] = t[1, 0] = -np.sum(mm * d[:, 0] * d[:, 1])
+            t[0, 2] = t[2, 0] = -np.sum(mm * d[:, 0] * d[:, 2])
+            t[1, 2] = t[2, 1] = -np.sum(mm * d[:, 1] * d[:, 2])
+            ev = np.linalg.eigvalsh(t)
+            nf_r -= int(np.sum(np.abs(ev) < 1e-7 * max(ev.max(), 1e-300)))
+        # 'all' temp compute DOF with the rigid fix's removal
+        # (ref: FixRigid::dof: each wholly-counted 3d body removes 3N-6,
+        # or 3N-5 when linear)
+        removed = 0
+        for ib in range(nbody):
+            nb_atoms = int(np.sum(body[:n] == ib))
+            xs_b = xs[np.flatnonzero(body[:n] == ib)]
+            # linear if a zero principal moment
+            idx = np.flatnonzero(body[:n] == ib)
+            d = xs[idx] - np.average(xs[idx], axis=0, weights=ms[idx])
+            mm = ms[idx]
+            t = np.zeros((3, 3))
+            t[0, 0] = np.sum(mm * (d[:, 1] ** 2 + d[:, 2] ** 2))
+            t[1, 1] = np.sum(mm * (d[:, 0] ** 2 + d[:, 2] ** 2))
+            t[2, 2] = np.sum(mm * (d[:, 0] ** 2 + d[:, 1] ** 2))
+            t[0, 1] = t[1, 0] = -np.sum(mm * d[:, 0] * d[:, 1])
+            t[0, 2] = t[2, 0] = -np.sum(mm * d[:, 0] * d[:, 2])
+            t[1, 2] = t[2, 1] = -np.sum(mm * d[:, 1] * d[:, 2])
+            ev = np.linalg.eigvalsh(t)
+            linear = np.any(np.abs(ev) < 1e-7 * max(ev.max(), 1e-300))
+            removed += 3 * nb_atoms - (5 if linear else 6)
+        press_tdof = 3.0 * n - 3.0 - removed
+        integ = IntegratorRigidNH(dt=dt_step, units=units, groupbit=gbit,
+                                  nbody=nbody, nf_t=nf_t, nf_r=nf_r,
+                                  press_tdof=press_tdof,
+                                  needs_virial=kw.get("pstat", False),
+                                  **kw)
         return integ, state
 
     def _build_shake(self, types: np.ndarray, cap: int):

@@ -59,6 +59,12 @@ FIXTURES = [
     "fix-timestep-move_wiggle.yaml",
     "fix-timestep-move_rotate.yaml",
     "fix-timestep-move_transrot.yaml",
+    "fix-timestep-rigid_nvt.yaml",
+    "fix-timestep-rigid_nvt_small.yaml",
+    "fix-timestep-rigid_npt.yaml",
+    "fix-timestep-rigid_npt_small.yaml",
+    "fix-timestep-rigid_nph.yaml",
+    "fix-timestep-rigid_nph_small.yaml",
 ]
 
 
