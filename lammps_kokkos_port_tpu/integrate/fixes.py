@@ -839,3 +839,149 @@ class FixPressBerendsen(AuxFix):
         x = nb.to_box(lam)
         x = jnp.where(state.valid_mask[:, None], x, state.x)
         return state.replace(x=x, box=nb)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixDeform(AuxFix):
+    """fix deform N <dim style args ...> [remap x|none]: ramp the box
+    between per-run start values and style-derived stop values, remapping
+    group atoms in lamda coords (ref: src/fix_deform.cpp end_of_step
+    :652, stop-value setup :440-470; orthogonal dims, styles
+    final/delta/scale/vel/erate)."""
+
+    nevery: int = 1
+    # per-dim: (style, a, b) — style None = untouched
+    dims: tuple = ((None, 0.0, 0.0),) * 3
+    remap: bool = True
+    dt: float = 0.005
+    groupbit: int = 1
+    aux_key: str = "deform_start"
+
+    def setup(self, state: State) -> State:
+        # box at fix creation (ref: lo_initial, fix_deform.cpp:333)
+        return state.replace(aux={
+            **state.aux,
+            self.aux_key + "_init": jnp.stack([state.box.lo,
+                                               state.box.hi]),
+            self.aux_key: jnp.stack([state.box.lo, state.box.hi])})
+
+    def refresh_segment(self, state: State) -> State:
+        # start box per run: current box when the run window begins at
+        # this step, else the fix-creation box (multi-run start/stop
+        # windows; ref: fix_deform.cpp:430-438)
+        run = state.aux["nh_run"]
+        at_begin = state.ntimestep == run[0]
+        cur = jnp.stack([state.box.lo, state.box.hi])
+        init = state.aux[self.aux_key + "_init"]
+        start = jnp.where(at_begin, cur, init)
+        return state.replace(aux={**state.aux, self.aux_key: start})
+
+    def _targets(self, state: State, delta, nsteps):
+        st = state.aux[self.aux_key]
+        lo_s, hi_s = st[0], st[1]
+        lo_t, hi_t = [], []
+        for d, (style, a, b) in enumerate(self.dims):
+            lo0, hi0 = lo_s[d], hi_s[d]
+            if style is None:
+                lo_t.append(state.box.lo[d])
+                hi_t.append(state.box.hi[d])
+                continue
+            mid = 0.5 * (lo0 + hi0)
+            L0 = hi0 - lo0
+            if style == "final":
+                lo1, hi1 = a, b
+            elif style == "delta":
+                lo1, hi1 = lo0 + a, hi0 + b
+            elif style == "scale":
+                lo1 = mid - 0.5 * a * L0
+                hi1 = mid + 0.5 * a * L0
+            elif style == "vel":
+                lo1 = lo0 - 0.5 * nsteps * self.dt * a
+                hi1 = hi0 + 0.5 * nsteps * self.dt * a
+            elif style == "erate":
+                lo1 = lo0 - 0.5 * nsteps * self.dt * a * L0
+                hi1 = hi0 + 0.5 * nsteps * self.dt * a * L0
+            else:
+                raise ValueError(style)
+            lo_t.append(lo0 + delta * (lo1 - lo0))
+            hi_t.append(hi0 + delta * (hi1 - hi0))
+        return jnp.stack(lo_t), jnp.stack(hi_t)
+
+    def end_of_step(self, state: State) -> State:
+        import dataclasses as _dc
+
+        run = state.aux["nh_run"]
+        begin = run[0].astype(state.dtype)
+        nsteps = jnp.maximum(run[1].astype(state.dtype) - begin, 1.0)
+        delta = jnp.clip(
+            (state.ntimestep.astype(state.dtype) - begin) / nsteps,
+            0.0, 1.0)
+        lo_t, hi_t = self._targets(state, delta, nsteps)
+        fire = (state.ntimestep % self.nevery) == 0
+        lo_t = jnp.where(fire, lo_t, state.box.lo)
+        hi_t = jnp.where(fire, hi_t, state.box.hi)
+        box = state.box
+        nb = _dc.replace(box, lo=lo_t, hi=hi_t)
+        if self.remap:
+            lam = box.to_lamda(state.x)
+            x = nb.to_box(lam)
+            g = _gmask(state, self.groupbit)
+            x = jnp.where(g, x, state.x)
+            state = state.replace(x=x)
+        return state.replace(box=nb)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixRestrain(AuxFix):
+    """fix restrain bond|lbound|angle|dihedral ...: per-tuple harmonic
+    restraints with run-ramped K (and deq for bonds), forces via exact
+    gradients of the reference energies (ref: src/fix_restrain.cpp
+    restrain_bond :250, restrain_lbound :321 (one-sided), restrain_angle
+    :401, restrain_dihedral :518 with multiplicity + target phase)."""
+
+    # tuples of local atom indices + params, all static
+    bonds: tuple = ()      # (i, j, k0, k1, d0, d1, lbound: bool)
+    angles: tuple = ()     # (i, j, k, k0, k1, theta0_rad)
+    dihedrals: tuple = ()  # (i, j, k, l, k0, k1, target_rad, mult)
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        run = state.aux["nh_run"]
+        begin = run[0].astype(state.dtype)
+        span = jnp.maximum(run[1].astype(state.dtype) - begin, 1.0)
+        delta = jnp.clip(
+            (state.ntimestep.astype(state.dtype) - begin) / span, 0.0, 1.0)
+
+        def energy(x):
+            e = jnp.zeros((), state.dtype)
+            for (i, j, k0, k1, d0, d1, lb) in self.bonds:
+                kk = k0 + delta * (k1 - k0)
+                deq = d0 + delta * (d1 - d0)
+                d = state.box.min_image(x[i] - x[j])
+                r = jnp.sqrt(jnp.sum(d * d))
+                dr = r - deq
+                term = kk * dr * dr
+                if lb:
+                    term = jnp.where(dr < 0, term, 0.0)
+                e = e + term
+            for (i, j, k, k0, k1, th0) in self.angles:
+                kk = k0 + delta * (k1 - k0)
+                d1v = state.box.min_image(x[i] - x[j])
+                d2v = state.box.min_image(x[k] - x[j])
+                c = jnp.sum(d1v * d2v) / jnp.sqrt(
+                    jnp.sum(d1v * d1v) * jnp.sum(d2v * d2v))
+                th = jnp.arccos(jnp.clip(c, -1.0, 1.0))
+                e = e + kk * (th - th0) ** 2
+            for (i, j, k, l, k0, k1, tgt, mult) in self.dihedrals:
+                kk = k0 + delta * (k1 - k0)
+                from ..models.bonded import _dihedral_phi
+
+                vb1 = state.box.min_image(x[i] - x[j])
+                vb2 = state.box.min_image(x[k] - x[j])
+                vb3 = state.box.min_image(x[l] - x[k])
+                phi = _dihedral_phi(vb1, vb2, vb3)
+                e = e + kk * (1.0 + jnp.cos(mult * phi - tgt))
+            return e
+
+        g = jax.grad(energy)(state.x)
+        return state.replace(f=state.f - g)

@@ -142,6 +142,11 @@ class AuxFix:
         and uses a half-step prediction there, fix_shake.cpp:465-512)."""
         return self.post_force(state)
 
+    def refresh_segment(self, state: State) -> State:
+        """Per-run-segment re-init, called AFTER the run window (nh_run)
+        is installed (ref: Fix::init runs once per run command)."""
+        return state
+
     def end_of_step(self, state: State) -> State:
         return state
 

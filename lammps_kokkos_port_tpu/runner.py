@@ -290,6 +290,8 @@ class Simulation:
                 }
             )
             self.state = self.integrator.refresh_segment(self.state)
+            for fx in self.fixes:
+                self.state = fx.refresh_segment(self.state)
 
         rows = []
 

@@ -1140,6 +1140,8 @@ class LammpsScript:
             # re-freeze barostat masses for this segment's window
             # (ref: FixNH::setup runs once per `run` command)
             sim.state = sim.integrator.refresh_segment(sim.state)
+            for fx in sim.fixes:
+                sim.state = fx.refresh_segment(sim.state)
         self._emit(" ".join(self._THERMO_COLS[c][0]
                             for c in self._thermo_columns()))
         t0 = time.perf_counter()
@@ -2207,6 +2209,77 @@ class LammpsScript:
                     kw2.update(couple=True, group2bit=g2, pt=pt,
                                r0=float(a[i + 5]))
                 fixes.append(FixSMD(**kw2))
+            elif f.style == "deform":
+                from .integrate.fixes import FixDeform
+
+                a = list(f.args)
+                nev = int(a[0])
+                dims = [(None, 0.0, 0.0)] * 3
+                remap = True
+                i = 1
+                dmap = {"x": 0, "y": 1, "z": 2}
+                while i < len(a):
+                    if a[i] in dmap:
+                        d = dmap[a[i]]
+                        sty = a[i + 1]
+                        if sty in ("final", "delta"):
+                            dims[d] = (sty, float(a[i + 2]),
+                                       float(a[i + 3]))
+                            i += 4
+                        elif sty in ("scale", "vel", "erate", "trate"):
+                            dims[d] = ("scale" if sty == "trate" else sty,
+                                       float(a[i + 2]), 0.0)
+                            i += 3
+                        else:
+                            raise ScriptError(f"deform style {sty}")
+                    elif a[i] == "remap":
+                        remap = a[i + 1] == "x"
+                        i += 2
+                    elif a[i] == "units":
+                        i += 2
+                    else:
+                        i += 1
+                fixes.append(FixDeform(nevery=nev, dims=tuple(dims),
+                                       remap=remap, dt=dt, groupbit=gbit))
+            elif f.style == "restrain":
+                from .integrate.fixes import FixRestrain
+
+                a = list(f.args)
+                bonds, angles, dihedrals = [], [], []
+                i = 0
+                while i < len(a):
+                    w = a[i]
+                    if w in ("bond", "lbound"):
+                        bonds.append((int(a[i + 1]) - 1, int(a[i + 2]) - 1,
+                                      float(a[i + 3]), float(a[i + 4]),
+                                      float(a[i + 5]), float(a[i + 6]),
+                                      w == "lbound"))
+                        i += 7
+                    elif w == "angle":
+                        angles.append((int(a[i + 1]) - 1, int(a[i + 2]) - 1,
+                                       int(a[i + 3]) - 1,
+                                       float(a[i + 4]), float(a[i + 5]),
+                                       float(a[i + 6]) * np.pi / 180.0))
+                        i += 7
+                    elif w == "dihedral":
+                        dihedrals.append([int(a[i + 1]) - 1,
+                                          int(a[i + 2]) - 1,
+                                          int(a[i + 3]) - 1,
+                                          int(a[i + 4]) - 1,
+                                          float(a[i + 5]), float(a[i + 6]),
+                                          float(a[i + 7]) * np.pi / 180.0,
+                                          1])
+                        i += 8
+                    elif w == "mult":
+                        dihedrals[-1][7] = int(a[i + 1])
+                        i += 2
+                    else:
+                        i += 1
+                fixes.append(FixRestrain(
+                    bonds=tuple(tuple(b) for b in bonds),
+                    angles=tuple(tuple(x) for x in angles),
+                    dihedrals=tuple(tuple(x) for x in dihedrals),
+                    groupbit=gbit))
             elif f.style == "press/berendsen":
                 from .integrate.fixes import FixPressBerendsen
 

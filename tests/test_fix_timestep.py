@@ -65,6 +65,9 @@ FIXTURES = [
     "fix-timestep-rigid_npt_small.yaml",
     "fix-timestep-rigid_nph.yaml",
     "fix-timestep-rigid_nph_small.yaml",
+    "fix-timestep-deform.yaml",
+    "fix-timestep-deform_noremap.yaml",
+    "fix-timestep-restrain.yaml",
 ]
 
 
