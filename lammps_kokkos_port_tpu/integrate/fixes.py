@@ -985,3 +985,190 @@ class FixRestrain(AuxFix):
 
         g = jax.grad(energy)(state.x)
         return state.replace(f=state.f - g)
+
+
+def _unwrap_x(state: State) -> Array:
+    prd = state.box.prd.astype(state.dtype)
+    return state.x + state.image.astype(state.dtype) * prd
+
+
+def _omega_of(angmom, inertia):
+    """Solve I w = L via the exact 3x3 inverse (ref: Group::omega
+    nonsingular branch; chunks here are molecules, never singular to
+    EPSILON after the determinant guard)."""
+    det = jnp.linalg.det(inertia)
+    safe = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    w = jnp.linalg.solve(
+        jnp.where(jnp.abs(det) > 1e-300, inertia, jnp.eye(3)), angmom)
+    return jnp.where(jnp.abs(det) > 1e-300, w, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixAddTorque(AuxFix):
+    """fix addtorque Tx Ty Tz: apply forces producing a net torque on the
+    group about its COM while cancelling the torque the group's own
+    rotation would produce (ref: src/EXTRA-FIX/fix_addtorque.cpp
+    post_force)."""
+
+    tx: float = 0.0
+    ty: float = 0.0
+    tz: float = 0.0
+    mvv2e: float = 1.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        mtot = jnp.maximum(jnp.sum(m), 1e-300)
+        xu = _unwrap_x(state)
+        xcm = jnp.sum(m[:, None] * xu, axis=0) / mtot
+        d = xu - xcm[None, :]
+        # group inertia tensor + angular momentum (ref: Group::inertia/
+        # angmom)
+        dd = jnp.sum(d * d, axis=-1)
+        eye = jnp.eye(3, dtype=state.dtype)
+        inertia = jnp.einsum("i,iab->ab", m,
+                             dd[:, None, None] * eye[None]
+                             - d[:, :, None] * d[:, None, :])
+        L = jnp.sum(m[:, None] * jnp.cross(d, state.v), axis=0)
+        omega = _omega_of(L, inertia)
+
+        odotr = jnp.sum(omega[None, :] * d, axis=-1)
+        # ref: tlocal = m omegadotr (dy wz - dz wy, ...)
+        itq = jnp.sum((m * odotr)[:, None]
+                      * jnp.stack([d[:, 1] * omega[2] - d[:, 2] * omega[1],
+                                   d[:, 2] * omega[0] - d[:, 0] * omega[2],
+                                   d[:, 0] * omega[1] - d[:, 1] * omega[0]],
+                                  axis=-1), axis=0)
+        tcm = (jnp.asarray([self.tx, self.ty, self.tz], state.dtype)
+               - self.mvv2e * itq)
+        domegadt = _omega_of(tcm, inertia)
+        vrot = self.mvv2e * jnp.stack(
+            [d[:, 2] * omega[1] - d[:, 1] * omega[2],
+             d[:, 0] * omega[2] - d[:, 2] * omega[0],
+             d[:, 1] * omega[0] - d[:, 0] * omega[1]], axis=-1)
+        fadd = m[:, None] * jnp.stack(
+            [d[:, 2] * domegadt[1] - d[:, 1] * domegadt[2]
+             + vrot[:, 2] * omega[1] - vrot[:, 1] * omega[2],
+             d[:, 0] * domegadt[2] - d[:, 2] * domegadt[0]
+             + vrot[:, 0] * omega[2] - vrot[:, 2] * omega[0],
+             d[:, 1] * domegadt[0] - d[:, 0] * domegadt[1]
+             + vrot[:, 1] * omega[0] - vrot[:, 0] * omega[1]], axis=-1)
+        f = state.f + jnp.where(g[:, None], fadd, 0.0)
+        return state.replace(f=f)
+
+
+def _chunk_sums(vals, chunk, nchunk):
+    """Segment-sum vals [cap,...] into [nchunk,...]; chunk<0 = none."""
+    ok = chunk >= 0
+    idx = jnp.where(ok, chunk, 0)
+    z = jnp.zeros((nchunk,) + vals.shape[1:], vals.dtype)
+    vals = jnp.where(ok.reshape((-1,) + (1,) * (vals.ndim - 1)), vals, 0.0)
+    return z.at[idx].add(vals, mode="drop")
+
+
+@dataclasses.dataclass(frozen=True)
+class FixMomentumChunk(AuxFix):
+    """fix momentum/chunk N chunkID linear x y z [angular] [rescale]:
+    zero each chunk's linear/angular momentum every N steps, optionally
+    rescaling to preserve per-chunk kinetic energy
+    (ref: src/EXTRA-FIX/fix_momentum_chunk.cpp end_of_step; chunks =
+    molecule IDs)."""
+
+    nevery: int = 1
+    nchunk: int = 0
+    linear: tuple = (True, True, True)
+    angular: bool = False
+    rescale: bool = False
+    groupbit: int = 1
+
+    def end_of_step(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        chunk = jnp.where(g, state.molecule - 1, -1)
+        nc = self.nchunk
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        mc = jnp.maximum(_chunk_sums(m, chunk, nc), 1e-300)
+        v = state.v
+        ke_old = _chunk_sums(m * jnp.sum(v * v, axis=-1), chunk, nc)
+
+        idx = jnp.where(chunk >= 0, chunk, 0)
+        # com/vcm/omega are all computed from the PRE-adjustment
+        # velocities (the reference's three computes run before any
+        # adjustment, fix_momentum_chunk.cpp end_of_step head)
+        vcm = _chunk_sums(m[:, None] * v, chunk, nc) / mc[:, None]
+        xu = _unwrap_x(state)
+        com = (_chunk_sums(m[:, None] * xu, chunk, nc) / mc[:, None])
+        d = xu - com[idx]
+        dd = jnp.sum(d * d, axis=-1)
+        eye = jnp.eye(3, dtype=state.dtype)
+        iner = _chunk_sums(
+            m[:, None, None] * (dd[:, None, None] * eye[None]
+                                - d[:, :, None] * d[:, None, :]),
+            chunk, nc)
+        L = _chunk_sums(m[:, None] * jnp.cross(d, v), chunk, nc)
+        omega = jax.vmap(_omega_of)(L, iner)
+        if any(self.linear):
+            sel = jnp.asarray([float(s) for s in self.linear], state.dtype)
+            v = v - jnp.where((chunk >= 0)[:, None],
+                              vcm[idx] * sel[None, :], 0.0)
+        if self.angular:
+            om = omega[idx]
+            v = v - jnp.where((chunk >= 0)[:, None],
+                              jnp.cross(om, d), 0.0)
+        if self.rescale:
+            ke_new = _chunk_sums(m * jnp.sum(v * v, axis=-1), chunk, nc)
+            # NOTE: the reference's guard tests ke_chunk_new[0] — chunk 0,
+            # not m (fix_momentum_chunk.cpp:265); when chunk 0 is outside
+            # the fix group the whole rescale is a no-op. Transcribed
+            # verbatim for trajectory parity.
+            factor = jnp.where(ke_new[0] > 0.0,
+                               jnp.sqrt(ke_old
+                                        / jnp.maximum(ke_new, 1e-300)),
+                               1.0)
+            v = jnp.where((chunk >= 0)[:, None], v * factor[idx][:, None],
+                          v)
+        fire = (state.ntimestep % self.nevery) == 0
+        v = jnp.where(fire, v, state.v)
+        return state.replace(v=v)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixSpringChunk(AuxFix):
+    """fix spring/chunk K chunkID comID: tether each chunk's COM to its
+    position at the first force evaluation; the applied per-COM force is
+    k * d/|d| mass-weighted over the chunk (ref: src/fix_spring_chunk.cpp
+    post_force — the reference applies this constant-magnitude form)."""
+
+    k: float = 1.0
+    nchunk: int = 0
+    groupbit: int = 1
+    aux_key: str = "spring_chunk_com0"
+
+    def _coms(self, state: State):
+        # the chunk + com computes run on group ALL, and the restoring
+        # force applies to EVERY chunked atom regardless of the fix
+        # group (ref: fix_spring_chunk.cpp apply loop has no group test)
+        g = state.valid_mask
+        chunk = jnp.where(g, state.molecule - 1, -1)
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        mc = jnp.maximum(_chunk_sums(m, chunk, self.nchunk), 1e-300)
+        xu = _unwrap_x(state)
+        com = _chunk_sums(m[:, None] * xu, chunk, self.nchunk) / mc[:, None]
+        return chunk, m, mc, com
+
+    def setup_post_force(self, state: State) -> State:
+        if self.aux_key not in state.aux:
+            _, _, _, com = self._coms(state)
+            state = state.replace(aux={**state.aux, self.aux_key: com})
+        return self.post_force(state)
+
+    def post_force(self, state: State) -> State:
+        chunk, m, mc, com = self._coms(state)
+        com0 = state.aux[self.aux_key]
+        d = com - com0
+        r = jnp.maximum(jnp.sqrt(jnp.sum(d * d, axis=-1)), 1e-10)
+        fcom = self.k * d / r[:, None] / mc[:, None]
+        idx = jnp.where(chunk >= 0, chunk, 0)
+        fadd = -m[:, None] * fcom[idx]
+        f = state.f + jnp.where((chunk >= 0)[:, None], fadd, 0.0)
+        return state.replace(f=f)

@@ -1197,7 +1197,8 @@ class LammpsScript:
         pe/atom — evaluated on demand via get_compute)."""
         cid, group, style = a[0], a[1], a[2]
         known = ("temp", "pressure", "pe", "ke", "msd", "com", "rdf",
-                 "ke/atom", "pe/atom", "stress/atom")
+                 "ke/atom", "pe/atom", "stress/atom", "chunk/atom",
+                 "com/chunk")
         if style not in known:
             raise ScriptError(f"compute style {style} unsupported")
         self.computes[cid] = (group, style, a[3:])
@@ -1244,6 +1245,29 @@ class LammpsScript:
             return np.asarray(obs.pe_atom(sim, groupbit=gbit))
         if style == "stress/atom":
             return np.asarray(obs.stress_atom(sim))
+        if style == "chunk/atom":
+            # molecule-ID chunks (the only binning wired; ref:
+            # src/compute_chunk_atom.cpp molecule style)
+            return np.asarray(sim.state.molecule)
+        if style == "com/chunk":
+            import jax.numpy as _jnp
+
+            st = sim.state
+            g = st.valid_mask
+            m = _jnp.where(g, st.per_atom_mass, 0.0)
+            chunk = _jnp.where(g, st.molecule - 1, -1)
+            nmol = int(max(self.molecules))
+            prd = st.box.prd.astype(st.dtype)
+            xu = st.x + st.image.astype(st.dtype) * prd
+            ok = chunk >= 0
+            idx = _jnp.where(ok, chunk, 0)
+            mc = _jnp.zeros(nmol, st.dtype).at[idx].add(
+                _jnp.where(ok, m, 0.0), mode="drop")
+            com = _jnp.zeros((nmol, 3), st.dtype).at[idx].add(
+                _jnp.where(ok[:, None], m[:, None] * xu, 0.0),
+                mode="drop")
+            return np.asarray(com / np.maximum(np.asarray(mc)[:, None],
+                                               1e-300))
         raise ScriptError(style)
 
     def cmd_minimize(self, a):
@@ -2280,6 +2304,34 @@ class LammpsScript:
                     angles=tuple(tuple(x) for x in angles),
                     dihedrals=tuple(tuple(x) for x in dihedrals),
                     groupbit=gbit))
+            elif f.style == "addtorque":
+                from .integrate.fixes import FixAddTorque
+
+                fixes.append(FixAddTorque(
+                    tx=float(f.args[0]), ty=float(f.args[1]),
+                    tz=float(f.args[2]), mvv2e=units.mvv2e,
+                    groupbit=gbit))
+            elif f.style == "momentum/chunk":
+                from .integrate.fixes import FixMomentumChunk
+
+                a = list(f.args)
+                nmol = int(max(self.molecules)) if self.molecules else 0
+                kw2 = dict(nevery=int(a[0]), nchunk=nmol, groupbit=gbit)
+                if "linear" in a:
+                    li = a.index("linear")
+                    kw2["linear"] = tuple(bool(int(a[li + 1 + d]))
+                                          for d in range(3))
+                else:
+                    kw2["linear"] = (False, False, False)
+                kw2["angular"] = "angular" in a
+                kw2["rescale"] = "rescale" in a
+                fixes.append(FixMomentumChunk(**kw2))
+            elif f.style == "spring/chunk":
+                from .integrate.fixes import FixSpringChunk
+
+                nmol = int(max(self.molecules)) if self.molecules else 0
+                fixes.append(FixSpringChunk(
+                    k=float(f.args[0]), nchunk=nmol, groupbit=gbit))
             elif f.style == "press/berendsen":
                 from .integrate.fixes import FixPressBerendsen
 

@@ -68,6 +68,10 @@ FIXTURES = [
     "fix-timestep-deform.yaml",
     "fix-timestep-deform_noremap.yaml",
     "fix-timestep-restrain.yaml",
+    "fix-timestep-efield_region.yaml",
+    "fix-timestep-addtorque_const.yaml",
+    "fix-timestep-momentum_chunk.yaml",
+    "fix-timestep-spring_chunk.yaml",
 ]
 
 
