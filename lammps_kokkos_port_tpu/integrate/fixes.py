@@ -83,9 +83,9 @@ class FixSetForce(AuxFix):
     """fix setforce: pin force components; None = leave untouched
     (ref: src/fix_setforce.cpp)."""
 
-    fx: float | None = None
-    fy: float | None = None
-    fz: float | None = None
+    fx: object = None
+    fy: object = None
+    fz: object = None
     groupbit: int = 1
     region: object | None = None
 
@@ -95,6 +95,7 @@ class FixSetForce(AuxFix):
             g = g & self.region.match(state.x)
         f = state.f
         for d, val in enumerate((self.fx, self.fy, self.fz)):
+            val = _fix_value(val, state)
             if val is not None:
                 f = f.at[:, d].set(jnp.where(g, val, f[:, d]))
         return state.replace(f=f)
@@ -104,14 +105,17 @@ class FixSetForce(AuxFix):
 class FixAddForce(AuxFix):
     """fix addforce: constant extra force (ref: src/fix_addforce.cpp)."""
 
-    fx: float = 0.0
-    fy: float = 0.0
-    fz: float = 0.0
+    fx: object = 0.0
+    fy: object = 0.0
+    fz: object = 0.0
     groupbit: int = 1
 
     def post_force(self, state: State) -> State:
-        add = jnp.asarray([self.fx, self.fy, self.fz], state.dtype)
-        f = state.f + jnp.where(_gmask(state, self.groupbit), add[None, :], 0.0)
+        comps = [_fix_value(c, state) for c in (self.fx, self.fy, self.fz)]
+        add = jnp.stack([jnp.broadcast_to(
+            jnp.asarray(c, state.dtype), state.f.shape[:1])
+            for c in comps], axis=-1)
+        f = state.f + jnp.where(_gmask(state, self.groupbit), add, 0.0)
         return state.replace(f=f)
 
 
@@ -249,9 +253,9 @@ class FixAveForce(AuxFix):
     """fix aveforce: replace each non-None component with the group
     average plus the given constant (ref: src/fix_aveforce.cpp)."""
 
-    fx: float | None = None
-    fy: float | None = None
-    fz: float | None = None
+    fx: object = None
+    fy: object = None
+    fz: object = None
     groupbit: int = 1
     region: object | None = None
 
@@ -262,6 +266,7 @@ class FixAveForce(AuxFix):
         n = jnp.maximum(jnp.sum(g), 1)
         f = state.f
         for d, val in enumerate((self.fx, self.fy, self.fz)):
+            val = _fix_value(val, state)
             if val is not None:
                 avg = jnp.sum(jnp.where(g, f[:, d], 0.0)) / n
                 f = f.at[:, d].set(jnp.where(g, avg + val, f[:, d]))
@@ -540,9 +545,9 @@ class FixEfield(AuxFix):
     at build; ref: src/fix_efield.cpp:60-75 + post_force qflag branch).
     Optional region scoping (keyword `region`)."""
 
-    ex: float = 0.0
-    ey: float = 0.0
-    ez: float = 0.0
+    ex: object = 0.0
+    ey: object = 0.0
+    ez: object = 0.0
     groupbit: int = 1
     region: object | None = None
 
@@ -550,8 +555,11 @@ class FixEfield(AuxFix):
         g = _gmask(state, self.groupbit)
         if self.region is not None:
             g = g & self.region.match(state.x)[:, None]
-        e = jnp.asarray([self.ex, self.ey, self.ez], state.dtype)
-        add = state.q[:, None] * e[None, :]
+        comps = [_fix_value(c, state) for c in (self.ex, self.ey, self.ez)]
+        e = jnp.stack([jnp.broadcast_to(jnp.asarray(c, state.dtype),
+                                        state.q.shape)
+                       for c in comps], axis=-1)
+        add = state.q[:, None] * e
         return state.replace(f=state.f + jnp.where(g, add, 0.0))
 
 
@@ -1010,9 +1018,9 @@ class FixAddTorque(AuxFix):
     rotation would produce (ref: src/EXTRA-FIX/fix_addtorque.cpp
     post_force)."""
 
-    tx: float = 0.0
-    ty: float = 0.0
-    tz: float = 0.0
+    tx: object = 0.0
+    ty: object = 0.0
+    tz: object = 0.0
     mvv2e: float = 1.0
     groupbit: int = 1
 
@@ -1040,7 +1048,8 @@ class FixAddTorque(AuxFix):
                                    d[:, 2] * omega[0] - d[:, 0] * omega[2],
                                    d[:, 0] * omega[1] - d[:, 1] * omega[0]],
                                   axis=-1), axis=0)
-        tcm = (jnp.asarray([self.tx, self.ty, self.tz], state.dtype)
+        tvals = [_fix_value(c, state) for c in (self.tx, self.ty, self.tz)]
+        tcm = (jnp.stack([jnp.asarray(c, state.dtype) for c in tvals])
                - self.mvv2e * itq)
         domegadt = _omega_of(tcm, inertia)
         vrot = self.mvv2e * jnp.stack(
@@ -1172,3 +1181,43 @@ class FixSpringChunk(AuxFix):
         fadd = -m[:, None] * fcom[idx]
         f = state.f + jnp.where((chunk >= 0)[:, None], fadd, 0.0)
         return state.replace(f=f)
+
+
+def _fix_value(spec, state: State):
+    """Resolve a fix component: None | float | ('equal', fn, scale) |
+    ('atom', aux_key, col, scale). Returns None, a scalar, or [cap]."""
+    if spec is None or isinstance(spec, float):
+        return spec
+    kind = spec[0]
+    if kind == "equal":
+        return spec[1](state.ntimestep.astype(state.dtype)) * spec[2]
+    if kind == "atom":
+        return state.aux[spec[1]][:, spec[2]] * spec[3]
+    raise ValueError(spec)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixStoreState(AuxFix):
+    """fix ID group store/state N keys...: capture per-atom quantities
+    (N=0: once at setup) for later variable references f_ID[col]
+    (ref: src/fix_store_state.cpp)."""
+
+    fid: str = "store"
+    keys: tuple = ("x", "y", "z")
+    groupbit: int = 1
+
+    def setup(self, state: State) -> State:
+        cols = []
+        xu = _unwrap_x(state)
+        for k in self.keys:
+            if k in ("x", "y", "z"):
+                cols.append(state.x[:, "xyz".index(k)])
+            elif k in ("xu", "yu", "zu"):
+                cols.append(xu[:, "xyz".index(k[0])])
+            elif k in ("vx", "vy", "vz"):
+                cols.append(state.v[:, "xyz".index(k[1])])
+            elif k in ("fx", "fy", "fz"):
+                cols.append(state.f[:, "xyz".index(k[1])])
+        arr = jnp.stack(cols, axis=-1)
+        return state.replace(aux={**state.aux,
+                                  f"store_{self.fid}": arr})

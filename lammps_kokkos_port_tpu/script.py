@@ -365,10 +365,16 @@ class LammpsScript:
         elif style == "equal":
             # lazy: evaluated at each substitution (thermo keywords are live)
             self._equal_vars[name] = a[2]
+        elif style == "atom":
+            if not hasattr(self, "_atom_vars"):
+                self._atom_vars = {}
+            self._atom_vars[name] = a[2]
         elif style == "delete":
             self.variables.pop(name, None)
             self._equal_vars.pop(name, None)
             self._index_vars.pop(name, None)
+            if hasattr(self, "_atom_vars"):
+                self._atom_vars.pop(name, None)
         else:
             raise ScriptError(f"variable style {style} not supported")
 
@@ -2040,16 +2046,15 @@ class LammpsScript:
                     dt=dt, units=units, groupbit=gbit,
                 ))
             elif f.style == "setforce":
-                def fv(s):
-                    return None if s == "NULL" else float(s)
-
-                fixes.append(FixSetForce(fx=fv(f.args[0]), fy=fv(f.args[1]),
-                                         fz=fv(f.args[2]), groupbit=gbit,
+                fc = self._fix_component
+                fixes.append(FixSetForce(fx=fc(f.args[0]), fy=fc(f.args[1]),
+                                         fz=fc(f.args[2]), groupbit=gbit,
                                          region=self._fix_region_kw(f.args)))
             elif f.style == "addforce":
-                fixes.append(FixAddForce(fx=float(f.args[0]),
-                                         fy=float(f.args[1]),
-                                         fz=float(f.args[2]), groupbit=gbit))
+                fc = self._fix_component
+                fixes.append(FixAddForce(fx=fc(f.args[0]),
+                                         fy=fc(f.args[1]),
+                                         fz=fc(f.args[2]), groupbit=gbit))
             elif f.style == "momentum":
                 args = f.args
                 linear = None
@@ -2083,11 +2088,9 @@ class LammpsScript:
             elif f.style == "aveforce":
                 from .integrate.fixes import FixAveForce
 
-                def av(s):
-                    return None if s == "NULL" else float(s)
-
-                fixes.append(FixAveForce(fx=av(f.args[0]), fy=av(f.args[1]),
-                                         fz=av(f.args[2]), groupbit=gbit,
+                fc = self._fix_component
+                fixes.append(FixAveForce(fx=fc(f.args[0]), fy=fc(f.args[1]),
+                                         fz=fc(f.args[2]), groupbit=gbit,
                                          region=self._fix_region_kw(f.args)))
             elif f.style == "spring/self":
                 from .integrate.fixes import FixSpringSelf
@@ -2180,9 +2183,10 @@ class LammpsScript:
                 from .integrate.fixes import FixEfield
 
                 q = units.qe2f
+                fc = self._fix_component
                 fixes.append(FixEfield(
-                    ex=q * float(f.args[0]), ey=q * float(f.args[1]),
-                    ez=q * float(f.args[2]), groupbit=gbit,
+                    ex=fc(f.args[0], q), ey=fc(f.args[1], q),
+                    ez=fc(f.args[2], q), groupbit=gbit,
                     region=self._fix_region_kw(f.args)))
             elif f.style == "drag":
                 from .integrate.fixes import FixDrag
@@ -2307,9 +2311,10 @@ class LammpsScript:
             elif f.style == "addtorque":
                 from .integrate.fixes import FixAddTorque
 
+                fc = self._fix_component
                 fixes.append(FixAddTorque(
-                    tx=float(f.args[0]), ty=float(f.args[1]),
-                    tz=float(f.args[2]), mvv2e=units.mvv2e,
+                    tx=fc(f.args[0]), ty=fc(f.args[1]),
+                    tz=fc(f.args[2]), mvv2e=units.mvv2e,
                     groupbit=gbit))
             elif f.style == "momentum/chunk":
                 from .integrate.fixes import FixMomentumChunk
@@ -2332,6 +2337,14 @@ class LammpsScript:
                 nmol = int(max(self.molecules)) if self.molecules else 0
                 fixes.append(FixSpringChunk(
                     k=float(f.args[0]), nchunk=nmol, groupbit=gbit))
+            elif f.style == "store/state":
+                from .integrate.fixes import FixStoreState
+
+                keys = tuple(k for k in f.args[1:]
+                             if k in ("x", "y", "z", "fx", "fy", "fz",
+                                      "vx", "vy", "vz", "xu", "yu", "zu"))
+                fixes.append(FixStoreState(
+                    fid=f.fid, keys=keys, groupbit=gbit))
             elif f.style == "press/berendsen":
                 from .integrate.fixes import FixPressBerendsen
 
@@ -2413,6 +2426,32 @@ class LammpsScript:
         if integ is None:
             integ = Integrator(dt=dt, units=units)
         return integ, tuple(fixes)
+
+    def _fix_component(self, s, scale: float = 1.0):
+        """Resolve a fix argument that may be NULL, a number, or v_<name>
+        referencing an equal- or atom-style variable (ref: utils::numeric
+        vs variable hooks in fix ctors). Returns None, a float, or a
+        traced-value spec consumed by integrate.fixes._fix_value."""
+        if s == "NULL":
+            return None
+        if isinstance(s, str) and s.startswith("v_"):
+            name = s[2:]
+            if hasattr(self, "_atom_vars") and name in self._atom_vars:
+                expr = self._atom_vars[name].strip()
+                import re
+
+                m = re.fullmatch(r"f_(\w+)\[(\d+)\]", expr)
+                if not m:
+                    raise ScriptError(f"atom variable '{expr}' unsupported")
+                return ("atom", f"store_{m.group(1)}",
+                        int(m.group(2)) - 1, scale)
+            if name in self._equal_vars:
+                from .utils.stepexpr import compile_equal
+
+                return ("equal", compile_equal(self._equal_vars[name]),
+                        scale)
+            raise ScriptError(f"fix references undefined variable {name}")
+        return float(s) * scale
 
     def _nh_kw(self, args: list[str]) -> dict:
         """fix nvt/npt/nph keyword parse (ref: FixNH::FixNH arg loop,

@@ -72,6 +72,11 @@ FIXTURES = [
     "fix-timestep-addtorque_const.yaml",
     "fix-timestep-momentum_chunk.yaml",
     "fix-timestep-spring_chunk.yaml",
+    "fix-timestep-setforce_variable.yaml",
+    "fix-timestep-addforce_variable.yaml",
+    "fix-timestep-aveforce_variable.yaml",
+    "fix-timestep-efield_variable.yaml",
+    "fix-timestep-addtorque_variable.yaml",
 ]
 
 
