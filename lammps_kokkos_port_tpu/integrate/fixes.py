@@ -1221,3 +1221,57 @@ class FixStoreState(AuxFix):
         arr = jnp.stack(cols, axis=-1)
         return state.replace(aux={**state.aux,
                                   f"store_{self.fid}": arr})
+
+
+def _run_delta(state: State):
+    run = state.aux.get("nh_run")
+    if run is None:
+        return jnp.zeros((), state.dtype)
+    begin = run[0].astype(state.dtype)
+    span = jnp.maximum(run[1].astype(state.dtype) - begin, 1.0)
+    return jnp.clip(
+        (state.ntimestep.astype(state.dtype) - begin) / span, 0.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixAdapt(AuxFix):
+    """fix adapt N pair <style> epsilon|scale * * v_var [kspace v_var]
+    [scale no]: per-step uniform parameter adaptation. Supported scope:
+    uniform epsilon (force-linear styles like lj/cut) or the coul `scale`
+    attribute — either reduces to one multiplicative factor on the pair
+    (and optionally kspace) contribution, applied pre-force each nevery
+    steps (ref: src/fix_adapt.cpp change_settings :543, called from
+    setup_pre_force/pre_force)."""
+
+    fn: object = None       # compiled equal expression
+    base: float = 1.0       # divisor (epsilon0 for epsilon adapts)
+    nevery: int = 1
+    kspace: bool = False
+    groupbit: int = 1
+
+    def _scale(self, state: State):
+        val = self.fn(state.ntimestep.astype(state.dtype),
+                      _run_delta(state))
+        return val / self.base
+
+    def setup(self, state: State) -> State:
+        aux = dict(state.aux)
+        aux["adapt_pair_scale"] = jnp.ones((), state.dtype)
+        if self.kspace:
+            aux["adapt_kspace_scale"] = jnp.ones((), state.dtype)
+        return state.replace(aux=aux)
+
+    def setup_post_force(self, state: State) -> State:
+        # ref: FixAdapt::setup_pre_force runs change_settings before the
+        # run's first force pass; our runner applies it right after via
+        # presetup — update the scale so the NEXT pass (step 1) sees it
+        return self.initial_integrate(state)
+
+    def initial_integrate(self, state: State) -> State:
+        fire = (state.ntimestep % self.nevery) == 0
+        s = jnp.where(fire, self._scale(state),
+                      state.aux["adapt_pair_scale"])
+        aux = {**state.aux, "adapt_pair_scale": s}
+        if self.kspace:
+            aux["adapt_kspace_scale"] = s
+        return state.replace(aux=aux)

@@ -102,6 +102,11 @@ class ForceField:
             except TypeError:
                 # styles that ignore special weights (e.g. EAM)
                 pf, pe, pv = self.pair.compute(state, nl, eflag, vflag)
+            ps = state.aux.get("adapt_pair_scale")
+            if ps is not None:
+                pf = pf * ps
+                pe = pe * ps if pe is not None else None
+                pv = pv * ps if pv is not None else None
             f = f + pf
             epair = acc(epair, pe)
             virial = acc(virial, pv)
@@ -166,6 +171,11 @@ class ForceField:
 
         if "kspace" in cats and self.kspace is not None:
             kf, ke, kv = self.kspace.compute(state, eflag, vflag)
+            ks = state.aux.get("adapt_kspace_scale")
+            if ks is not None:
+                kf = kf * ks
+                ke = ke * ks if ke is not None else None
+                kv = kv * ks if kv is not None else None
             f = f + kf
             epair = acc(epair, ke)
             virial = acc(virial, kv)

@@ -1492,6 +1492,21 @@ class LammpsScript:
             words = self.pair_style_words
             name = words[0]
             args = words[1:]
+            if name == "hybrid" and args and not _is_num(args[0]):
+                # single-sub-style hybrid degenerates to the sub-style;
+                # strip the sub-style token from coeff rows
+                # (ref: pair_hybrid.cpp with nstyles == 1)
+                subs = [w for w in args if not _is_num(w)]
+                if len(subs) != 1:
+                    raise ScriptError(
+                        "pair hybrid with multiple sub-styles unsupported "
+                        "(hybrid/overlay has its own path)")
+                name = args[0]
+                args = args[1:]
+                self.pair_coeffs = [
+                    [t for t in row if t != name]
+                    for row in self.pair_coeffs
+                ]
             numeric_styles = (
                 "lj/cut", "lj/charmm/coul/long", "lj/cut/coul/long",
                 "lj/cut/coul/cut", "coul/long", "coul/cut",
@@ -2345,6 +2360,35 @@ class LammpsScript:
                                       "vx", "vy", "vz", "xu", "yu", "zu"))
                 fixes.append(FixStoreState(
                     fid=f.fid, keys=keys, groupbit=gbit))
+            elif f.style == "adapt":
+                from .integrate.fixes import FixAdapt
+                from .utils.stepexpr import compile_equal
+
+                a = list(f.args)
+                nev = int(a[0])
+                if a[1] != "pair":
+                    raise ScriptError("fix adapt: only pair adapts wired")
+                attr = a[3]
+                if a[4] != "*" or a[5] != "*":
+                    raise ScriptError("fix adapt needs uniform * * scope")
+                vname = a[6][2:]
+                fn = compile_equal(self._equal_vars[vname])
+                if attr == "epsilon":
+                    # uniform scope: epsilon0 from the last * * coeff
+                    base = None
+                    for c in self.pair_coeffs:
+                        if c[0] == "*" and c[1] == "*":
+                            base = float(c[2])
+                    if base is None:
+                        raise ScriptError(
+                            "fix adapt epsilon needs a * * pair_coeff")
+                elif attr == "scale":
+                    base = 1.0
+                else:
+                    raise ScriptError(f"fix adapt attr {attr}")
+                fixes.append(FixAdapt(fn=fn, base=base, nevery=nev,
+                                      kspace="kspace" in a,
+                                      groupbit=gbit))
             elif f.style == "press/berendsen":
                 from .integrate.fixes import FixPressBerendsen
 

@@ -15,11 +15,20 @@ import ast as _ast
 
 
 def compile_equal(expr: str, dt: float | None = None):
+    """Returns fn(step[, delta]) — delta is the run-window ramp fraction
+    (beginstep..endstep), required only when the expression uses
+    ramp(lo,hi) (ref: Variable ramp() thermo-keyword function)."""
     tree = _ast.parse(expr.replace("^", "**"), mode="eval")
 
-    def ev(node, step):
+    def ev(node, step, delta=0.0):
         if isinstance(node, _ast.Expression):
-            return ev(node.body, step)
+            return ev(node.body, step, delta)
+        if isinstance(node, _ast.Call):
+            if getattr(node.func, "id", None) == "ramp":
+                lo = ev(node.args[0], step, delta)
+                hi = ev(node.args[1], step, delta)
+                return lo + delta * (hi - lo)
+            raise ValueError("unsupported function")
         if isinstance(node, _ast.Constant):
             return float(node.value)
         if isinstance(node, _ast.Name):
@@ -29,8 +38,8 @@ def compile_equal(expr: str, dt: float | None = None):
                 return step * dt
             raise ValueError(f"unsupported name {node.id}")
         if isinstance(node, _ast.BinOp):
-            a = ev(node.left, step)
-            b = ev(node.right, step)
+            a = ev(node.left, step, delta)
+            b = ev(node.right, step, delta)
             if isinstance(node.op, _ast.Add):
                 return a + b
             if isinstance(node.op, _ast.Sub):
@@ -43,7 +52,7 @@ def compile_equal(expr: str, dt: float | None = None):
                 return a ** b
             raise ValueError(f"unsupported op {node.op}")
         if isinstance(node, _ast.UnaryOp):
-            v = ev(node.operand, step)
+            v = ev(node.operand, step, delta)
             if isinstance(node.op, _ast.USub):
                 return -v
             if isinstance(node.op, _ast.UAdd):
@@ -51,5 +60,5 @@ def compile_equal(expr: str, dt: float | None = None):
         raise ValueError(f"unsupported expression node {node}")
 
     # probe once for parse errors with a dummy float
-    ev(tree, 0.0)
-    return lambda step: ev(tree, step)
+    ev(tree, 0.0, 0.0)
+    return lambda step, delta=0.0: ev(tree, step, delta)

@@ -714,6 +714,10 @@ def run_fix_timestep(name: str, dtype=jnp.float64):
 
     fix = load_fixture(name)
     s = LammpsScript(dtype=dtype, var_overrides={"input_dir": TESTS_DIR})
+    # pre_commands run before the input file (test_fix_timestep.cpp:99)
+    for ln in (fix.get("pre_commands") or "").splitlines():
+        if ln.strip():
+            s.one(ln.strip())
     s.file(f"{TESTS_DIR}/in.fourmol")
     for c in _FIXTS_FF:
         s.one(c)
