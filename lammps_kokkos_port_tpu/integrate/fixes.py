@@ -1275,3 +1275,202 @@ class FixAdapt(AuxFix):
         if self.kspace:
             aux["adapt_kspace_scale"] = s
         return state.replace(aux=aux)
+
+
+def _nr_spline(x, y, yp1, ypn):
+    """Numerical-Recipes cubic spline second derivatives with specified
+    end slopes (ref: FixWallTable::spline — transcribed for table
+    parity)."""
+    import numpy as np
+
+    n = len(x)
+    y2 = np.zeros(n)
+    u = np.zeros(n)
+    big = 0.99e30
+    if yp1 > big:
+        y2[0] = u[0] = 0.0
+    else:
+        y2[0] = -0.5
+        u[0] = (3.0 / (x[1] - x[0])) * ((y[1] - y[0]) / (x[1] - x[0]) - yp1)
+    for i in range(1, n - 1):
+        sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1])
+        p = sig * y2[i - 1] + 2.0
+        y2[i] = (sig - 1.0) / p
+        ui = ((y[i + 1] - y[i]) / (x[i + 1] - x[i])
+              - (y[i] - y[i - 1]) / (x[i] - x[i - 1]))
+        u[i] = (6.0 * ui / (x[i + 1] - x[i - 1]) - sig * u[i - 1]) / p
+    if ypn > big:
+        qn = un = 0.0
+    else:
+        qn = 0.5
+        un = (3.0 / (x[n - 1] - x[n - 2])) \
+            * (ypn - (y[n - 1] - y[n - 2]) / (x[n - 1] - x[n - 2]))
+    y2[n - 1] = (un - qn * u[n - 2]) / (qn * y2[n - 2] + 1.0)
+    for k in range(n - 2, -1, -1):
+        y2[k] = y2[k] * y2[k + 1] + u[k]
+    return y2
+
+
+def _nr_splint(xa, ya, y2a, xq):
+    import numpy as np
+
+    khi = np.searchsorted(xa, xq)
+    khi = np.clip(khi, 1, len(xa) - 1)
+    klo = khi - 1
+    h = xa[khi] - xa[klo]
+    a = (xa[khi] - xq) / h
+    b = (xq - xa[klo]) / h
+    return (a * ya[klo] + b * ya[khi]
+            + ((a ** 3 - a) * y2a[klo] + (b ** 3 - b) * y2a[khi])
+            * (h * h) / 6.0)
+
+
+def build_wall_table(fname: str, section: str, tablength: int,
+                     cutoff: float):
+    """Host-side table build (ref: FixWallTable::read_table,
+    spline_table, compute_table). Returns dict of numpy arrays +
+    the energy offset at the cutoff."""
+    import numpy as np
+
+    rows = []
+    fplo = fphi = None
+    with open(fname) as fh:
+        lines = fh.readlines()
+    i = 0
+    while i < len(lines):
+        if lines[i].strip() == section:
+            j = i + 1
+            toks = lines[j].split()
+            # N <n> [FP lo hi]
+            n_in = int(toks[1])
+            if "FP" in toks:
+                k = toks.index("FP")
+                fplo, fphi = float(toks[k + 1]), float(toks[k + 2])
+            j += 1
+            while len(rows) < n_in:
+                t = lines[j].split()
+                if len(t) >= 4:
+                    rows.append((float(t[1]), float(t[2]), float(t[3])))
+                j += 1
+            break
+        i += 1
+    if not rows:
+        raise ValueError(f"section {section} not found in {fname}")
+    rf = np.array([r[0] for r in rows])
+    ef = np.array([r[1] for r in rows])
+    ff = np.array([r[2] for r in rows])
+    if fplo is None:
+        fplo = (ff[1] - ff[0]) / (rf[1] - rf[0])
+        fphi = (ff[-1] - ff[-2]) / (rf[-1] - rf[-2])
+    e2f = _nr_spline(rf, ef, -ff[0], -ff[-1])
+    f2f = _nr_spline(rf, ff, fplo, fphi)
+
+    lo, hi = rf[0], rf[-1]
+    tlm1 = tablength - 1
+    delta = (hi - lo) / tlm1
+    r = lo + np.arange(tablength) * delta
+    e = _nr_splint(rf, ef, e2f, r)
+    fv = _nr_splint(rf, ff, f2f, r)
+    de = np.zeros(tablength)
+    df = np.zeros(tablength)
+    de[:tlm1] = e[1:] - e[:tlm1]
+    df[:tlm1] = fv[1:] - fv[:tlm1]
+    de[tlm1] = 2.0 * de[tlm1 - 1] - de[tlm1 - 2]
+    df[tlm1] = 2.0 * df[tlm1 - 1] - df[tlm1 - 2]
+    e2 = _nr_spline(r, e, -fv[0], -fv[tlm1])
+    f2 = _nr_spline(r, fv, fplo, fphi)
+    # offset: LINEAR lookup at the cutoff (ref: setup comment — spline
+    # would index out of bounds at the outer edge)
+    it = min(int((cutoff - lo) / delta), tablength - 1)
+    frac = (cutoff - r[it]) / delta
+    offset = e[it] + frac * de[it]
+    return dict(lo=lo, delta=delta, r=r, e=e, de=de, f=fv, df=df,
+                e2=e2, f2=f2, offset=float(offset),
+                deltasq6=delta * delta / 6.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixWallTable(AuxFix):
+    """fix wall/table linear|spline N <face> <coord> <file> <section>
+    <cutoff> ...: tabulated wall potential (ref: src/fix_wall_table.cpp
+    wall_particle + uf_lookup). Tables live in aux (installed at setup
+    from the host-built arrays)."""
+
+    # per-wall static descriptors: (dim, sideflag(-1 lo|+1 hi), coord,
+    # cutoff); table arrays keyed "walltab_<fid>_<i>"
+    fid: str = "w"
+    walls: tuple = ()
+    spline: bool = False
+    tables: tuple = ()   # tuple of dicts (host numpy) — hashable? no:
+    groupbit: int = 1
+
+    def __hash__(self):  # tables hold numpy arrays; identity is fine
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def setup(self, state: State) -> State:
+        aux = dict(state.aux)
+        for i, tb in enumerate(self.tables):
+            aux[f"walltab_{self.fid}_{i}"] = jnp.stack([
+                jnp.asarray(tb[k], state.dtype)
+                for k in ("r", "e", "de", "f", "df", "e2", "f2")])
+        return state.replace(aux=aux)
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        f = state.f
+        for i, (dim, side, coord, cutoff) in enumerate(self.walls):
+            tb = self.tables[i]
+            arrs = state.aux[f"walltab_{self.fid}_{i}"]
+            r_t, e_t, de_t, f_t, df_t, e2_t, f2_t = (arrs[k]
+                                                     for k in range(7))
+            xd = state.x[:, dim]
+            delta = (xd - coord) if side < 0 else (coord - xd)
+            act = g & (delta < cutoff) & (delta > 0.0)
+            invd = 1.0 / tb["delta"]
+            it = jnp.clip(((delta - tb["lo"]) * invd).astype(jnp.int32),
+                          0, len(tb["r"]) - 1)
+            frac = (delta - r_t[it]) * invd
+            if not self.spline:
+                mdu = f_t[it] + frac * df_t[it]
+            else:
+                b = frac
+                a = 1.0 - b
+                mdu = (a * f_t[it] + b * f_t[it + 1]
+                       + ((a ** 3 - a) * f2_t[it]
+                          + (b ** 3 - b) * f2_t[jnp.minimum(
+                              it + 1, len(tb["r"]) - 1)])
+                       * tb["deltasq6"])
+            fwall = side * mdu
+            f = f.at[:, dim].add(jnp.where(act, -fwall, 0.0))
+        return state.replace(f=f)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixWallRegion(AuxFix):
+    """fix wall/region <region> harmonic eps sigma cutoff for BLOCK
+    regions: each of the 6 faces within the cutoff contributes
+    fwall = 2 eps (cutoff - r) along the inward normal
+    (ref: src/fix_wall_region.cpp post_force + harmonic; block contacts
+    from RegBlock::surface_interior)."""
+
+    lo: tuple = (0.0, 0.0, 0.0)
+    hi: tuple = (1.0, 1.0, 1.0)
+    epsilon: float = 0.0
+    sigma: float = 1.0
+    cutoff: float = 0.0
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)[:, 0]
+        f = state.f
+        for d in range(3):
+            for side, face in ((1.0, self.lo[d]), (-1.0, self.hi[d])):
+                r = side * (state.x[:, d] - face)
+                act = g & (r < self.cutoff) & (r > 0.0)
+                dr = self.cutoff - r
+                fw = 2.0 * self.epsilon * dr
+                f = f.at[:, d].add(jnp.where(act, side * fw, 0.0))
+        return state.replace(f=f)

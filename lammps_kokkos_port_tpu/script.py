@@ -2389,6 +2389,54 @@ class LammpsScript:
                 fixes.append(FixAdapt(fn=fn, base=base, nevery=nev,
                                       kspace="kspace" in a,
                                       groupbit=gbit))
+            elif f.style == "wall/table":
+                from .integrate.fixes import FixWallTable, build_wall_table
+
+                a = list(f.args)
+                spline = a[0] == "spline"
+                tablength = int(a[1])
+                walls, tables = [], []
+                i = 2
+                faces = {"xlo": (0, -1), "xhi": (0, 1), "ylo": (1, -1),
+                         "yhi": (1, 1), "zlo": (2, -1), "zhi": (2, 1)}
+                while i < len(a):
+                    if a[i] in faces:
+                        dim, side = faces[a[i]]
+                        coordw = a[i + 1]
+                        if coordw == "EDGE":
+                            coord = float((self._box_lo_np
+                                           if side < 0
+                                           else self._box_hi_np)[dim])
+                        else:
+                            coord = float(coordw)
+                        fname = self._substitute(a[i + 2])                             if hasattr(self, "_substitute") else a[i + 2]
+                        section = a[i + 3]
+                        cutoff = float(a[i + 4])
+                        tables.append(build_wall_table(
+                            fname, section, tablength, cutoff))
+                        walls.append((dim, side, coord, cutoff))
+                        i += 5
+                    else:
+                        i += 1
+                fixes.append(FixWallTable(
+                    fid=f.fid, walls=tuple(walls), spline=spline,
+                    tables=tuple(tables), groupbit=gbit))
+            elif f.style == "wall/region":
+                from .integrate.fixes import FixWallRegion
+
+                rname, wstyle = f.args[0], f.args[1]
+                if wstyle != "harmonic":
+                    raise ScriptError(
+                        f"wall/region style {wstyle} not wired")
+                style_r, pr, _, _ = self.regions[rname]
+                if style_r not in ("block", "prism"):
+                    raise ScriptError("wall/region needs a block region")
+                lo, hi = self._region_bbox(rname)
+                fixes.append(FixWallRegion(
+                    lo=tuple(float(v) for v in lo),
+                    hi=tuple(float(v) for v in hi),
+                    epsilon=float(f.args[2]), sigma=float(f.args[3]),
+                    cutoff=float(f.args[4]), groupbit=gbit))
             elif f.style == "press/berendsen":
                 from .integrate.fixes import FixPressBerendsen
 

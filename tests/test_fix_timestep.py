@@ -80,6 +80,9 @@ FIXTURES = [
     "fix-timestep-adapt_pair.yaml",
     "fix-timestep-adapt_hybrid.yaml",
     "fix-timestep-adapt_coul.yaml",
+    "fix-timestep-wall_table_linear.yaml",
+    "fix-timestep-wall_table_spline.yaml",
+    "fix-timestep-wall_region_harmonic_const.yaml",
 ]
 
 # fixtures whose force field includes PPPM: our grid sizing follows the
