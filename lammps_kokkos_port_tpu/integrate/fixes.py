@@ -860,6 +860,8 @@ class FixDeform(AuxFix):
     nevery: int = 1
     # per-dim: (style, a, b) — style None = untouched
     dims: tuple = ((None, 0.0, 0.0),) * 3
+    # tilt ramps in box order (xy, xz, yz); styles final/delta
+    tilts: tuple = ((None, 0.0, 0.0),) * 3
     remap: bool = True
     dt: float = 0.005
     groupbit: int = 1
@@ -867,11 +869,11 @@ class FixDeform(AuxFix):
 
     def setup(self, state: State) -> State:
         # box at fix creation (ref: lo_initial, fix_deform.cpp:333)
+        snap = jnp.stack([state.box.lo, state.box.hi, state.box.tilt])
         return state.replace(aux={
             **state.aux,
-            self.aux_key + "_init": jnp.stack([state.box.lo,
-                                               state.box.hi]),
-            self.aux_key: jnp.stack([state.box.lo, state.box.hi])})
+            self.aux_key + "_init": snap,
+            self.aux_key: snap})
 
     def refresh_segment(self, state: State) -> State:
         # start box per run: current box when the run window begins at
@@ -879,7 +881,7 @@ class FixDeform(AuxFix):
         # windows; ref: fix_deform.cpp:430-438)
         run = state.aux["nh_run"]
         at_begin = state.ntimestep == run[0]
-        cur = jnp.stack([state.box.lo, state.box.hi])
+        cur = jnp.stack([state.box.lo, state.box.hi, state.box.tilt])
         init = state.aux[self.aux_key + "_init"]
         start = jnp.where(at_begin, cur, init)
         return state.replace(aux={**state.aux, self.aux_key: start})
@@ -915,6 +917,24 @@ class FixDeform(AuxFix):
             hi_t.append(hi0 + delta * (hi1 - hi0))
         return jnp.stack(lo_t), jnp.stack(hi_t)
 
+    def _tilt_targets(self, state: State, delta):
+        st = state.aux[self.aux_key]
+        tilt_s = st[2]
+        out = []
+        for d, (style, a, b) in enumerate(self.tilts):
+            t0 = tilt_s[d]
+            if style is None:
+                out.append(state.box.tilt[d])
+                continue
+            if style == "final":
+                t1 = a
+            elif style == "delta":
+                t1 = t0 + a
+            else:
+                raise ValueError(style)
+            out.append(t0 + delta * (t1 - t0))
+        return jnp.stack(out)
+
     def end_of_step(self, state: State) -> State:
         import dataclasses as _dc
 
@@ -925,11 +945,13 @@ class FixDeform(AuxFix):
             (state.ntimestep.astype(state.dtype) - begin) / nsteps,
             0.0, 1.0)
         lo_t, hi_t = self._targets(state, delta, nsteps)
+        tl_t = self._tilt_targets(state, delta)
         fire = (state.ntimestep % self.nevery) == 0
         lo_t = jnp.where(fire, lo_t, state.box.lo)
         hi_t = jnp.where(fire, hi_t, state.box.hi)
+        tl_t = jnp.where(fire, tl_t, state.box.tilt)
         box = state.box
-        nb = _dc.replace(box, lo=lo_t, hi=hi_t)
+        nb = _dc.replace(box, lo=lo_t, hi=hi_t, tilt=tl_t)
         if self.remap:
             lam = box.to_lamda(state.x)
             x = nb.to_box(lam)

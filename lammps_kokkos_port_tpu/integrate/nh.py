@@ -283,10 +283,12 @@ class FixNPT(FixNVT):
     each diagonal independently (ref: FixNH couple()/nh_omega_dot()).
     """
 
-    p_start: tuple = (0.0, 0.0, 0.0)
-    p_stop: tuple = (0.0, 0.0, 0.0)
-    p_period: tuple = (1.0, 1.0, 1.0)
-    p_flag: tuple = (True, True, True)
+    # 6-component Voigt-ordered barostat targets: (x, y, z, yz, xz, xy)
+    # — indices 3..5 follow the reference's omega/h ordering
+    p_start: tuple = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    p_stop: tuple = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    p_period: tuple = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    p_flag: tuple = (True, True, True, False, False, False)
     pcouple: str = "iso"  # iso | aniso | xy | yz | xz (couple styles)
     dilate_all: bool = True     # ref: allremap (dilate all vs a group)
     dilate_groupbit: int = 1
@@ -306,15 +308,37 @@ class FixNPT(FixNVT):
 
     @property
     def p_freq(self):
-        return tuple(1.0 / p for p in self.p_period)
+        return tuple((1.0 / p) if p else 0.0 for p in self._p6("p_period"))
+
+    def _p6(self, name):
+        v = tuple(getattr(self, name))
+        if len(v) == 6:
+            return v
+        pad = (False,) * 3 if name == "p_flag" else \
+            ((1.0,) * 3 if name == "p_period" else (0.0,) * 3)
+        return v + pad
+
+    @property
+    def p_flag6(self):
+        return self._p6("p_flag")
+
+    @property
+    def triclinic(self) -> bool:
+        return any(self.p_flag6[3:])
 
     @property
     def p_freq_max(self) -> float:
-        return max(f for f, on in zip(self.p_freq, self.p_flag) if on)
+        return max(f for f, on in zip(self.p_freq, self.p_flag6) if on)
 
     @property
     def pdim(self) -> int:
-        return sum(1 for on in self.p_flag if on)
+        # of COUPLED (diagonal) dims (ref: pdim counts p_flag[0..2])
+        return sum(1 for on in self.p_flag6[:3] if on)
+
+    @property
+    def pdof(self) -> int:
+        # all flagged dims incl. tilts (ref: nhc_press_integrate pdof)
+        return sum(1 for on in self.p_flag6 if on)
 
     @property
     def pdrag_factor(self) -> float:
@@ -352,7 +376,8 @@ class FixNPT(FixNVT):
             return state  # mid-construction: barostat keys arrive next
         kt = self.units.boltz * self._t_target(state)
         nkt = (state.nlocal.astype(state.dtype) + 1.0) * kt
-        pfreq = jnp.asarray(self.p_freq, state.dtype)
+        pfreq = jnp.asarray(
+            [f if f else 1.0 for f in self.p_freq], state.dtype)
         nh["omega_mass"] = nkt / (pfreq * pfreq)
         nh["etap_kt"] = kt
         # initial chain forces (ref: FixNH::setup etap_dotdot block)
@@ -375,12 +400,12 @@ class FixNPT(FixNVT):
         delta = jnp.clip(
             (state.ntimestep.astype(state.dtype) - begin) / span, 0.0, 1.0
         )
-        pt = jnp.asarray(self.p_start, state.dtype) + delta * (
-            jnp.asarray(self.p_stop, state.dtype)
-            - jnp.asarray(self.p_start, state.dtype)
-        )
-        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
-        p_hydro = jnp.sum(pt * flags) / max(self.pdim, 1)
+        p0 = jnp.asarray(self._p6("p_start"), state.dtype)
+        p1 = jnp.asarray(self._p6("p_stop"), state.dtype)
+        pt = p0 + delta * (p1 - p0)
+        dflags = jnp.asarray([float(f) for f in self.p_flag6[:3]],
+                             state.dtype)
+        p_hydro = jnp.sum(pt[:3] * dflags) / max(self.pdim, 1)
         return pt, p_hydro
 
     def _p_current(self, state: State):
@@ -398,19 +423,33 @@ class FixNPT(FixNVT):
             vtrace = state.virial[0] + state.virial[1] + state.virial[2]
             avg = ((tdof * self.units.boltz * t_cur + vtrace)
                    / (3.0 * vol) * self.units.nktv2p)
-            return jnp.stack([avg, avg, avg])
+            return jnp.stack([avg, avg, avg])  # iso never has tilts
         kin = self._mvv_current(state)  # group Voigt diag, mvv2e applied
         ptens = (kin + state.virial[:3]) / vol * self.units.nktv2p
         if self.pcouple == "xy":
             avg = 0.5 * (ptens[0] + ptens[1])
-            return jnp.stack([avg, avg, ptens[2]])
-        if self.pcouple == "yz":
+            diag = jnp.stack([avg, avg, ptens[2]])
+        elif self.pcouple == "yz":
             avg = 0.5 * (ptens[1] + ptens[2])
-            return jnp.stack([ptens[0], avg, avg])
-        if self.pcouple == "xz":
+            diag = jnp.stack([ptens[0], avg, avg])
+        elif self.pcouple == "xz":
             avg = 0.5 * (ptens[0] + ptens[2])
-            return jnp.stack([avg, ptens[1], avg])
-        return ptens
+            diag = jnp.stack([avg, ptens[1], avg])
+        else:
+            diag = ptens
+        if not self.triclinic:
+            return diag
+        # off-diagonal components, reordered xy-xz-yz -> yz,xz,xy to the
+        # omega/h Voigt convention (ref: couple() tail)
+        g = state.valid_mask & state.group_mask(self.tbit)
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        v = state.v
+        kxy = jnp.sum(m * v[:, 0] * v[:, 1]) * self.units.mvv2e
+        kxz = jnp.sum(m * v[:, 0] * v[:, 2]) * self.units.mvv2e
+        kyz = jnp.sum(m * v[:, 1] * v[:, 2]) * self.units.mvv2e
+        off = (jnp.stack([kxy, kxz, kyz]) + state.virial[3:6]) \
+            / vol * self.units.nktv2p
+        return jnp.concatenate([diag, off[::-1]])
 
     def _mvv_current(self, state: State):
         g = state.valid_mask & state.group_mask(self.tbit)
@@ -445,20 +484,33 @@ class FixNPT(FixNVT):
                 )
             else:
                 mvv = self._mvv_current(state)
-                flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
-                mtk_term1 = jnp.sum(mvv * flags) / (
+                dflags = jnp.asarray([float(f) for f in self.p_flag6[:3]],
+                                     state.dtype)
+                mtk_term1 = jnp.sum(mvv * dflags) / (
                     self.pdim * state.nlocal.astype(state.dtype)
                 )
 
         new_od = omega_dot[:3]
-        f_omega = (p_current - p_hydro) * vol / (omega_mass * nktv2p) + (
-            mtk_term1 / omega_mass
-        )
-        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
+        f_omega = ((p_current[:3] - p_hydro) * vol
+                   / (omega_mass[:3] * nktv2p)
+                   + mtk_term1 / omega_mass[:3])
+        dflags = jnp.asarray([float(f) for f in self.p_flag6[:3]],
+                             state.dtype)
         new_od = jnp.where(
-            flags > 0, (new_od + f_omega * dthalf) * self.pdrag_factor, new_od
+            dflags > 0, (new_od + f_omega * dthalf) * self.pdrag_factor,
+            new_od
         )
         omega_dot = omega_dot.at[:3].set(new_od)
+        if self.triclinic:
+            # tilt rates: no p_hydro, no MTK (ref: nh_omega_dot tail)
+            oflags = jnp.asarray([float(f) for f in self.p_flag6[3:]],
+                                 state.dtype)
+            f_off = p_current[3:6] * vol / (omega_mass[3:6] * nktv2p)
+            new_off = jnp.where(
+                oflags > 0,
+                (omega_dot[3:6] + f_off * dthalf) * self.pdrag_factor,
+                omega_dot[3:6])
+            omega_dot = omega_dot.at[3:6].set(new_off)
 
         aux = dict(state.aux)
         aux[AUX_KEY] = {**nh, "omega_dot": omega_dot}
@@ -468,19 +520,30 @@ class FixNPT(FixNVT):
         if not self.mtk:
             return jnp.zeros((), state.dtype)
         od = state.aux[AUX_KEY]["omega_dot"]
-        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
-        return jnp.sum(od[:3] * flags) / (
+        dflags = jnp.asarray([float(f) for f in self.p_flag6[:3]],
+                             state.dtype)
+        return jnp.sum(od[:3] * dflags) / (
             self.pdim * state.nlocal.astype(state.dtype)
         )
 
     def _nh_v_press(self, state: State) -> State:
         """Scale velocities by the barostat rates (ref: FixNH::nh_v_press)."""
         dt4 = 0.25 * self.dt
+        dthalf = 0.5 * self.dt
         od = state.aux[AUX_KEY]["omega_dot"]
         mtk2 = self._mtk_term2(state)
         factor = jnp.exp(-dt4 * (od[:3] + mtk2))
         gmask = self._gmask(state)
-        v = jnp.where(gmask, state.v * (factor * factor)[None, :], state.v)
+        v = state.v * factor[None, :]
+        if self.triclinic:
+            # shear coupling between the two half scalings
+            # (ref: nh_v_press TRICLINIC block; od[3]=yz, od[4]=xz,
+            # od[5]=xy rates)
+            vx = v[:, 0] - dthalf * (v[:, 1] * od[5] + v[:, 2] * od[4])
+            vy = v[:, 1] - dthalf * v[:, 2] * od[3]
+            v = jnp.stack([vx, vy, v[:, 2]], axis=-1)
+        v = v * factor[None, :]
+        v = jnp.where(gmask, v, state.v)
         return state.replace(v=v)
 
     def _nhc_press_integrate(self, state: State) -> State:
@@ -505,9 +568,11 @@ class FixNPT(FixNVT):
         omega_mass = nh["omega_mass"]  # frozen at segment setup
         em = nh["etap_kt"] / (self.p_freq_max * self.p_freq_max)
 
-        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
-        kecurrent = jnp.sum(flags * omega_mass * omega_dot[:3] * omega_dot[:3])
-        lkt_press = kt if self.pcouple == "iso" else self.pdim * kt
+        flags = jnp.asarray([float(f) for f in self.p_flag6],
+                            state.dtype)
+        kecurrent = jnp.sum(flags * omega_mass
+                            * omega_dot * omega_dot)
+        lkt_press = kt if self.pcouple == "iso" else self.pdof * kt
 
         # etap_dotdot[1:] is PERSISTENT (etap_mass_flag=0: the reference
         # does not refresh it at entry — values carry over from the last
@@ -533,12 +598,11 @@ class FixNPT(FixNVT):
             etap = etap + ncfac * dthalf * etap_dot[:M]
 
             factor_etap = jnp.exp(-ncfac * dthalf * etap_dot[0])
-            omega_dot = omega_dot.at[:3].set(
-                jnp.where(flags > 0, omega_dot[:3] * factor_etap, omega_dot[:3])
-            )
+            omega_dot = jnp.where(flags > 0, omega_dot * factor_etap,
+                                  omega_dot)
 
             kecurrent = jnp.sum(
-                flags * omega_mass * omega_dot[:3] * omega_dot[:3]
+                flags * omega_mass * omega_dot * omega_dot
             )
             etap_dotdot = etap_dotdot.at[0].set((kecurrent - lkt_press) / em)
 
@@ -578,11 +642,47 @@ class FixNPT(FixNVT):
         else:
             center = 0.5 * (box.lo + box.hi)
         expfac = jnp.exp(dto * od[:3])
-        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
-        expfac = jnp.where(flags > 0, expfac, 1.0)
+        dflags = jnp.asarray([float(f) for f in self.p_flag6[:3]],
+                             state.dtype)
+        expfac = jnp.where(dflags > 0, expfac, 1.0)
         new_lo = (box.lo - center) * expfac + center
         new_hi = (box.hi - center) * expfac + center
-        new_box = dataclasses.replace(box, lo=new_lo, hi=new_hi)
+        tilt = box.tilt  # (xy, xz, yz) <-> h (5, 4, 3)
+        if self.triclinic:
+            # time-symmetric tilt evolution (ref: remap off-diagonal
+            # halves around the diagonal scaling, fix_nh.cpp:1111-1210;
+            # scalexy/z are 0 when the tilts are barostatted)
+            dto2 = dto / 2.0
+            dto4 = dto / 4.0
+            dto8 = dto / 8.0
+            f3, f4, f5 = (float(self.p_flag6[3]), float(self.p_flag6[4]),
+                          float(self.p_flag6[5]))
+            xy, xz, yz = tilt[0], tilt[1], tilt[2]
+            prd0 = box.prd  # pre-scaling diagonal (h[0..2] at entry)
+
+            def tilt_half(xy, xz, yz, prd_z, prd_y):
+                if f4:
+                    e = jnp.exp(dto8 * od[0])
+                    xz = (xz * e + dto4 * (od[5] * yz + od[4] * prd_z)) * e
+                if f3:
+                    e = jnp.exp(dto4 * od[1])
+                    yz = (yz * e + dto2 * (od[3] * prd_z)) * e
+                if f5:
+                    e = jnp.exp(dto4 * od[0])
+                    xy = (xy * e + dto2 * (od[5] * prd_y)) * e
+                if f4:
+                    e = jnp.exp(dto8 * od[0])
+                    xz = (xz * e + dto4 * (od[5] * yz + od[4] * prd_z)) * e
+                return xy, xz, yz
+
+            # BOTH halves use the entry diagonal: the reference reads
+            # domain->h, which set_global_box() refreshes only after the
+            # whole remap (fix_nh.cpp:1111-1210)
+            xy, xz, yz = tilt_half(xy, xz, yz, prd0[2], prd0[1])
+            xy, xz, yz = tilt_half(xy, xz, yz, prd0[2], prd0[1])
+            tilt = jnp.stack([xy, xz, yz])
+        new_box = dataclasses.replace(box, lo=new_lo, hi=new_hi,
+                                      tilt=tilt)
 
         x = new_box.to_box(lamda)
         # dilate selection (ref: allremap vs dilate_group_bit,
@@ -620,8 +720,9 @@ class FixNPT(FixNVT):
             e = jnp.zeros((), state.dtype)
 
         omega_mass = nh["omega_mass"]  # frozen at segment setup
-        flags = jnp.asarray([float(f) for f in self.p_flag], state.dtype)
-        od = nh["omega_dot"][:3]
+        flags = jnp.asarray([float(f) for f in self.p_flag6],
+                            state.dtype)
+        od = nh["omega_dot"]
         e = e + jnp.sum(flags * 0.5 * omega_mass * od * od)
 
         _, p_hydro = self._p_target(state)

@@ -120,11 +120,13 @@ class IntegratorRigid(Integrator):
         x = np.asarray(jax.device_get(state.x), dtype=np.float64)
         v = np.asarray(jax.device_get(state.v), dtype=np.float64)
         img = np.asarray(jax.device_get(state.image))
-        prd = np.asarray(jax.device_get(state.box.prd), dtype=np.float64)
+        h = np.asarray(jax.device_get(state.box.h), dtype=np.float64)
         m = np.asarray(jax.device_get(state.per_atom_mass),
                        dtype=np.float64)
         b = np.asarray(jax.device_get(body))
-        xu = x + img * prd
+        # unwrapped coords via the upper-triangular cell matrix (exact
+        # for triclinic too; ref: Domain::unmap)
+        xu = x + img @ h.T
 
         masstotal = np.zeros(nb)
         xcm = np.zeros((nb, 3))
@@ -208,8 +210,7 @@ class IntegratorRigid(Integrator):
         nb = self.nbody
         inb = body >= 0
         bidx = jnp.where(inb, body, 0)
-        prd = state.box.prd.astype(state.dtype)
-        xu = state.x + state.image.astype(state.dtype) * prd
+        xu = state.box.unwrap(state.x, state.image)
         f = jnp.where(inb[:, None], state.f, 0.0)
         fcm = jnp.zeros((nb, 3), state.dtype).at[bidx].add(
             f, mode="drop")
@@ -297,11 +298,11 @@ class IntegratorRigid(Integrator):
              + ez[bidx] * disp[:, 2:3])
         om = omega[bidx]
         vnew = jnp.cross(om, r) + rb["vcm"][bidx]
-        prd = state.box.prd.astype(state.dtype)
+        shift = state.box.unwrap(jnp.zeros_like(state.x), state.image)
         xu = r + rb["xcm"][bidx]
-        xnew = xu - state.image.astype(state.dtype) * prd
+        xnew = xu - shift
         if self.tally_virial:
-            xu_old = state.x + state.image.astype(state.dtype) * prd
+            xu_old = state.x + shift
             rb = dict(rb)
             rb["cvirial"] = (rb.get("cvirial", jnp.zeros(6, state.dtype))
                              + self._cvir(state, inb, vnew, xu_old))
@@ -321,8 +322,7 @@ class IntegratorRigid(Integrator):
              + ez[bidx] * disp[:, 2:3])
         vnew = jnp.cross(omega[bidx], r) + rb["vcm"][bidx]
         if self.tally_virial:
-            prd = state.box.prd.astype(state.dtype)
-            xu = state.x + state.image.astype(state.dtype) * prd
+            xu = state.box.unwrap(state.x, state.image)
             rb = dict(rb)
             rb["cvirial"] = (rb.get("cvirial", jnp.zeros(6, state.dtype))
                              + vfactor * self._cvir(state, inb, vnew, xu))

@@ -936,6 +936,18 @@ class LammpsScript:
     def cmd_unfix(self, a):
         self.fixes = [f for f in self.fixes if f.fid != a[0]]
 
+    def cmd_change_box(self, a):
+        """change_box all triclinic: switch the box to the triclinic code
+        path with zero tilts (ref: src/change_box.cpp ortho/triclinic)."""
+        if "triclinic" in a:
+            self._box_triclinic = True
+            if self.box is not None:
+                import dataclasses as _dc
+
+                self.box = _dc.replace(self.box, triclinic=True)
+        elif "ortho" in a:
+            self._box_triclinic = False
+
     def cmd_timestep(self, a):
         self.dt = float(a[0])
 
@@ -2258,11 +2270,21 @@ class LammpsScript:
                 a = list(f.args)
                 nev = int(a[0])
                 dims = [(None, 0.0, 0.0)] * 3
+                tilts = [(None, 0.0, 0.0)] * 3
                 remap = True
                 i = 1
                 dmap = {"x": 0, "y": 1, "z": 2}
+                tmap = {"xy": 0, "xz": 1, "yz": 2}
                 while i < len(a):
-                    if a[i] in dmap:
+                    if a[i] in tmap:
+                        d = tmap[a[i]]
+                        sty = a[i + 1]
+                        if sty in ("final", "delta"):
+                            tilts[d] = (sty, float(a[i + 2]), 0.0)
+                            i += 3
+                        else:
+                            raise ScriptError(f"deform tilt style {sty}")
+                    elif a[i] in dmap:
                         d = dmap[a[i]]
                         sty = a[i + 1]
                         if sty in ("final", "delta"):
@@ -2283,6 +2305,7 @@ class LammpsScript:
                     else:
                         i += 1
                 fixes.append(FixDeform(nevery=nev, dims=tuple(dims),
+                                       tilts=tuple(tilts),
                                        remap=remap, dt=dt, groupbit=gbit))
             elif f.style == "restrain":
                 from .integrate.fixes import FixRestrain
@@ -2562,10 +2585,19 @@ class LammpsScript:
             elif k in ("iso", "aniso"):
                 p0, p1, pp = (float(args[i + 1]), float(args[i + 2]),
                               float(args[i + 3]))
-                kw["p_start"] = (p0,) * 3
-                kw["p_stop"] = (p1,) * 3
-                kw["p_period"] = (pp,) * 3
+                kw["p_start"] = (p0,) * 3 + (0.0,) * 3
+                kw["p_stop"] = (p1,) * 3 + (0.0,) * 3
+                kw["p_period"] = (pp,) * 3 + (1.0,) * 3
                 kw["pcouple"] = "iso" if k == "iso" else "aniso"
+                i += 4
+            elif k == "tri":
+                p0, p1, pp = (float(args[i + 1]), float(args[i + 2]),
+                              float(args[i + 3]))
+                kw["p_start"] = (p0,) * 3 + (0.0,) * 3
+                kw["p_stop"] = (p1,) * 3 + (0.0,) * 3
+                kw["p_period"] = (pp,) * 6
+                kw["p_flag"] = (True,) * 6
+                kw["pcouple"] = "aniso"
                 i += 4
             elif k in dims:
                 d = dims[k]

@@ -83,6 +83,9 @@ FIXTURES = [
     "fix-timestep-wall_table_linear.yaml",
     "fix-timestep-wall_table_spline.yaml",
     "fix-timestep-wall_region_harmonic_const.yaml",
+    "fix-timestep-npt_tri.yaml",
+    "fix-timestep-deform_tri.yaml",
+    "fix-timestep-rigid_molecule_tri.yaml",
 ]
 
 # fixtures whose force field includes PPPM: our grid sizing follows the
