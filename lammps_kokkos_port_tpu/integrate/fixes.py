@@ -860,9 +860,10 @@ class FixDeform(AuxFix):
     nevery: int = 1
     # per-dim: (style, a, b) — style None = untouched
     dims: tuple = ((None, 0.0, 0.0),) * 3
-    # tilt ramps in box order (xy, xz, yz); styles final/delta
+    # tilt ramps in box order (xy, xz, yz); styles final/delta/erate
     tilts: tuple = ((None, 0.0, 0.0),) * 3
     remap: bool = True
+    remap_v: bool = False  # remap v: Lees-Edwards velocity shifts at wrap
     dt: float = 0.005
     groupbit: int = 1
     aux_key: str = "deform_start"
@@ -884,7 +885,31 @@ class FixDeform(AuxFix):
         cur = jnp.stack([state.box.lo, state.box.hi, state.box.tilt])
         init = state.aux[self.aux_key + "_init"]
         start = jnp.where(at_begin, cur, init)
-        return state.replace(aux={**state.aux, self.aux_key: start})
+        state = state.replace(aux={**state.aux, self.aux_key: start})
+        # h_rate for temp/deform bias + Lees-Edwards velocity wrap
+        # (ref: FixDeform::init sets domain->h_rate, h Voigt order
+        # x,y,z,yz,xz,xy)
+        nsteps = jnp.maximum(run[1].astype(state.dtype)
+                             - run[0].astype(state.dtype), 1.0)
+        delt = nsteps * self.dt
+        stops, tilt_s = self._tilt_stops(state, nsteps)
+        hr = jnp.zeros(6, state.dtype)
+        hr = hr.at[5].set((stops[0] - tilt_s[0]) / delt)  # xy
+        hr = hr.at[4].set((stops[1] - tilt_s[1]) / delt)  # xz
+        hr = hr.at[3].set((stops[2] - tilt_s[2]) / delt)  # yz
+        # diagonal rates from lo/hi stops
+        st0 = state.aux[self.aux_key]
+        lo1, hi1 = self._targets(state, jnp.asarray(1.0, state.dtype),
+                                 nsteps)
+        for d, (style, a, b) in enumerate(self.dims):
+            if style is None:
+                continue
+            hr = hr.at[d].set(((hi1[d] - st0[1, d])
+                               - (lo1[d] - st0[0, d])) / delt)
+        aux = {**state.aux, "h_rate": hr}
+        if self.remap_v:
+            aux["deform_vremap"] = jnp.asarray(1, jnp.int32)
+        return state.replace(aux=aux)
 
     def _targets(self, state: State, delta, nsteps):
         st = state.aux[self.aux_key]
@@ -917,22 +942,36 @@ class FixDeform(AuxFix):
             hi_t.append(hi0 + delta * (hi1 - hi0))
         return jnp.stack(lo_t), jnp.stack(hi_t)
 
-    def _tilt_targets(self, state: State, delta):
+    def _tilt_stops(self, state: State, nsteps):
+        """Per-run tilt targets (ref: fix_deform.cpp:447-470 erate uses
+        the perpendicular dim's start length)."""
         st = state.aux[self.aux_key]
         tilt_s = st[2]
-        out = []
+        L = st[1] - st[0]
+        perp = (1, 2, 2)  # xy->y, xz->z, yz->z
+        stops = []
         for d, (style, a, b) in enumerate(self.tilts):
             t0 = tilt_s[d]
             if style is None:
-                out.append(state.box.tilt[d])
-                continue
-            if style == "final":
-                t1 = a
+                stops.append(t0)
+            elif style == "final":
+                stops.append(jnp.asarray(a, state.dtype))
             elif style == "delta":
-                t1 = t0 + a
+                stops.append(t0 + a)
+            elif style == "erate":
+                stops.append(t0 + nsteps * self.dt * a * L[perp[d]])
             else:
                 raise ValueError(style)
-            out.append(t0 + delta * (t1 - t0))
+        return jnp.stack(stops), tilt_s
+
+    def _tilt_targets(self, state: State, delta, nsteps):
+        stops, tilt_s = self._tilt_stops(state, nsteps)
+        out = []
+        for d, (style, _, _) in enumerate(self.tilts):
+            if style is None:
+                out.append(state.box.tilt[d])
+            else:
+                out.append(tilt_s[d] + delta * (stops[d] - tilt_s[d]))
         return jnp.stack(out)
 
     def end_of_step(self, state: State) -> State:
@@ -945,7 +984,7 @@ class FixDeform(AuxFix):
             (state.ntimestep.astype(state.dtype) - begin) / nsteps,
             0.0, 1.0)
         lo_t, hi_t = self._targets(state, delta, nsteps)
-        tl_t = self._tilt_targets(state, delta)
+        tl_t = self._tilt_targets(state, delta, nsteps)
         fire = (state.ntimestep % self.nevery) == 0
         lo_t = jnp.where(fire, lo_t, state.box.lo)
         hi_t = jnp.where(fire, hi_t, state.box.hi)

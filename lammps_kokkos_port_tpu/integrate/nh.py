@@ -217,13 +217,17 @@ class FixNVT(Integrator):
                 eta_dot = eta_dot.at[ich].set(ed)
 
         # nh_v_temp: scale group velocities by the accumulated factor
-        gmask = self._gmask(state)
-        v = jnp.where(gmask, v * scale_total, v)
-
         aux = dict(state.aux)
         aux[AUX_KEY] = {**nh, "eta": eta, "eta_dot": eta_dot,
                         "eta_dotdot": eta_dotdot, "t_cur": t_current}
-        return state.replace(v=v, aux=aux)
+        state = state.replace(aux=aux)
+        return self._apply_v_scale(state, scale_total)
+
+    def _apply_v_scale(self, state: State, scale) -> State:
+        """nh_v_temp velocity update — SLLOD variants override."""
+        gmask = self._gmask(state)
+        v = jnp.where(gmask, state.v * scale, state.v)
+        return state.replace(v=v)
 
     tstat: bool = True  # fix nph disables compute_temp_target
 
@@ -772,3 +776,68 @@ class FixNPH(FixNPT):
 
     def thermostat_energy(self, state: State) -> Array:
         return jnp.zeros((), state.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class FixNVTSllod(FixNVT):
+    """fix nvt/sllod [psllod yes|no]: NH thermostat on the THERMAL
+    velocities of a deforming box (SLLOD equations of motion;
+    ref: src/fix_nvt_sllod.cpp nh_v_temp + compute_temp_deform bias).
+    Requires a fix deform installing aux["h_rate"]."""
+
+    psllod: bool = False
+
+    def _bias(self, state: State):
+        """Streaming velocity u(x) = h_rate lamda + h_ratelo
+        (ref: ComputeTempDeform::remove_bias)."""
+        hr = state.aux.get("h_rate")
+        if hr is None:
+            return jnp.zeros_like(state.v)
+        lam = state.box.to_lamda(state.x)
+        ux = hr[0] * lam[:, 0] + hr[5] * lam[:, 1] + hr[4] * lam[:, 2]
+        uy = hr[1] * lam[:, 1] + hr[3] * lam[:, 2]
+        uz = hr[2] * lam[:, 2]
+        return jnp.stack([ux, uy, uz], axis=-1)
+
+    def _t_current(self, state: State) -> Array:
+        g = state.valid_mask & state.group_mask(self.tbit)
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        vt = state.v - self._bias(state)
+        ke = jnp.sum(m * jnp.sum(vt * vt, axis=-1))
+        return self.units.mvv2e * ke / (
+            jnp.maximum(self._tdof(state), 1.0) * self.units.boltz)
+
+    def _apply_v_scale(self, state: State, scale) -> State:
+        """nh_v_temp with the SLLOD vdelu correction
+        (ref: fix_nvt_sllod.cpp:100-135). h_two = h_rate h_inv
+        (upper-triangular product)."""
+        hr = state.aux.get("h_rate")
+        dthalf = 0.5 * self.dt
+        gmask = self._gmask(state)
+        bias = self._bias(state)
+        if hr is None:
+            v = jnp.where(gmask, state.v * scale, state.v)
+            return state.replace(v=v)
+        hinv = state.box.h_inv
+        # Voigt: (0,1,2)=diag, 3=yz, 4=xz, 5=xy; multiply_shape_shape
+        h_two = jnp.stack([
+            hr[0] * hinv[0, 0],
+            hr[1] * hinv[1, 1],
+            hr[2] * hinv[2, 2],
+            hr[1] * hinv[1, 2] + hr[3] * hinv[2, 2],
+            hr[0] * hinv[0, 2] + hr[5] * hinv[1, 2] + hr[4] * hinv[2, 2],
+            hr[0] * hinv[0, 1] + hr[5] * hinv[1, 1],
+        ])
+        v = state.v
+        if not self.psllod:
+            v = v - bias
+        vdelu = jnp.stack([
+            h_two[0] * v[:, 0] + h_two[5] * v[:, 1] + h_two[4] * v[:, 2],
+            h_two[1] * v[:, 1] + h_two[3] * v[:, 2],
+            h_two[2] * v[:, 2],
+        ], axis=-1)
+        if self.psllod:
+            v = v - bias
+        vnew = v * scale - dthalf * vdelu + bias
+        v = jnp.where(gmask, vnew, state.v)
+        return state.replace(v=v)

@@ -193,6 +193,17 @@ def make_step(
 
     def do_rebuild(state: State, nl):
         x, image = state.box.wrap(state.x, state.image)
+        if "deform_vremap" in state.aux:
+            # Lees-Edwards boundary: atoms wrapping across a periodic
+            # face pick up the streaming-velocity jump (ref: Domain::pbc
+            # deform_vremap blocks, src/domain.cpp:571-640)
+            hr = state.aux["h_rate"]
+            dn = (image - state.image).astype(state.dtype)  # wrap counts
+            dvx = dn[:, 0] * hr[0] + dn[:, 1] * hr[5] + dn[:, 2] * hr[4]
+            dvy = dn[:, 1] * hr[1] + dn[:, 2] * hr[3]
+            dvz = dn[:, 2] * hr[2]
+            v = state.v - jnp.stack([dvx, dvy, dvz], axis=-1)
+            state = state.replace(v=v)
         state = state.replace(x=x, image=image)
         ops = list_ops(nl)
         if hasattr(ops, "rebuild_state"):

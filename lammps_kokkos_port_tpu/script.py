@@ -666,10 +666,74 @@ class LammpsScript:
         else:
             self.masses[int(a[0])] = float(a[1])
 
+    def _atom_expr(self, expr: str) -> np.ndarray:
+        """Host-side atom-style variable evaluation over current
+        positions: names x/y/z = coordinate columns (ref:
+        Variable::compute_atom coordinate keywords)."""
+        import ast as _ast
+
+        xs = np.asarray(self.positions)
+        env = {"x": xs[:, 0], "y": xs[:, 1], "z": xs[:, 2]}
+
+        def ev(node):
+            if isinstance(node, _ast.Expression):
+                return ev(node.body)
+            if isinstance(node, _ast.Constant):
+                return float(node.value)
+            if isinstance(node, _ast.Name):
+                return env[node.id]
+            if isinstance(node, _ast.BinOp):
+                a_, b_ = ev(node.left), ev(node.right)
+                import operator as op
+
+                return {_ast.Add: op.add, _ast.Sub: op.sub,
+                        _ast.Mult: op.mul, _ast.Div: op.truediv,
+                        _ast.Pow: op.pow}[type(node.op)](a_, b_)
+            if isinstance(node, _ast.UnaryOp):
+                v = ev(node.operand)
+                return -v if isinstance(node.op, _ast.USub) else v
+            raise ScriptError(f"atom expression node {node}")
+
+        return ev(_ast.parse(expr, mode="eval"))
+
     def cmd_velocity(self, a):
         group, action = a[0], a[1]
+        if action == "set":
+            # velocity group set vx vy vz [sum yes] — values may be
+            # NULL, numbers, or v_<atomvar> (ref: src/velocity.cpp set)
+            vals = a[2:5]
+            sumv = "sum" in a and a[a.index("sum") + 1] == "yes"
+            v = np.asarray(self.velocities, dtype=float)
+            n = len(v)
+            gm = self._resolve_group_masks(
+                np.asarray(self.positions),
+                np.asarray(self.types, dtype=np.int32), n, n)
+            gbit = self.groups.get(group, 1)
+            sel = (gm & gbit) != 0
+            for d, s in enumerate(vals):
+                if s == "NULL":
+                    continue
+                if s.startswith("v_"):
+                    name = s[2:]
+                    expr = self._atom_vars[name] \
+                        if hasattr(self, "_atom_vars") else None
+                    if expr is None:
+                        raise ScriptError(f"velocity set: no var {name}")
+                    col = self._atom_expr(self._substitute_vars(expr)
+                                          if hasattr(self,
+                                                     "_substitute_vars")
+                                          else expr)
+                else:
+                    col = float(s)
+                if sumv:
+                    v[sel, d] = v[sel, d] + (col[sel]
+                                             if np.ndim(col) else col)
+                else:
+                    v[sel, d] = col[sel] if np.ndim(col) else col
+            self.velocities = v.tolist()
+            return
         if action != "create":
-            raise ScriptError("velocity: only create supported")
+            raise ScriptError("velocity: only create/set supported")
         t_target = float(a[2])
         seed = int(a[3])
         opts = a[4:]
@@ -2062,6 +2126,17 @@ class LammpsScript:
                 kw = self._nh_kw(f.args)
                 kw.pop("mtk", None)  # barostat-only keyword (fix_nh.cpp)
                 integ = FixNVT(dt=dt, units=units, groupbit=gbit, **kw)
+            elif f.style in ("nvt/sllod", "nvt/sllod/psllod"):
+                from .integrate.nh import FixNVTSllod
+
+                kw = self._nh_kw(f.args)
+                kw.pop("mtk", None)
+                psllod = False
+                args = list(f.args)
+                if "psllod" in args:
+                    psllod = args[args.index("psllod") + 1] == "yes"
+                integ = FixNVTSllod(dt=dt, units=units, groupbit=gbit,
+                                    psllod=psllod, **kw)
             elif f.style in ("npt", "nph"):
                 kw = self._nh_kw(f.args)
                 cls = FixNPT if f.style == "npt" else FixNPH
@@ -2279,7 +2354,7 @@ class LammpsScript:
                     if a[i] in tmap:
                         d = tmap[a[i]]
                         sty = a[i + 1]
-                        if sty in ("final", "delta"):
+                        if sty in ("final", "delta", "erate"):
                             tilts[d] = (sty, float(a[i + 2]), 0.0)
                             i += 3
                         else:

@@ -86,6 +86,8 @@ FIXTURES = [
     "fix-timestep-npt_tri.yaml",
     "fix-timestep-deform_tri.yaml",
     "fix-timestep-rigid_molecule_tri.yaml",
+    "fix-timestep-nvt-sllod.yaml",
+    "fix-timestep-nvt-psllod.yaml",
 ]
 
 # fixtures whose force field includes PPPM: our grid sizing follows the
