@@ -1251,7 +1251,16 @@ def _fix_value(spec, state: State):
         return spec
     kind = spec[0]
     if kind == "equal":
-        return spec[1](state.ntimestep.astype(state.dtype)) * spec[2]
+        step = state.ntimestep.astype(state.dtype)
+        run = state.aux.get("nh_run")
+        if run is not None:
+            begin = run[0].astype(state.dtype)
+            span = jnp.maximum(run[1].astype(state.dtype) - begin, 1.0)
+            delta = jnp.clip((step - begin) / span, 0.0, 1.0)
+            elapsed = (step - begin) * (spec[3] if len(spec) > 3 else 0.0)
+        else:
+            delta = elapsed = 0.0
+        return spec[1](step, delta, elapsed) * spec[2]
     if kind == "atom":
         return state.aux[spec[1]][:, spec[2]] * spec[3]
     raise ValueError(spec)

@@ -35,6 +35,8 @@ class IntegratorMove(Integrator):
     axis: tuple = (0.0, 0.0, 1.0)
     period: float = 1.0
     time_origin: int = 0
+    dvars: tuple = (None, None, None)  # variable style: displacement
+    vvars: tuple = (None, None, None)  # variable style: velocity
 
     def setup(self, state: State) -> State:
         prd = state.box.prd.astype(state.dtype)
@@ -98,6 +100,21 @@ class IntegratorMove(Integrator):
             vn = jnp.broadcast_to(
                 (aa * self.omega_rotate * c)[None, :], state.v.shape)
             return self._apply(state, xu, vn, mask3)
+        if self.style == "variable":
+            from .fixes import _fix_value
+
+            free = tuple(c is None for c in self.dvars)
+            state = self._nve_free(state, free, drift=True)
+            dvals = [_fix_value(c, state) for c in self.dvars]
+            vvals = [_fix_value(c, state) for c in self.vvars]
+            mask3 = jnp.asarray([0.0 if f else 1.0 for f in free], dt_)
+            dd = jnp.stack([jnp.asarray(0.0 if c is None else c, dt_)
+                            for c in dvals])
+            vv = jnp.stack([jnp.asarray(0.0 if c is None else c, dt_)
+                            for c in vvals])
+            xu = x0 + dd[None, :]
+            vn = jnp.broadcast_to(vv[None, :], state.v.shape)
+            return self._apply(state, xu, vn, mask3)
         # rotate / transrot: all dims prescribed
         arg = self.omega_rotate * delta
         sine, cosine = jnp.sin(arg), jnp.cos(arg)
@@ -129,6 +146,8 @@ class IntegratorMove(Integrator):
             free = tuple(c is None for c in self.vel)
         elif self.style == "wiggle":
             free = tuple(c is None for c in self.amp)
+        elif self.style == "variable":
+            free = tuple(c is None for c in self.dvars)
         else:
             return state
         if not any(free):

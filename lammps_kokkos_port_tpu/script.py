@@ -2584,6 +2584,13 @@ class LammpsScript:
                         point=tuple(float(s) for s in a[1:4]),
                         axis=tuple(float(s) for s in a[4:7]),
                         period=float(a[7]), time_origin=self.ntimestep)
+                elif ms == "variable":
+                    fc = self._fix_component
+                    integ = IntegratorMove(
+                        dt=dt, units=units, groupbit=gbit, style=ms,
+                        dvars=tuple(fc(s) for s in a[1:4]),
+                        vvars=tuple(fc(s) for s in a[4:7]),
+                        time_origin=self.ntimestep)
                 elif ms == "transrot":
                     integ = IntegratorMove(
                         dt=dt, units=units, groupbit=gbit, style=ms,
@@ -2636,10 +2643,24 @@ class LammpsScript:
                 return ("atom", f"store_{m.group(1)}",
                         int(m.group(2)) - 1, scale)
             if name in self._equal_vars:
+                import re as _re
+
                 from .utils.stepexpr import compile_equal
 
-                return ("equal", compile_equal(self._equal_vars[name]),
-                        scale)
+                expr = self._equal_vars[name]
+                # inline nested v_<name> references
+                for _ in range(5):
+                    expr2 = _re.sub(
+                        r"v_(\w+)",
+                        lambda mm: "(" + self._equal_vars[mm.group(1)]
+                        + ")",
+                        expr)
+                    if expr2 == expr:
+                        break
+                    expr = expr2
+                units = get_units(self.units_name)
+                dtv = self.dt if self.dt is not None else units.dt
+                return ("equal", compile_equal(expr, dt=dtv), scale, dtv)
             raise ScriptError(f"fix references undefined variable {name}")
         return float(s) * scale
 

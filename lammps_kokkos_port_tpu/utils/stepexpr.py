@@ -15,19 +15,27 @@ import ast as _ast
 
 
 def compile_equal(expr: str, dt: float | None = None):
-    """Returns fn(step[, delta]) — delta is the run-window ramp fraction
-    (beginstep..endstep), required only when the expression uses
-    ramp(lo,hi) (ref: Variable ramp() thermo-keyword function)."""
+    """Returns fn(step[, delta[, elapsed]]) — delta is the run-window
+    ramp fraction, elapsed = (step - beginstep)*dt; both default 0 and
+    are needed only by ramp()/vdisplace() (ref: Variable functions)."""
     tree = _ast.parse(expr.replace("^", "**"), mode="eval")
+    ELAPSED = [0.0]
 
     def ev(node, step, delta=0.0):
         if isinstance(node, _ast.Expression):
             return ev(node.body, step, delta)
         if isinstance(node, _ast.Call):
-            if getattr(node.func, "id", None) == "ramp":
+            fid = getattr(node.func, "id", None)
+            if fid == "ramp":
                 lo = ev(node.args[0], step, delta)
                 hi = ev(node.args[1], step, delta)
                 return lo + delta * (hi - lo)
+            if fid == "vdisplace" and dt is not None:
+                # vdisplace(c0, v) = c0 + v * elapsed-time-in-run
+                # (ref: Variable vdisplace(); elapsed from beginstep)
+                c0 = ev(node.args[0], step, delta)
+                vv = ev(node.args[1], step, delta)
+                return c0 + vv * ELAPSED[0]
             raise ValueError("unsupported function")
         if isinstance(node, _ast.Constant):
             return float(node.value)
@@ -61,4 +69,9 @@ def compile_equal(expr: str, dt: float | None = None):
 
     # probe once for parse errors with a dummy float
     ev(tree, 0.0, 0.0)
-    return lambda step, delta=0.0: ev(tree, step, delta)
+
+    def run(step, delta=0.0, elapsed=0.0):
+        ELAPSED[0] = elapsed
+        return ev(tree, step, delta)
+
+    return run

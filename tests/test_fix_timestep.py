@@ -88,6 +88,7 @@ FIXTURES = [
     "fix-timestep-rigid_molecule_tri.yaml",
     "fix-timestep-nvt-sllod.yaml",
     "fix-timestep-nvt-psllod.yaml",
+    "fix-timestep-move_variable.yaml",
 ]
 
 # fixtures whose force field includes PPPM: our grid sizing follows the
