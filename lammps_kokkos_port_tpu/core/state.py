@@ -118,7 +118,13 @@ class State:
 
     @property
     def per_atom_mass(self) -> Array:
-        """[cap] mass of each atom via its type."""
+        """[cap] mass of each atom via its type; finite-size styles store
+        per-atom masses instead (ref: atom->rmass vs atom->mass — sphere
+        atoms carry rmass from diameter/density, atom_vec_sphere.cpp
+        data_atom), threaded through aux so it shards with the atoms."""
+        rm = self.aux.get("rmass")
+        if rm is not None:
+            return rm
         return self.mass[self.type]
 
     def group_mask(self, groupbit: int) -> Array:

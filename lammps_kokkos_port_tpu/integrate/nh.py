@@ -445,13 +445,7 @@ class FixNPT(FixNVT):
             return diag
         # off-diagonal components, reordered xy-xz-yz -> yz,xz,xy to the
         # omega/h Voigt convention (ref: couple() tail)
-        g = state.valid_mask & state.group_mask(self.tbit)
-        m = jnp.where(g, state.per_atom_mass, 0.0)
-        v = state.v
-        kxy = jnp.sum(m * v[:, 0] * v[:, 1]) * self.units.mvv2e
-        kxz = jnp.sum(m * v[:, 0] * v[:, 2]) * self.units.mvv2e
-        kyz = jnp.sum(m * v[:, 1] * v[:, 2]) * self.units.mvv2e
-        off = (jnp.stack([kxy, kxz, kyz]) + state.virial[3:6]) \
+        off = (self._mvv_offdiag(state) + state.virial[3:6]) \
             / vol * self.units.nktv2p
         return jnp.concatenate([diag, off[::-1]])
 
@@ -460,6 +454,17 @@ class FixNPT(FixNVT):
         m = state.per_atom_mass[:, None]
         v = jnp.where(g[:, None], state.v, 0.0)
         return jnp.sum(m * v * v, axis=0) * self.units.mvv2e
+
+    def _mvv_offdiag(self, state: State):
+        """Group KE tensor off-diagonal (xy, xz, yz), mvv2e applied —
+        the sphere variant adds rotational terms."""
+        g = state.valid_mask & state.group_mask(self.tbit)
+        m = jnp.where(g, state.per_atom_mass, 0.0)
+        v = state.v
+        kxy = jnp.sum(m * v[:, 0] * v[:, 1]) * self.units.mvv2e
+        kxz = jnp.sum(m * v[:, 0] * v[:, 2]) * self.units.mvv2e
+        kyz = jnp.sum(m * v[:, 1] * v[:, 2]) * self.units.mvv2e
+        return jnp.stack([kxy, kxz, kyz])
 
     def _nh_omega_dot(self, state: State) -> State:
         """Barostat strain-rate update (ref: FixNH::nh_omega_dot)."""

@@ -171,6 +171,7 @@ def make_step(
     force_fn: ForceFn,
     fixes: Sequence[AuxFix] = (),
     special=None,
+    torque_fn=None,
 ):
     """Build the jittable single-timestep function.
 
@@ -228,6 +229,11 @@ def make_step(
             state = state.replace(f=f, virial=virial)
         else:
             state = state.replace(f=f)
+        if torque_fn is not None:
+            # torque-producing pair styles refresh atom->torque alongside
+            # the forces (ref: pair compute torque[i] accumulation)
+            state = state.replace(aux={
+                **state.aux, "torque": torque_fn(state, nl)})
         for fx in fixes:
             state = fx.post_force(state)
         for fx in fixes:

@@ -70,6 +70,13 @@ class DataFile:
     sph_rho: np.ndarray | None = None
     sph_e: np.ndarray | None = None
     sph_cv: np.ndarray | None = None
+    # finite-size / dipole per-atom fields (atom styles sphere + dipole,
+    # ref: src/atom_vec_sphere.cpp data_atom: diameter density ->
+    # radius + rmass; src/DIPOLE/atom_vec_dipole.cpp: mux muy muz)
+    radius: np.ndarray | None = None
+    rmass: np.ndarray | None = None
+    mu: np.ndarray | None = None      # [N, 3]
+    omega: np.ndarray | None = None   # [N, 3] from 6-col Velocities
     # raw coeff sections keyed by section name -> list of token rows
     coeffs: dict = dataclasses.field(default_factory=dict)
 
@@ -100,6 +107,8 @@ def _scan_coeff_sections(df: "DataFile", path: str) -> None:
 
 def read_data(path: str, atom_style: str = "full",
               use_native: bool = True) -> DataFile:
+    if atom_style.startswith("hybrid"):
+        use_native = False  # hybrid column layout: python path only
     if use_native:
         from .native import read_data_native
 
@@ -155,6 +164,21 @@ def read_data(path: str, atom_style: str = "full",
         df.sph_rho = np.zeros(n)
         df.sph_e = np.zeros(n)
         df.sph_cv = np.zeros(n)
+    # hybrid: "id type x y z" then each sub-style's extra columns in
+    # sub-style order, then images (ref: atom_vec_hybrid.cpp data_atom —
+    # sub-style fields_data_atom minus the base fields, concatenated)
+    substyles = atom_style.split()[1:] if atom_style.startswith("hybrid") \
+        else []
+    if "full" in substyles or "bond" in substyles or "molecular" in substyles:
+        df.molecule = np.zeros(n, dtype=np.int32)
+    if "full" in substyles or "charge" in substyles:
+        df.q = np.zeros(n)
+    if "sphere" in substyles:
+        df.radius = np.zeros(n)
+        df.rmass = np.zeros(n)
+        df.omega = np.zeros((n, 3))
+    if "dipole" in substyles:
+        df.mu = np.zeros((n, 3))
     df.masses = np.ones(df.natomtypes + 1)
 
     def parse_atoms(rows):
@@ -165,6 +189,37 @@ def read_data(path: str, atom_style: str = "full",
                 raise ValueError(f"atom tag {tag} out of range 1..{n}")
             df.tags[k] = tag
             c = 1
+            if substyles:
+                df.types[k] = int(toks[c]); c += 1
+                df.x[k] = [float(toks[c]), float(toks[c + 1]),
+                           float(toks[c + 2])]
+                c += 3
+                for sub in substyles:
+                    if sub in ("full", "bond", "molecular"):
+                        df.molecule[k] = int(toks[c]); c += 1
+                        if sub == "full":
+                            df.q[k] = float(toks[c]); c += 1
+                    elif sub == "charge":
+                        df.q[k] = float(toks[c]); c += 1
+                    elif sub == "sphere":
+                        diam = float(toks[c]); dens = float(toks[c + 1])
+                        c += 2
+                        df.radius[k] = 0.5 * diam
+                        # rmass from the sphere volume; diameter 0 means
+                        # density IS the mass (atom_vec_sphere.cpp:448)
+                        if diam > 0.0:
+                            df.rmass[k] = (4.0 * np.pi / 3.0
+                                           * df.radius[k] ** 3 * dens)
+                        else:
+                            df.rmass[k] = dens
+                    elif sub == "dipole":
+                        df.mu[k] = [float(toks[c]), float(toks[c + 1]),
+                                    float(toks[c + 2])]
+                        c += 3
+                if len(toks) >= c + 3:
+                    df.image[k] = [int(toks[c]), int(toks[c + 1]),
+                                   int(toks[c + 2])]
+                continue
             if atom_style in ("bond", "angle", "molecular", "full"):
                 df.molecule[k] = int(toks[c]); c += 1
             df.types[k] = int(toks[c]); c += 1
@@ -207,8 +262,13 @@ def read_data(path: str, atom_style: str = "full",
             parse_atoms(rows)
         elif sec == "Velocities":
             for toks in rows:
-                df.v[int(toks[0]) - 1] = [float(toks[1]), float(toks[2]),
-                                          float(toks[3])]
+                k = int(toks[0]) - 1
+                df.v[k] = [float(toks[1]), float(toks[2]), float(toks[3])]
+                if df.omega is not None and len(toks) >= 7:
+                    # sphere sub-style appends omega (atom_vec_sphere.cpp
+                    # data_vel: vx vy vz wx wy wz)
+                    df.omega[k] = [float(toks[4]), float(toks[5]),
+                                   float(toks[6])]
         elif sec == "Bonds":
             df.bonds = parse_simple(rows, 3)
         elif sec == "Angles":

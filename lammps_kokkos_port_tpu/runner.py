@@ -85,6 +85,24 @@ class Simulation:
     def force_fn(self, state: State, nl, eflag: bool, vflag: bool):
         return self.forcefield.compute(state, nl, eflag, vflag)
 
+    def torque_fn(self, state: State, nl):
+        """Per-atom torque from the pair style (atom->torque analog);
+        None when the force field produces no torques."""
+        ff = self.forcefield
+        if not getattr(ff.pair, "has_torque", False):
+            return None
+        sp = ff.special
+        return ff.pair.compute_torque(
+            state, nl,
+            special_lj=sp.weights_lj if sp is not None else None,
+            special_coul=sp.weights_coul if sp is not None else None)
+
+    def _refresh_torque(self):
+        if getattr(self.forcefield.pair, "has_torque", False):
+            t = self.torque_fn(self.state, self.nl)
+            self.state = self.state.replace(aux={
+                **self.state.aux, "torque": t})
+
     # -- setup (ref: Verlet::setup, src/verlet.cpp:93) ----------------------
 
     def setup(self):
@@ -124,6 +142,7 @@ class Simulation:
         self.state = self.state.replace(f=f)
         if vflag:
             self.state = self.state.replace(virial=virial)
+        self._refresh_torque()
         # setup applies post_force hooks so step 1's first half-kick sees
         # the modified forces (ref: Modify::setup -> fix->setup -> post_force,
         # src/fix_setforce.cpp setup; SHAKE's setup variant projects
@@ -150,6 +169,7 @@ class Simulation:
         self.state = self.state.replace(f=f)
         if vflag:
             self.state = self.state.replace(virial=virial)
+        self._refresh_torque()
         for fx in self.fixes:
             self.state = fx.setup_post_force(self.state)
 
@@ -243,6 +263,8 @@ class Simulation:
                 step = make_step(
                     self.integrator, self.force_fn, self.fixes,
                     special=self.forcefield.special,
+                    torque_fn=(self.torque_fn if getattr(
+                        self.forcefield.pair, "has_torque", False) else None),
                 )
 
             def run_segment(state, nl, nsteps: int):

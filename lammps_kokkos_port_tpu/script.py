@@ -93,6 +93,7 @@ class LammpsScript:
         self.molecules: list = []
         self.images: list = []
         self.velocities: np.ndarray | None = None
+        self.sphere_data: dict | None = None
         self.masses: dict[int, float] = {}
         self.pair_style_words: list[str] | None = None
         self.pair_coeffs: list[list[str]] = []
@@ -322,7 +323,9 @@ class LammpsScript:
         self.boundary = tuple(a[:3])
 
     def cmd_atom_style(self, a):
-        self.atom_style = a[0]
+        # hybrid keeps its sub-style list (ref: AtomVecHybrid) — the data
+        # reader needs the full column layout
+        self.atom_style = " ".join(a) if a[0] == "hybrid" else a[0]
 
     def cmd_atom_modify(self, a):
         pass  # map/sort hints are automatic here
@@ -1093,6 +1096,13 @@ class LammpsScript:
         self.images = df.image.tolist()
         self.velocities = df.v
         self.data_masses = df.masses
+        # finite-size / dipole per-atom fields (atom styles sphere+dipole)
+        self.sphere_data = None
+        if df.rmass is not None or df.mu is not None:
+            self.sphere_data = {
+                "rmass": df.rmass, "radius": df.radius,
+                "mu": df.mu, "omega": df.omega,
+            }
         self.topology_raw = dict(
             bonds=df.bonds, angles=df.angles, dihedrals=df.dihedrals,
             impropers=df.impropers,
@@ -1481,6 +1491,33 @@ class LammpsScript:
             state = state.replace(mask=jnp.asarray(
                 self._resolve_group_masks(x, types, n, cap)))
 
+        # finite-size sphere / dipole per-atom arrays ride in aux so they
+        # integrate, thermostat, and shard with the atoms (the atom->rmass/
+        # radius/omega/mu/torque arrays, ref: atom_vec_sphere/dipole)
+        if self.sphere_data is not None:
+            sd = self.sphere_data
+            dtp = state.dtype
+
+            def pad(arr, fill, width=None):
+                if arr is None:
+                    shape = (cap,) if width is None else (cap, width)
+                    return jnp.full(shape, fill, dtype=dtp)
+                a = np.full((cap,) + arr.shape[1:], fill, dtype=float)
+                a[:n] = arr
+                return jnp.asarray(a, dtype=dtp)
+
+            aux = {**state.aux,
+                   "torque": jnp.zeros((cap, 3), dtype=dtp)}
+            if sd["rmass"] is not None:
+                aux["rmass"] = pad(sd["rmass"], 1.0)
+                aux["radius"] = pad(sd["radius"], 0.0)
+                aux["omega"] = pad(sd["omega"], 0.0, 3)
+            if sd["mu"] is not None:
+                mu = pad(sd["mu"], 0.0, 3)
+                aux["mu"] = mu
+                aux["mu_len"] = jnp.sqrt(jnp.sum(mu * mu, axis=-1))
+            state = state.replace(aux=aux)
+
         # RBC membrane styles consume reference positions x0 (the fork's
         # atom_vec_x0image field, ref: src/KOKKOS/atom_vec_x0image_kokkos.cpp)
         if (self.bond_style_name == "wlc_pow_all_visc"
@@ -1669,6 +1706,14 @@ class LammpsScript:
                                    shift=shift, dtype=dt)
             elif name == "zero":
                 pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
+            elif name == "lj/cut/dipole/cut":
+                from .models.pair_dipole import make_lj_cut_dipole_cut
+
+                pair = make_lj_cut_dipole_cut(
+                    self.ntypes, self._pair_coeff_dict(), float(args[0]),
+                    float(args[1]) if len(args) > 1 else None,
+                    qqrd2e=get_units(self.units_name).qqr2e,
+                    mix=self.pair_modify.get("mix", "geometric"), dtype=dt)
             elif name in ("sph/taitwater", "sph/taitwater/morris",
                           "sph/rhosum") or (
                     name == "hybrid/overlay"
@@ -2140,6 +2185,26 @@ class LammpsScript:
             elif f.style in ("npt", "nph"):
                 kw = self._nh_kw(f.args)
                 cls = FixNPT if f.style == "npt" else FixNPH
+                integ = cls(dt=dt, units=units, groupbit=gbit, **kw)
+            elif f.style == "nve/sphere":
+                from .integrate.sphere import IntegratorNVESphere
+
+                upd = "none"
+                if "update" in f.args:
+                    upd = f.args[f.args.index("update") + 1]
+                integ = IntegratorNVESphere(dt=dt, units=units,
+                                            groupbit=gbit, update_style=upd)
+            elif f.style in ("nvt/sphere", "npt/sphere", "nph/sphere"):
+                from .integrate.sphere import (
+                    FixNPHSphere, FixNPTSphere, FixNVTSphere,
+                )
+
+                kw = self._nh_kw(f.args)
+                cls = {"nvt/sphere": FixNVTSphere,
+                       "npt/sphere": FixNPTSphere,
+                       "nph/sphere": FixNPHSphere}[f.style]
+                if cls is FixNVTSphere:
+                    kw.pop("mtk", None)
                 integ = cls(dt=dt, units=units, groupbit=gbit, **kw)
             elif f.style == "langevin":
                 fixes.append(FixLangevin(
