@@ -139,6 +139,24 @@ class FixGravity(AuxFix):
 
 
 @dataclasses.dataclass(frozen=True)
+class FixFreeze(AuxFix):
+    """fix freeze: zero force AND torque on the group each step; the group
+    is also excluded from time integration by not appearing in any
+    integrator fix (ref: src/GRANULAR/fix_freeze.cpp post_force)."""
+
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)
+        f = jnp.where(g, 0.0, state.f)
+        state = state.replace(f=f)
+        if "torque" in state.aux:
+            tq = jnp.where(g, 0.0, state.aux["torque"])
+            state = state.replace(aux={**state.aux, "torque": tq})
+        return state
+
+
+@dataclasses.dataclass(frozen=True)
 class FixViscous(AuxFix):
     """fix viscous: f -= gamma*v drag (ref: src/fix_viscous.cpp)."""
 

@@ -172,6 +172,7 @@ def make_step(
     fixes: Sequence[AuxFix] = (),
     special=None,
     torque_fn=None,
+    gran=None,
 ):
     """Build the jittable single-timestep function.
 
@@ -210,7 +211,15 @@ def make_step(
         if hasattr(ops, "rebuild_state"):
             # cell-major mode: the rebuild permutes the state itself
             return ops.rebuild_state(state, nl, special=special)
-        return state, ops.rebuild_merge(state, nl, special=special)
+        nl2 = ops.rebuild_merge(state, nl, special=special)
+        if gran is not None:
+            # carry per-contact shear history across the rebuild
+            # (FixNeighHistory::pre_exchange analog)
+            from ..models.pair_gran import remap_shear
+
+            sh = remap_shear(state.aux["gran_shear"], nl.idx, nl2.idx)
+            state = state.replace(aux={**state.aux, "gran_shear": sh})
+        return state, nl2
 
     def no_rebuild(state: State, nl):
         return state, list_ops(nl).tick(nl)
@@ -224,6 +233,20 @@ def make_step(
             state = fx.post_integrate(state)
         rebuild = list_ops(nl).needs_rebuild(state, nl)
         state, nl = jax.lax.cond(rebuild, do_rebuild, no_rebuild, state, nl)
+        if gran is not None:
+            f, tq, sh = gran.compute_gran(
+                state, nl, state.aux["gran_shear"], True)
+            state = state.replace(f=f, aux={
+                **state.aux, "torque": tq, "gran_shear": sh})
+            for fx in fixes:
+                state = fx.post_force(state)
+            for fx in fixes:
+                state = fx.final_integrate(state)
+            state = integrator.final_integrate(state)
+            state = integrator.end_of_step(state)
+            for fx in fixes:
+                state = fx.end_of_step(state)
+            return state, nl
         f, _, _, virial = force_fn(state, nl, False, vflag)
         if vflag:
             state = state.replace(f=f, virial=virial)

@@ -107,8 +107,8 @@ def _scan_coeff_sections(df: "DataFile", path: str) -> None:
 
 def read_data(path: str, atom_style: str = "full",
               use_native: bool = True) -> DataFile:
-    if atom_style.startswith("hybrid"):
-        use_native = False  # hybrid column layout: python path only
+    if atom_style.startswith("hybrid") or atom_style == "sphere":
+        use_native = False  # hybrid/sphere column layouts: python path only
     if use_native:
         from .native import read_data_native
 
@@ -169,6 +169,12 @@ def read_data(path: str, atom_style: str = "full",
     # sub-style fields_data_atom minus the base fields, concatenated)
     substyles = atom_style.split()[1:] if atom_style.startswith("hybrid") \
         else []
+    if atom_style == "sphere":
+        # non-hybrid sphere: id type diameter density x y z (extras BEFORE
+        # the coords, ref: AtomVecSphere fields_data_atom)
+        df.radius = np.zeros(n)
+        df.rmass = np.zeros(n)
+        df.omega = np.zeros((n, 3))
     if "full" in substyles or "bond" in substyles or "molecular" in substyles:
         df.molecule = np.zeros(n, dtype=np.int32)
     if "full" in substyles or "charge" in substyles:
@@ -216,6 +222,19 @@ def read_data(path: str, atom_style: str = "full",
                         df.mu[k] = [float(toks[c]), float(toks[c + 1]),
                                     float(toks[c + 2])]
                         c += 3
+                if len(toks) >= c + 3:
+                    df.image[k] = [int(toks[c]), int(toks[c + 1]),
+                                   int(toks[c + 2])]
+                continue
+            if atom_style == "sphere":
+                df.types[k] = int(toks[c]); c += 1
+                diam = float(toks[c]); dens = float(toks[c + 1]); c += 2
+                df.radius[k] = 0.5 * diam
+                df.rmass[k] = ((4.0 * np.pi / 3.0) * df.radius[k] ** 3 * dens
+                               if diam > 0.0 else dens)
+                df.x[k] = [float(toks[c]), float(toks[c + 1]),
+                           float(toks[c + 2])]
+                c += 3
                 if len(toks) >= c + 3:
                     df.image[k] = [int(toks[c]), int(toks[c + 1]),
                                    int(toks[c + 2])]

@@ -288,10 +288,13 @@ class ShardedMD:
         self.ms = put(ms)
         self.nloc = put(nloc)
         self.fs = put(np.zeros((nd, capS, 3), dtype=dt_np))
-        # per-shard copies of the (replicated, bit-identical) NH chain
+        # per-shard copies of the (replicated, bit-identical) NH chain.
+        # etad packs [eta_dot (mt+1) | eta_dotdot (mt) | t_cur | t_tgt] —
+        # the PERSISTENT FixNH members (fix_nh.cpp keeps t_current and
+        # eta_dotdot across calls) ride the same carried array
         mt = self.nvt.mtchain if self.nvt is not None else 1
         self.eta = put(np.zeros((nd, mt), dtype=dt_np))
-        self.etad = put(np.zeros((nd, mt + 1), dtype=dt_np))
+        self.etad = put(np.zeros((nd, 2 * mt + 3), dtype=dt_np))
         self.box = jax.device_put(state.box, rep)
         self.mass = jax.device_put(state.mass, rep)
         self.natoms_global = n
@@ -536,7 +539,10 @@ class ShardedMD:
 
             nvt = self.nvt
 
+            mt_nh = nvt.mtchain if nvt is not None else 1
+
             def integ_state(x, v, f, typ, msk, nh):
+                packed = nh[1]
                 return State(
                     x=x, v=v, f=f, type=typ, tag=jnp.zeros_like(typ),
                     image=jnp.zeros(x.shape[:1] + (3,), dtype=jnp.int32),
@@ -544,11 +550,21 @@ class ShardedMD:
                     nlocal=jnp.asarray(0, jnp.int32), mask=msk,
                     virial=jnp.zeros(6, dtype=x.dtype),
                     ntimestep=jnp.asarray(0, jnp.int32),
-                    aux={"nh": {"eta": nh[0], "eta_dot": nh[1]},
+                    aux={"nh": {"eta": nh[0],
+                                "eta_dot": packed[:mt_nh + 1],
+                                "eta_dotdot": packed[mt_nh + 1:2 * mt_nh + 1],
+                                "t_cur": packed[2 * mt_nh + 1],
+                                "t_tgt": packed[2 * mt_nh + 2]},
                          "nh_run": jnp.zeros(2, dtype=jnp.int32)},
                     units_name=self.global_state.units_name,
                     dimension=self.global_state.dimension,
                 )
+
+            def repack_nh(ps):
+                d = ps.aux["nh"]
+                return (d["eta"], jnp.concatenate([
+                    d["eta_dot"], d["eta_dotdot"],
+                    jnp.stack([d["t_cur"], d["t_tgt"]])]))
 
             def inner_step(carry, _):
                 (x, v, f, typ, tag, q, msk, n, nh, *rest) = carry
@@ -557,7 +573,7 @@ class ShardedMD:
                     ps = integ_state(x, v, f, typ, msk, nh)
                     ps = nvt.initial_integrate(ps)
                     x, v = ps.x, ps.v
-                    nh = (ps.aux["nh"]["eta"], ps.aux["nh"]["eta_dot"])
+                    nh = repack_nh(ps)
                 else:
                     minv = 1.0 / mass[typ][:, None]
                     v = v + jnp.where(gm, dtf * f * minv, 0.0)
@@ -569,7 +585,7 @@ class ShardedMD:
                     ps = integ_state(x, v, f0, typ, msk, nh)
                     ps = nvt.final_integrate(ps)
                     v = ps.v
-                    nh = (ps.aux["nh"]["eta"], ps.aux["nh"]["eta_dot"])
+                    nh = repack_nh(ps)
                 else:
                     minv = 1.0 / mass[typ][:, None]
                     v = v + jnp.where(gm, dtf * f0 * minv, 0.0)
@@ -623,6 +639,38 @@ class ShardedMD:
             self._runner_cache[(ncycles, tail)] = fn
         return fn
 
+    def _refresh_nh(self):
+        """Per-run NH member refresh (FixNVT.refresh_segment analog):
+        fresh-measure the global temperature into the packed t_cur slot,
+        install t_target, and recompute eta_dotdot[1:] from the chain."""
+        nvt = self.nvt
+        if nvt is None:
+            return
+        mt = nvt.mtchain
+        vs = np.asarray(jax.device_get(self.vs))
+        ts = np.asarray(jax.device_get(self.ts))
+        ms = np.asarray(jax.device_get(self.ms))
+        mass = np.asarray(jax.device_get(self.mass))
+        own = ms != 0
+        ke = float(np.sum(np.where(own, mass[ts]
+                                   * np.sum(vs * vs, axis=-1), 0.0)))
+        extra = nvt.extra_dof if nvt.extra_dof is not None else 3
+        tdof = 3 * nvt.n_global - extra
+        t_cur = self.units.mvv2e * ke / (tdof * self.units.boltz)
+        t_tgt = nvt.t_start
+        etad = np.array(jax.device_get(self.etad))
+        kt = self.units.boltz * t_tgt
+        qk = kt / (nvt.t_freq * nvt.t_freq)
+        q0 = tdof * kt / (nvt.t_freq * nvt.t_freq)
+        for ich in range(1, mt):
+            qprev = q0 if ich == 1 else qk
+            etad[:, mt + 1 + ich] = (
+                qprev * etad[:, ich - 1] ** 2 - kt) / qk
+        etad[:, 2 * mt + 1] = t_cur
+        etad[:, 2 * mt + 2] = t_tgt
+        shard = NamedSharding(self.mesh, P("x"))
+        self.etad = jax.device_put(jnp.asarray(etad), shard)
+
     def run(self, nsteps: int, max_grows: int = 6):
         """Advance exactly nsteps. Capacity overflows (migrants / ghosts /
         neighbor width) trigger the grow-and-retry loop from the pre-run
@@ -630,6 +678,7 @@ class ShardedMD:
         (ref: src/KOKKOS/npair_kokkos.cpp:225-330)."""
         if nsteps <= 0:
             return 0
+        self._refresh_nh()
         ncycles, tail = divmod(nsteps, self.rebuild_every)
         for _ in range(max_grows + 1):
             runner = self._get_runner(ncycles, tail)

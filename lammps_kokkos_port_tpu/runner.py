@@ -16,6 +16,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .compute import thermo as thermo_mod
 from .core.state import State
@@ -76,6 +77,12 @@ class Simulation:
         self.integrator = integrator
 
         self.nl: nbr.NeighborList | None = None
+        self.thermo_norm: bool | None = None  # thermo_modify norm
+        # shrink-wrapped dims for thermo box extent: {dim: (lo_s, hi_s,
+        # small)} (ref: Domain::reset_box — 's' faces track atom extent
+        # +/- SMALL*initial box length; dynamics are unaffected here, the
+        # working box stays at the data-file bounds)
+        self.shrink_dims: dict = {}
         self.ntimestep = 0
         self._segment_cache: dict = {}
         self.last_loop_time = 0.0
@@ -136,6 +143,20 @@ class Simulation:
             )
         self.nl = self._build_list(self.state, params)
         self._check_overflow_and_grow()
+        if getattr(self.pair_style, "is_granular", False):
+            sh = self.state.aux.get("gran_shear")
+            if sh is None or sh.shape[:2] != self.nl.idx.shape:
+                sh = jnp.zeros(self.nl.idx.shape + (3,),
+                               dtype=self.state.dtype)
+            # setup force pass: shearupdate off (ref: update->setupflag)
+            f, tq, sh = self.pair_style.compute_gran(
+                self.state, self.nl, sh, False)
+            self.state = self.state.replace(f=f, aux={
+                **self.state.aux, "torque": tq, "gran_shear": sh})
+            for fx in self.fixes:
+                self.state = fx.setup_post_force(self.state)
+            self._segment_cache.clear()
+            return
         vflag = self.integrator.needs_virial or any(
             getattr(fx, "needs_virial", False) for fx in self.fixes)
         f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
@@ -163,6 +184,14 @@ class Simulation:
         (ref: Verlet::setup re-run): recompute forces from the current
         state and re-apply post_force hooks — NO fix/integrator state
         reset (NH chains etc. survive)."""
+        if getattr(self.pair_style, "is_granular", False):
+            f, tq, sh = self.pair_style.compute_gran(
+                self.state, self.nl, self.state.aux["gran_shear"], False)
+            self.state = self.state.replace(f=f, aux={
+                **self.state.aux, "torque": tq, "gran_shear": sh})
+            for fx in self.fixes:
+                self.state = fx.setup_post_force(self.state)
+            return
         vflag = self.integrator.needs_virial or any(
             getattr(fx, "needs_virial", False) for fx in self.fixes)
         f, _, _, virial = self.force_fn(self.state, self.nl, False, vflag)
@@ -260,11 +289,14 @@ class Simulation:
                     self.integrator, self.forcefield, self.respa,
                     self.fixes, special=self.forcefield.special)
             else:
+                gran = (self.pair_style if getattr(
+                    self.pair_style, "is_granular", False) else None)
                 step = make_step(
                     self.integrator, self.force_fn, self.fixes,
                     special=self.forcefield.special,
-                    torque_fn=(self.torque_fn if getattr(
+                    torque_fn=(self.torque_fn if gran is None and getattr(
                         self.forcefield.pair, "has_torque", False) else None),
+                    gran=gran,
                 )
 
             def run_segment(state, nl, nsteps: int):
@@ -382,6 +414,14 @@ class Simulation:
                 ndanger=snap_nl.ndanger,
             )
             self._check_overflow_and_grow()
+            if "gran_shear" in self.state.aux:
+                from .models.pair_gran import remap_shear
+
+                self.state = self.state.replace(aux={
+                    **self.state.aux,
+                    "gran_shear": remap_shear(
+                        self.state.aux["gran_shear"],
+                        snap_nl.idx, self.nl.idx)})
         raise RuntimeError("neighbor overflow retry did not converge")
 
     # -- observables --------------------------------------------------------
@@ -411,9 +451,23 @@ class Simulation:
         ke = thermo_mod.kinetic_energy(st, u)
         press = thermo_mod.pressure(st, virial, u, t, extra)
         n = jax.device_get(st.nlocal)
-        norm = u.norm_default
+        # thermo_modify norm yes/no overrides the units default
+        # (ref: src/thermo.cpp normflag / lostflag modify_params)
+        norm = (self.thermo_norm if self.thermo_norm is not None
+                else u.norm_default)
         ep_v, em_v, ke_v, t_v, p_v = jax.device_get((epair, emol, ke, t, press))
         vol = float(jax.device_get(st.box.volume))
+        if self.shrink_dims:
+            lo_b = np.array(jax.device_get(st.box.lo), dtype=float)
+            hi_b = np.array(jax.device_get(st.box.hi), dtype=float)
+            xs = np.asarray(jax.device_get(st.x))
+            vmask = np.asarray(jax.device_get(st.valid_mask))
+            for d, (lo_s, hi_s, small) in self.shrink_dims.items():
+                if lo_s:
+                    lo_b[d] = xs[vmask, d].min() - small
+                if hi_s:
+                    hi_b[d] = xs[vmask, d].max() + small
+            vol = float(np.prod(hi_b - lo_b))
         if norm:
             ep_v = ep_v / n
             em_v = em_v / n

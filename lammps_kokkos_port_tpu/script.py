@@ -94,6 +94,7 @@ class LammpsScript:
         self.images: list = []
         self.velocities: np.ndarray | None = None
         self.sphere_data: dict | None = None
+        self.thermo_norm: bool | None = None
         self.masses: dict[int, float] = {}
         self.pair_style_words: list[str] | None = None
         self.pair_coeffs: list[list[str]] = []
@@ -1032,7 +1033,7 @@ class LammpsScript:
             raise ScriptError(f"thermo_style {a[0]} unsupported")
         cols = []
         for w in a[1:]:
-            if w in self._THERMO_COLS:
+            if w in self._THERMO_COLS or w.startswith(("c_", "v_", "f_")):
                 cols.append(w)
             elif w in ("pxx", "pyy", "pzz", "spcpu", "tpcpu", "cpuremain"):
                 continue  # accepted, not printed (subset)
@@ -1041,7 +1042,14 @@ class LammpsScript:
         self.thermo_style = cols
 
     def cmd_thermo_modify(self, a):
-        pass
+        for i in range(0, len(a) - 1, 2):
+            if a[i] == "norm":
+                self.thermo_norm = a[i + 1] == "yes"
+                if self.sim is not None:
+                    self.sim.thermo_norm = self.thermo_norm
+
+    def cmd_comm_modify(self, a):
+        pass  # ghost velocity exchange is implicit (full-state gathers)
 
     def cmd_reset_timestep(self, a):
         self.ntimestep = int(a[0])
@@ -1187,6 +1195,19 @@ class LammpsScript:
 
         parts = []
         for c in self._thermo_columns():
+            if c.startswith("c_"):
+                row[c] = float(self.get_compute(c[2:]))
+                parts.append("{:>14.8g}".format(row[c]))
+                continue
+            if c.startswith("v_"):
+                row[c] = float(self._eval_expr(self._equal_vars[c[2:]]))
+                parts.append("{:>14.8g}".format(row[c]))
+                continue
+            if c.startswith("f_"):
+                fxe = next((fx.energy(sim.state) for fx in sim.fixes), None)
+                row[c] = float(fxe) if fxe is not None else 0.0
+                parts.append("{:>14.8g}".format(row[c]))
+                continue
             fmt = self._THERMO_COLS[c][1]
             v = row[c]
             parts.append(fmt.format(int(v) if "d" in fmt else v))
@@ -1234,8 +1255,9 @@ class LammpsScript:
             sim.state = sim.integrator.refresh_segment(sim.state)
             for fx in sim.fixes:
                 sim.state = fx.refresh_segment(sim.state)
-        self._emit(" ".join(self._THERMO_COLS[c][0]
-                            for c in self._thermo_columns()))
+        self._emit(" ".join(
+            (self._THERMO_COLS[c][0] if c in self._THERMO_COLS else c)
+            for c in self._thermo_columns()))
         t0 = time.perf_counter()
         rows = [self._emit_thermo_row(sim, sim.ntimestep, t0)]
         self._write_dumps(sim.ntimestep)
@@ -1290,7 +1312,7 @@ class LammpsScript:
         cid, group, style = a[0], a[1], a[2]
         known = ("temp", "pressure", "pe", "ke", "msd", "com", "rdf",
                  "ke/atom", "pe/atom", "stress/atom", "chunk/atom",
-                 "com/chunk")
+                 "com/chunk", "erotate/sphere")
         if style not in known:
             raise ScriptError(f"compute style {style} unsupported")
         self.computes[cid] = (group, style, a[3:])
@@ -1323,6 +1345,18 @@ class LammpsScript:
         if style == "ke":
             row = sim.thermo()
             return row["ke"] * (row["natoms"] if u.norm_default else 1.0)
+        if style == "erotate/sphere":
+            # 0.5 * sum I w^2, I = 2/5 m r^2
+            # (ref: src/compute_erotate_sphere.cpp)
+            import jax.numpy as _jnp
+
+            g = st.valid_mask & st.group_mask(gbit)
+            rad = st.aux["radius"]
+            om = st.aux["omega"]
+            inertia = 0.4 * st.per_atom_mass * rad * rad
+            ke = 0.5 * _jnp.sum(_jnp.where(
+                g, inertia * _jnp.sum(om * om, axis=-1), 0.0))
+            return float(ke) * u.mvv2e
         if style == "msd":
             x0 = self._msd_x0.setdefault(cid, obs.unwrapped(st))
             return np.asarray(obs.msd(st, x0, groupbit=gbit))
@@ -1553,6 +1587,17 @@ class LammpsScript:
             neigh_check=self.neigh_check,
             respa=self.respa,
         )
+        sim.thermo_norm = self.thermo_norm
+        for d, tok in enumerate(self.boundary):
+            lo_st = tok[0]
+            hi_st = tok[1] if len(tok) > 1 else tok[0]
+            if "s" in (lo_st, hi_st) or "m" in (lo_st, hi_st):
+                blo = getattr(self, "_box_lo_np", None)
+                bhi = getattr(self, "_box_hi_np", None)
+                lo0 = blo[d] if blo is not None else 0.0
+                hi0 = bhi[d] if bhi is not None else 1.0
+                sim.shrink_dims[d] = (lo_st in "sm", hi_st in "sm",
+                                      1e-4 * (hi0 - lo0))
         sim.setup()
         sim.ntimestep = self.ntimestep
         self.sim = sim
@@ -1706,6 +1751,30 @@ class LammpsScript:
                                    shift=shift, dtype=dt)
             elif name == "zero":
                 pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
+            elif name in ("gran/hooke", "gran/hooke/history"):
+                from .models.pair_gran import PairGranHooke
+
+                def _gnum(w, default):
+                    return default if w == "NULL" else float(w)
+
+                kn = float(args[0])
+                kt = _gnum(args[1], kn * 2.0 / 7.0)
+                gamman = float(args[2])
+                gammat = _gnum(args[3], 0.5 * gamman)
+                if int(args[5]) == 0:
+                    gammat = 0.0
+                fzbit = 0
+                for fx in self.fixes:
+                    if fx.style == "freeze":
+                        fzbit = self.groups.get(fx.group, 1)
+                maxrad = (float(np.max(self.sphere_data["radius"]))
+                          if self.sphere_data else 0.5)
+                gdt = self.dt if self.dt is not None \
+                    else get_units(self.units_name).dt
+                pair = PairGranHooke(
+                    kn=kn, kt=kt, gamman=gamman, gammat=gammat,
+                    xmu=float(args[4]), dt=gdt, freeze_groupbit=fzbit,
+                    max_radius=maxrad, history=name.endswith("history"))
             elif name == "lj/cut/dipole/cut":
                 from .models.pair_dipole import make_lj_cut_dipole_cut
 
@@ -2682,7 +2751,18 @@ class LammpsScript:
                     kw = dict(vx=float(f.args[vi + 1]),
                               vy=float(f.args[vi + 2]),
                               vz=float(f.args[vi + 3]))
+                elif "chute" in f.args:
+                    # chute: phi=0, theta=180-angle (fix_gravity.cpp:326)
+                    import math as _m
+
+                    th = _m.radians(180.0 - float(
+                        f.args[f.args.index("chute") + 1]))
+                    kw = dict(vx=_m.sin(th), vy=0.0, vz=_m.cos(th))
                 fixes.append(FixGravity(g=mag, groupbit=gbit, **kw))
+            elif f.style == "freeze":
+                from .integrate.fixes import FixFreeze
+
+                fixes.append(FixFreeze(groupbit=gbit))
             else:
                 raise ScriptError(f"fix style {f.style} unsupported")
         if integ is None:
