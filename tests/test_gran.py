@@ -21,6 +21,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 GOLD_DIR = os.path.join(os.path.dirname(__file__), "goldens", "gran")
 
@@ -65,6 +66,33 @@ def _load_golden(path):
     idx = range(1, n + 1)
     return (np.array([X[i] for i in idx]), np.array([V[i] for i in idx]),
             np.array([OM[i] for i in idx]))
+
+
+@pytest.mark.slow
+def test_chute_bench_thermo():
+    """bench/in.chute (32000 spheres, 100 steps) vs the reference's
+    committed log.6Oct16.chute.fixed.icc.1: KinEng exact to the printed
+    8 digits; rotational KE within friction-threshold roundoff."""
+    import os as _os
+
+    from lammps_kokkos_port_tpu.script import LammpsScript
+
+    deck = "/root/reference/bench/in.chute"
+    if not _os.path.exists(deck):
+        pytest.skip("reference bench deck unavailable")
+    cwd = _os.getcwd()
+    _os.chdir("/root/reference/bench")
+    try:
+        s = LammpsScript(dtype=jnp.float64)
+        s.file(deck)
+    finally:
+        _os.chdir(cwd)
+    sim = s.sim
+    row = sim.thermo()
+    ke = row["ke"]  # norm no -> extensive
+    assert ke == pytest.approx(784292.08, rel=5e-8)
+    ero = s.get_compute("1")
+    assert ero == pytest.approx(1571.0968, rel=1e-5)
 
 
 def test_gran_hooke_history_mini_chute():
