@@ -92,6 +92,130 @@ def expand_state(state: State, p: nbr.NeighborParams) -> State:
     )
 
 
+def _local_perm(state: State, p: nbr.NeighborParams):
+    """Sort-free re-binning for an ALREADY cell-major state.
+
+    A TPU argsort over the whole capacity costs milliseconds; but between
+    rebuilds atoms move at most ~skin, i.e. at most one cell. Each row's
+    OLD cell is implied by its position in the layout (row // cell_cap),
+    so the new slot assignment reduces to 27 "streams" (one per cell-offset)
+    with tiny per-cell cumsums — no sort anywhere. If any atom moved more
+    than one cell (or a cell overflows), the sticky overflow flag makes the
+    host redo the build via the full-sort path (the usual grow-retry idiom,
+    ref: src/KOKKOS/npair_kokkos.cpp:225-330).
+
+    Returns (perm [cap] int32 row sources with >=cap padding, overflow).
+    """
+    cap = state.capacity
+    cc = p.cell_cap
+    ntot = p.total_cells
+    nx, ny, nz = p.ncells
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+
+    # new cell coords from positions (same mapping as nbr._bin_atoms)
+    lamda = state.box.to_lamda(state.x)
+    frac = lamda - jnp.floor(lamda)
+    frac = jnp.clip(frac, 0.0, 1.0 - 1e-7)
+    c_new = jnp.floor(frac * dims.astype(frac.dtype)).astype(jnp.int32)
+    c_new = jnp.clip(c_new, 0, dims - 1)  # [cap, 3]
+
+    # old cell coords are static per row
+    row = jnp.arange(cap, dtype=jnp.int32)
+    oldcell = row // cc
+    ox = oldcell // (ny * nz)
+    rem = oldcell - ox * (ny * nz)
+    c_old = jnp.stack([ox, rem // nz, rem - (rem // nz) * nz], axis=1)
+
+    d = c_new - c_old
+    half = dims // 2
+    d = jnp.where(d > half, d - dims, jnp.where(d < -half, d + dims, d))
+    valid = state.valid_mask
+    moved_far = jnp.any(jnp.where(valid[:, None], jnp.abs(d) > 1, False))
+
+    o = (d[:, 0] + 1) * 9 + (d[:, 1] + 1) * 3 + (d[:, 2] + 1)  # 0..26
+    o = jnp.clip(o, 0, 26)
+
+    # rank of each slot among same-(cell, stream) slots: a pairwise
+    # lower-triangular compare on the cc lane axis (no cumsum, no gather);
+    # per-(cell, stream) counts: one-hot sum over the cc sublane axis.
+    o_rs = o.reshape(ntot, cc)
+    v_rs = valid.reshape(ntot, cc)
+    ltri = (jnp.arange(cc, dtype=jnp.int32)[:, None]
+            > jnp.arange(cc, dtype=jnp.int32)[None, :])
+    oeq = ((o_rs[:, :, None] == o_rs[:, None, :])
+           & ltri[None, :, :] & v_rs[:, None, :]).astype(jnp.int8)
+    rank = jnp.sum(oeq, axis=-1, dtype=jnp.int32).reshape(cap)
+    oh = ((o_rs[:, :, None] == jnp.arange(27, dtype=jnp.int32)[None, None, :])
+          & v_rs[:, :, None]).astype(jnp.int8)  # [ntot, cc, 27]
+    counts = jnp.sum(oh, axis=1, dtype=jnp.int32)  # [ntot, 27]
+
+    # arrivals at dest cell from stream o originate at dest - offset_o
+    counts3 = counts.reshape(nx, ny, nz, 27)
+    # offs[k] = (dx, dy, dz) for k = (dx+1)*9 + (dy+1)*3 + (dz+1)
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    arr = jnp.stack(
+        [jnp.roll(counts3[..., k], offs[k], axis=(0, 1, 2))
+         for k in range(27)], axis=-1)  # [nx, ny, nz, 27]
+    total = jnp.sum(arr, axis=-1)
+    cell_overflow = jnp.max(total) > cc
+    base = (jnp.cumsum(arr, axis=-1) - arr).reshape(ntot, 27)
+
+    dcell = (c_new[:, 0] * ny + c_new[:, 1]) * nz + c_new[:, 2]
+    slot = base.reshape(-1)[dcell * 27 + o] + rank
+    newpos = dcell * cc + jnp.minimum(slot, cc - 1)
+    perm = jnp.full((cap,), cap, dtype=jnp.int32)
+    perm = perm.at[jnp.where(valid, newpos, cap)].set(row, mode="drop")
+    return perm, moved_far | cell_overflow
+
+
+def _apply_perm(state: State, perm, overflow):
+    """Permute all per-atom arrays by `perm` (>= cap entries -> padding).
+
+    The per-atom pytree is packed into ONE float and ONE int matrix first so
+    the whole permute is two row gathers instead of nine (TPU gathers pay a
+    large per-op cost; bytes are nearly free at this size)."""
+    cap = state.capacity
+    valid = perm < cap
+    safe = jnp.minimum(perm, cap - 1)
+
+    def pack(arrs):
+        cols = []
+        for a in arrs:
+            if a is not None:
+                cols.append(a[:, None] if a.ndim == 1 else a)
+        return jnp.concatenate(cols, axis=1) if cols else None
+
+    def unpack(mat, arrs):
+        out, i = [], 0
+        for a in arrs:
+            if a is None:
+                out.append(None)
+                continue
+            w = 1 if a.ndim == 1 else a.shape[1]
+            piece = mat[:, i:i + w]
+            out.append(piece[:, 0] if a.ndim == 1 else piece)
+            i += w
+        return out
+
+    farrs = [state.x, state.v, state.f, state.q]
+    iarrs = [state.type, state.tag, state.image, state.molecule, state.mask]
+    fp = pack(farrs)
+    ip = pack(iarrs)
+    # NOTE: do NOT bitcast the int matrix to f32 to merge the two gathers —
+    # small ints (mask=1, type=1) are f32 denormals and the TPU flushes
+    # denormals to zero in the select, silently invalidating every atom.
+    fm = jnp.where(valid[:, None], fp[safe], 0)
+    im = jnp.where(valid[:, None], ip[safe], 0)
+    x, v, f, q = unpack(fm, farrs)
+    typ, tag, image, molecule, mask = unpack(im, iarrs)
+    state = state.replace(
+        x=x, v=v, f=f, q=q, type=typ, tag=tag, image=image,
+        molecule=molecule, mask=mask,
+    )
+    return state, overflow
+
+
 def _permute(state: State, p: nbr.NeighborParams):
     """Permute all per-atom arrays into cell-major order (jit-compatible).
 
@@ -130,12 +254,18 @@ def build(state: State, p: nbr.NeighborParams):
 
 
 def rebuild_state(state: State, old: SortedCells, special=None):
-    state, nl = build(state, old.params)
-    return state, dataclasses.replace(
-        nl,
+    """In-step rebuild: the sort-free local re-binning (atoms move <= one
+    cell between rebuilds; violations raise the sticky overflow flag and
+    the host replays the segment through the full-sort `build`)."""
+    perm, overflow = _local_perm(state, old.params)
+    state, overflow = _apply_perm(state, perm, overflow)
+    return state, SortedCells(
+        xhold=state.x,
+        ago=jnp.asarray(0, jnp.int32),
         nbuilds=old.nbuilds + 1,
         ndanger=old.ndanger,
-        overflow=old.overflow | nl.overflow,
+        overflow=old.overflow | overflow,
+        params=old.params,
     )
 
 
