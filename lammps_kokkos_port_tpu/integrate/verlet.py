@@ -185,8 +185,10 @@ def make_step(
         getattr(fx, "needs_virial", False) for fx in fixes)
 
     def list_ops(nl):
-        from ..ops import cellforce, gridforce, sortedforce
+        from ..ops import cellforce, gridforce, sortedforce, zcolforce
 
+        if isinstance(nl, zcolforce.ZColCells):
+            return zcolforce
         if isinstance(nl, sortedforce.SortedCells):
             return sortedforce
         if isinstance(nl, gridforce.GridCells):

@@ -60,17 +60,19 @@ class ForceField:
         """Evaluate only the listed force categories — the rRESPA level
         slicing hook (ref: src/respa.cpp level_bond/level_pair assignment;
         each level's force pass runs a subset of the styles)."""
-        from ..ops import cellforce, gridforce, sortedforce
+        from ..ops import cellforce, gridforce, sortedforce, zcolforce
 
         if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells,
-                           sortedforce.SortedCells)):
+                           sortedforce.SortedCells, zcolforce.ZColCells)):
             # dense fast paths: pair-only force fields (see ops/cellforce,
-            # ops/gridforce, ops/sortedforce; two-pass styles like EAM take
-            # ops/eamdense)
+            # ops/gridforce, ops/sortedforce, ops/zcolforce; two-pass styles
+            # like EAM take ops/eamdense)
             if getattr(self.pair, "dense_two_pass", False):
                 from ..ops import eamdense
 
                 ops = eamdense
+            elif isinstance(nl, zcolforce.ZColCells):
+                ops = zcolforce
             elif isinstance(nl, sortedforce.SortedCells):
                 ops = sortedforce
             elif isinstance(nl, gridforce.GridCells):

@@ -217,6 +217,7 @@ def lj_melt_sim(
     every: int = 20,
     delay: int = 0,
     check: bool = False,
+    list_mode: str = "auto",
 ):
     """Full melt Simulation ready to run (neigh_modify every 20 delay 0
     check no; skin 0.3; fix nve; dt 0.005)."""
@@ -231,4 +232,5 @@ def lj_melt_sim(
         neigh_every=every,
         neigh_delay=delay,
         neigh_check=check,
+        list_mode=list_mode,
     )

@@ -213,6 +213,17 @@ class Simulation:
             return
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
+            if self.list_mode == "zcol":
+                from .ops import zcolforce
+
+                zp = zcolforce.size_for_system(
+                    self.state, params.cutneigh, params.skin,
+                    params.every, params.delay, params.check, grid=params)
+                if zp is None:
+                    raise ValueError(
+                        "system does not fit the zcol layout "
+                        "(needs >=3 columns per xy dim, Lz > 2*cutneigh)")
+                self._zcol_params = zp
             return
         two_pass = getattr(ff.pair, "dense_two_pass", False)
         dense_ok = (
@@ -234,10 +245,12 @@ class Simulation:
             # via list_mode="grid"
             self.list_mode = "matrix"
             return
-        # cell-major (sorted) state: fastest path, needs a scalarizable
-        # style, a fully periodic orthogonal box, and no aux fixes carrying
-        # per-atom state (ops/sortedforce; the VMEM column kernel or the
-        # HBM plane kernel is picked by size inside)
+        # cell-major (sorted) state: fastest auto path, needs a
+        # scalarizable style, a fully periodic orthogonal box, and no aux
+        # fixes carrying per-atom state (ops/sortedforce). The z-column
+        # experiment (ops/zcolforce) stays opt-in via list_mode="zcol":
+        # its measured candidate windows (w_self+4*w_cross lanes/atom) do
+        # not beat the sorted kernel's dense cells on the melt benchmark.
         kk = getattr(ff.pair, "kernel_key", None)
         sorted_ok = (
             kk is not None and kk() is not None
@@ -249,6 +262,15 @@ class Simulation:
         self.list_mode = "sorted" if sorted_ok else "grid"
 
     def _build_list(self, state, params):
+        if self.list_mode == "zcol":
+            from .ops import zcolforce
+
+            if not isinstance(params, zcolforce.ZColParams):
+                params = self._zcol_params
+            state = zcolforce.expand_state(state, params)
+            state, nl = zcolforce.build(state, params)
+            self.state = state
+            return nl
         if self.list_mode == "sorted":
             from .ops import sortedforce
 
@@ -268,11 +290,20 @@ class Simulation:
             return cellforce.build_cell(state, params)
         return nbr.build(state, params, special=self.forcefield.special)
 
+    def _grow_params(self, params):
+        from .ops import zcolforce
+
+        if isinstance(params, zcolforce.ZColParams):
+            grown = zcolforce.grow(params)
+            self._zcol_params = grown
+            return grown
+        return nbr.grow(params)
+
     def _check_overflow_and_grow(self, max_tries: int = 8):
         for _ in range(max_tries):
             if not bool(jax.device_get(self.nl.overflow)):
                 return
-            params = nbr.grow(self.nl.params)
+            params = self._grow_params(self.nl.params)
             self.nl = self._build_list(self.state, params)
         raise RuntimeError("neighbor capacity growth did not converge")
 
@@ -406,7 +437,7 @@ class Simulation:
                 return
             # capacity overflow inside the segment: grow, rebuild from the
             # snapshot, and re-run the whole segment with the new shapes
-            params = nbr.grow(snap_nl.params)
+            params = self._grow_params(snap_nl.params)
             self.state = snap_state
             self.nl = dataclasses.replace(
                 self._build_list(snap_state, params),
