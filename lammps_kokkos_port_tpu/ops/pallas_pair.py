@@ -41,12 +41,23 @@ Array = jax.Array
 BIG = 1.0e8
 
 
+def _recip(r2):
+    """Fast reciprocal: hardware approximate reciprocal (~2^-14 rel err)
+    + one Newton-Raphson pass -> ~2^-27 rel err, i.e. f32-exact to the
+    last ulp, at a fraction of the full-divide latency. Falls back to the
+    exact divide off-TPU (interpret mode) and in f64."""
+    if jax.default_backend() == "tpu" and r2.dtype == jnp.float32:
+        y = pl.reciprocal(r2, approx=True)
+        return y * (2.0 - r2 * y)
+    return 1.0 / r2
+
+
 def _terms_from_key(key, r2):
     """fpair(r2) = F/r for the keyed style (scalar coeffs baked in)."""
     kind = key[0]
     if kind == "lj":
         _, lj1, lj2, _ = key
-        r2inv = 1.0 / r2
+        r2inv = _recip(r2)
         r6inv = r2inv * r2inv * r2inv
         return r6inv * (lj1 * r6inv - lj2) * r2inv
     raise NotImplementedError(kind)
@@ -176,10 +187,9 @@ def _column_kernel(key, nx, ny, nz, cc, prd_ref,
     r2 = dxv * dxv + dyv * dyv + dzv * dzv
 
     ic = cand_scratch[3]  # float ids
-    valid = jnp.logical_and(
-        jnp.logical_and(own_i != ic[:, None, :], (ic >= 0.0)[:, None, :]),
-        r2 < cutsq,
-    )
+    # pads sit at PAD_POS (pad-real pairs fail by distance; pad-pad share
+    # id -1 and fail the != compare)
+    valid = jnp.logical_and(own_i != ic[:, None, :], r2 < cutsq)
     r2s = jnp.where(valid, r2, 1.0)
     fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
 
@@ -264,11 +274,10 @@ def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
 
     ic = cand_scratch[3]
     # one compare covers Newton i<j (self block) AND candidate validity
-    # (biased non-self ids); own invalid rows (-1) are excluded explicitly
-    valid = jnp.logical_and(
-        jnp.logical_and(own_i < ic[:, None, :], own_i >= 0.0),
-        r2 < cutsq,
-    )
+    # (biased non-self ids). Padding rows sit at the PAD_POS sentinel
+    # (ops/sortedforce) so pad-vs-real pairs fail the cutoff by distance;
+    # pad-vs-pad pairs share id -1 and fail the i<j compare.
+    valid = jnp.logical_and(own_i < ic[:, None, :], r2 < cutsq)
     r2s = jnp.where(valid, r2, 1.0)
     fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
 
@@ -342,6 +351,190 @@ def column_force_pallas(key, ncells, gx, gy, gz, gi, prd):
 _VMEM_ROW_LIMIT = 300_000
 
 
+def _plane_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
+                       gx0, gy0, gz0, gi0, gx1, gy1, gz1, gi1,
+                       gx2, gy2, gz2, gi2,
+                       fx, fy, fz, px_, py_, pz_,
+                       cand_scratch, acc, pend):
+    """Newton-halved big-N kernel: grid (nx, ny), program (px, py) owns
+    z-column (px, py). Inputs are x-halo-padded [nx+2, ...] grids whose
+    wrap planes carry pre-shifted positions; the BlockSpec window is the
+    3-plane slab [px-1, px, px+1] (block rows 0..2, own = row 1), fetched
+    once per plane thanks to the row-major grid order. Within-plane
+    reactions accumulate into the plane's own output block (revisited by
+    all ny programs of the plane); dx=+1 reactions accumulate into the
+    rolling `pending` output (p*_), which the NEXT plane's py==0 program
+    folds into its output before computing — the sequential-grid analog
+    of the reference's reverse communication (ref: src/comm_brick.cpp:598
+    reverse_comm; Newton pair halving src/npair_half_bin_newton.cpp:36).
+    At kernel end `pending` holds the x-wrap reactions for plane 0, which
+    the caller adds (forces are translation-invariant, so index wrap
+    needs no value correction)."""
+    px = pl.program_id(0)
+    py = pl.program_id(1)
+    nyi = jnp.int32(ny)
+    cutsq = key[-1]
+
+    # acc: this plane's force accumulator; pend: reactions owed to the
+    # NEXT plane. Both live in scratch (persistent across the sequential
+    # grid); output blocks are written exactly once per plane (at the
+    # last py program) and never read.
+    @pl.when(py == 0)
+    def _():
+        @pl.when(px == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+            pend[...] = jnp.zeros_like(pend)
+
+        @pl.when(px > 0)
+        def _():
+            acc[...] = pend[...]
+            pend[...] = jnp.zeros_like(pend)
+
+    planes = {0: (gx1, gy1, gz1, gi1), 1: (gx2, gy2, gz2, gi2),
+              -1: (gx0, gy0, gz0, gi0)}
+
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
+    cols = sorted({(dx, dy) for dx, dy, _ in _HALF})
+    ncols = {}
+    for dx, dy in cols:
+        wy = py + jnp.int32(dy)
+        ncy = jax.lax.rem(wy + nyi, nyi)
+        sy = jnp.where(wy < 0, -prd_ref[1],
+                       jnp.where(wy >= nyi, prd_ref[1], 0.0))
+        ncols[(dx, dy)] = (ncy, sy)
+
+    for s, (dx, dy, dz) in enumerate(_HALF):
+        ncy, sy = ncols[(dx, dy)]
+        prefs = planes[dx]
+        shs = (None, sy, None, None)
+        for ci in range(4):
+            col = prefs[ci][0, ncy]  # [nz, cc]
+            if shs[ci] is not None:
+                col = col + shs[ci]
+            if ci == 3 and s > 0:
+                col = jnp.where(col >= 0.0, col + float(idcap), -1.0)
+            blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
+            if ci == 2 and dz != 0:
+                seam = (zrow == (nz - 1 if dz > 0 else 0))
+                blk = blk + jnp.where(
+                    seam, jnp.float32(dz) * prd_ref[2], 0.0
+                ).astype(blk.dtype)
+            cand_scratch[ci, :, s * cc:(s + 1) * cc] = blk
+
+    own_x = gx1[0, py][:, :, None]
+    own_y = gy1[0, py][:, :, None]
+    own_z = gz1[0, py][:, :, None]
+    own_i = gi1[0, py][:, :, None]
+
+    dxv = own_x - cand_scratch[0][:, None, :]
+    dyv = own_y - cand_scratch[1][:, None, :]
+    dzv = own_z - cand_scratch[2][:, None, :]
+    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+
+    ic = cand_scratch[3]
+    valid = jnp.logical_and(own_i < ic[:, None, :], r2 < cutsq)
+    r2s = jnp.where(valid, r2, 1.0)
+    fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+
+    fij_x = dxv * fpair
+    fij_y = dyv * fpair
+    fij_z = dzv * fpair
+    acc[0, py] += jnp.sum(fij_x, axis=-1)
+    acc[1, py] += jnp.sum(fij_y, axis=-1)
+    acc[2, py] += jnp.sum(fij_z, axis=-1)
+
+    rx = jnp.sum(fij_x, axis=-2)  # [nz, 14cc]
+    ry = jnp.sum(fij_y, axis=-2)
+    rz = jnp.sum(fij_z, axis=-2)
+    for s, (dx, dy, dz) in enumerate(_HALF):
+        ncy, _ = ncols[(dx, dy)]
+        for ci, r in enumerate((rx, ry, rz)):
+            blk = -r[:, s * cc:(s + 1) * cc]
+            if dz:
+                blk = pltpu.roll(blk, dz % nz, axis=0)
+            if dx == 0:
+                acc[ci, ncy] += blk
+            else:
+                pend[ci, ncy] += blk
+
+    @pl.when(py == nyi - 1)
+    def _():
+        fx[0] = acc[0]
+        fy[0] = acc[1]
+        fz[0] = acc[2]
+
+        @pl.when(px == jnp.int32(nx) - 1)
+        def _():
+            px_[...] = pend[0]
+            py_[...] = pend[1]
+            pz_[...] = pend[2]
+
+
+def plane_half_fits(params) -> bool:
+    """VMEM budget check for the plane-half kernel: the 12 double-buffered
+    single-plane views pad cc to 128 lanes, so the footprint is
+    ~24 * ny * ceil8(nz) * 128 * 4B plus outputs/scratch (~4 more plane
+    equivalents). Stay under ~12 MB to leave stack headroom."""
+    nx, ny, nz = params.ncells
+    plane = ny * ((nz + 7) // 8 * 8) * 128 * 4
+    return 36 * plane < 12 * 2 ** 20
+
+
+@functools.partial(jax.jit, static_argnames=("key", "ncells", "idcap"))
+def plane_half_force_pallas(key, ncells, idcap, gx, gy, gz, gi, prd):
+    """Newton-halved big-N force pass. g*: [nx, ny, nz, cc] planar grids
+    (gi float ids, -1 invalid; pads at the PAD_POS sentinel). Returns
+    (fx, fy, fz) in the same layout. Requires nx >= 3."""
+    nx, ny, nz, cc = gx.shape
+    dt = gx.dtype
+
+    # x halo planes with pre-shifted wrap positions
+    Lx = prd[0]
+    parts = []
+    for a, arr in enumerate((gx, gy, gz, gi)):
+        lo = arr[-1:] - (Lx if a == 0 else 0.0)
+        hi = arr[:1] + (Lx if a == 0 else 0.0)
+        parts.append(jnp.concatenate([lo, arr, hi], axis=0))
+    gxp, gyp, gzp, gip = parts  # [nx+2, ny, nz, cc]
+
+    kern = functools.partial(_plane_half_kernel, key, nx, ny, nz, cc,
+                             idcap)
+    # one single-plane view per stencil x-offset (BlockSpec indices are in
+    # block units, so overlapping windows need three offset views)
+    lo = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    mid = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i + 1, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i + 2, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    outp = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pend = pl.BlockSpec((ny, nz, cc), lambda i, j: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    out_shape = ([jax.ShapeDtypeStruct((nx, ny, nz, cc), dt)] * 3
+                 + [jax.ShapeDtypeStruct((ny, nz, cc), dt)] * 3)
+    quad = (gxp, gyp, gzp, gip)
+    fx, fy, fz, wx, wy, wz = pl.pallas_call(
+        kern,
+        grid=(nx, ny),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [lo] * 4 + [mid] * 4 + [hi] * 4),
+        out_specs=[outp] * 3 + [pend] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((4, nz, len(_HALF) * cc), dt),
+                        pltpu.VMEM((3, ny, nz, cc), dt),
+                        pltpu.VMEM((3, ny, nz, cc), dt)],
+        interpret=interpret,
+    )(prd, *quad, *quad, *quad)
+    # fold the x-wrap reactions (pending for "plane nx" = plane 0)
+    fx = fx.at[0].add(wx)
+    fy = fy.at[0].add(wy)
+    fz = fz.at[0].add(wz)
+    return fx, fy, fz
+
+
 def _slab_kernel(key, S, ny, nz, cc, prd_ref,
                  gx, gy, gz, gi, fx, fy, fz, cand_scratch):
     """Big-N variant: one x-slab of the grid ([S+2, ny, nz, cc] with halo
@@ -394,11 +587,9 @@ def _slab_kernel(key, S, ny, nz, cc, prd_ref,
         dzv = own_z - cwin[2][:, None, :]
         r2 = dxv * dxv + dyv * dyv + dzv * dzv
         ic = cwin[3]
-        valid = jnp.logical_and(
-            jnp.logical_and(own_i != ic[:, None, :],
-                            (ic >= 0.0)[:, None, :]),
-            jnp.logical_and(own_i >= 0.0, r2 < cutsq),
-        )
+        # pads sit at PAD_POS: pad-real pairs fail by distance, pad-pad
+        # pairs share id -1 and fail the != compare
+        valid = jnp.logical_and(own_i != ic[:, None, :], r2 < cutsq)
         r2s = jnp.where(valid, r2, 1.0)
         fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
         fx[sx, cy, z0:z0 + zb] = jnp.sum(dxv * fpair, axis=-1)

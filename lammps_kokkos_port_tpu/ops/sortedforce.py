@@ -33,6 +33,12 @@ from . import neighbor as nbr
 
 Array = jax.Array
 
+# padding rows carry this position sentinel: any pair with a pad fails the
+# cutoff test by distance alone, so the hot kernels need no per-candidate
+# validity compare for them (pad ids stay -1, which kills pad-pad pairs —
+# all pads share the same sentinel so their mutual r2 is 0)
+PAD_POS = 1.0e8
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -83,7 +89,8 @@ def expand_state(state: State, p: nbr.NeighborParams) -> State:
         return jnp.asarray(out)
 
     return state.replace(
-        x=repack(state.x), v=repack(state.v), f=repack(state.f),
+        x=repack(state.x, fill=PAD_POS), v=repack(state.v),
+        f=repack(state.f),
         type=repack(state.type), tag=repack(state.tag),
         image=repack(state.image),
         q=repack(state.q), molecule=repack(state.molecule),
@@ -205,7 +212,9 @@ def _apply_perm(state: State, perm, overflow):
     # NOTE: do NOT bitcast the int matrix to f32 to merge the two gathers —
     # small ints (mask=1, type=1) are f32 denormals and the TPU flushes
     # denormals to zero in the select, silently invalidating every atom.
-    fm = jnp.where(valid[:, None], fp[safe], 0)
+    # x columns (0-2) pad with the PAD_POS sentinel, everything else with 0
+    ffill = jnp.zeros((fp.shape[1],), fp.dtype).at[:3].set(PAD_POS)
+    fm = jnp.where(valid[:, None], fp[safe], ffill)
     im = jnp.where(valid[:, None], ip[safe], 0)
     x, v, f, q = unpack(fm, farrs)
     typ, tag, image, molecule, mask = unpack(im, iarrs)
@@ -233,7 +242,7 @@ def _permute(state: State, p: nbr.NeighborParams):
         return jnp.where(valid.reshape([-1] + [1] * (a.ndim - 1)), out, fill)
 
     state = state.replace(
-        x=g(state.x), v=g(state.v), f=g(state.f),
+        x=g(state.x, fill=PAD_POS), v=g(state.v), f=g(state.f),
         type=g(state.type), tag=g(state.tag), image=g(state.image),
         q=g(state.q), molecule=g(state.molecule), mask=g(state.mask),
     )
@@ -310,6 +319,13 @@ def compute(style, state: State, cl: SortedCells, eflag: bool, vflag: bool):
                     key, p.ncells, cap,
                     g[..., 0], g[..., 1], g[..., 2],
                     ids.reshape(nx * ny, nz, cc), prd,
+                )
+            elif nx >= 3 and pallas_pair.plane_half_fits(p):
+                g = state.x.reshape(nx, ny, nz, cc, 3)
+                fx, fy, fz = pallas_pair.plane_half_force_pallas(
+                    key, p.ncells, cap,
+                    g[..., 0], g[..., 1], g[..., 2],
+                    ids.reshape(nx, ny, nz, cc), prd,
                 )
             else:
                 g = state.x.reshape(nx, ny, nz, cc, 3)

@@ -141,6 +141,8 @@ class Simulation:
                 every=self.neigh_every, delay=self.neigh_delay,
                 check=self.neigh_check, cell_pad=1.12, cell_round=2,
             )
+        if self.list_mode == "sorted":
+            params = self._align_cell_cap(params)
         self.nl = self._build_list(self.state, params)
         self._check_overflow_and_grow()
         if getattr(self.pair_style, "is_granular", False):
@@ -290,6 +292,27 @@ class Simulation:
             return cellforce.build_cell(state, params)
         return nbr.build(state, params, special=self.forcefield.special)
 
+    @staticmethod
+    def _align_cell_cap(params):
+        """Round cell_cap to a 128-divisor lane width (32/64/...) for the
+        sorted mode's Pallas kernels: slice offsets at multiples of 32
+        lanes store ~1.5x faster than arbitrary offsets (measured,
+        benchmarks/prof). Falls back to the tight cap when alignment
+        would overshoot it by more than ~45% (pair-math cost scales
+        linearly with cell_cap)."""
+        import dataclasses as _dc
+
+        cc = params.cell_cap
+        # recover the observed max occupancy from the tight cap's known
+        # 1.12 pad, then take the smallest 32-multiple that still holds it
+        # (+1 atom of slack); a mid-run burst past it is healed by the
+        # overflow-grow-retry loop like any other density fluctuation
+        est_max = max(1, int((cc - 1) / 1.12))
+        aligned = max(32, ((est_max + 1 + 31) // 32) * 32)
+        if aligned <= max(cc, 8) * 1.45:
+            return _dc.replace(params, cell_cap=aligned)
+        return params
+
     def _grow_params(self, params):
         from .ops import zcolforce
 
@@ -297,7 +320,10 @@ class Simulation:
             grown = zcolforce.grow(params)
             self._zcol_params = grown
             return grown
-        return nbr.grow(params)
+        grown = nbr.grow(params)
+        if self.list_mode == "sorted":
+            grown = self._align_cell_cap(grown)
+        return grown
 
     def _check_overflow_and_grow(self, max_tries: int = 8):
         for _ in range(max_tries):
@@ -313,6 +339,22 @@ class Simulation:
         key = (self.nl.params, self.state.capacity)
         runner = self._segment_cache.get(key)
         if runner is None:
+            from .integrate.verlet import Integrator as _BaseNVE
+
+            kk = getattr(self.forcefield.pair, "kernel_key", None)
+            if (self.list_mode == "sorted" and self.respa is None
+                    and not self.fixes
+                    and type(self.integrator) is _BaseNVE
+                    and kk is not None and kk() is not None):
+                # bench hot path: fused planar NVE segment (zero per-step
+                # transposes/gathers; see integrate/fused.py)
+                from .integrate.fused import make_sorted_nve_segment
+
+                runner = make_sorted_nve_segment(
+                    self.integrator, self.forcefield.pair,
+                    special=self.forcefield.special)
+                self._segment_cache[key] = runner
+                return runner
             if self.respa is not None:
                 from .integrate.respa import make_respa_step
 
