@@ -11,6 +11,7 @@ orbax-style checkpointing without the orbax dependency weight.
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,11 +75,16 @@ def write_restart(path: str, sim, script_meta: dict | None = None):
         arrays["molecule"] = st.molecule
     arrays = {k: np.asarray(jax.device_get(v)) for k, v in arrays.items()}
     arrays.update(_flatten_aux(st.aux))
-    np.savez(path, __header__=json.dumps(header), **arrays)
+    # write through a file handle so np.savez cannot append ".npz" — the
+    # user's filename is kept verbatim (the reference writes exact names)
+    with open(path, "wb") as fh:
+        np.savez(fh, __header__=json.dumps(header), **arrays)
 
 
 def read_restart(path: str, with_meta: bool = False):
-    data = np.load(path if path.endswith(".npz") else path, allow_pickle=False)
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"  # files from older writers
+    data = np.load(path, allow_pickle=False)
     header = json.loads(str(data["__header__"]))
     if header["magic"] != MAGIC:
         raise ValueError("not a lammps_kokkos_port_tpu restart file")

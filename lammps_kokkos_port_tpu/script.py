@@ -1035,8 +1035,6 @@ class LammpsScript:
         for w in a[1:]:
             if w in self._THERMO_COLS or w.startswith(("c_", "v_", "f_")):
                 cols.append(w)
-            elif w in ("pxx", "pyy", "pzz", "spcpu", "tpcpu", "cpuremain"):
-                continue  # accepted, not printed (subset)
             else:
                 raise ScriptError(f"thermo_style keyword {w} unsupported")
         self.thermo_style = cols
@@ -1173,6 +1171,10 @@ class LammpsScript:
         "fmax": ("Fmax", "{:>14.8g}"), "fnorm": ("Fnorm", "{:>14.8g}"),
         "enthalpy": ("Enthalpy", "{:>14.8g}"), "dt": ("Dt", "{:>12.6g}"),
         "time": ("Time", "{:>12.8g}"),
+        # CPU-rate keywords (ref: src/thermo.cpp compute_spcpu/tpcpu/
+        # cpuremain): rates since the previous thermo line of this run
+        "spcpu": ("S/CPU", "{:>12.6g}"), "tpcpu": ("T/CPU", "{:>12.6g}"),
+        "cpuremain": ("CPULeft", "{:>12.6g}"),
     }
 
     def _thermo_columns(self):
@@ -1187,6 +1189,18 @@ class LammpsScript:
         row["atoms"] = row["natoms"]
         row["cpu"] = time.perf_counter() - t0
         row["elapsed"] = step_no
+        # CPU-rate keywords relative to the previous thermo line
+        # (ref: src/thermo.cpp compute_spcpu/tpcpu/cpuremain)
+        prev_step, prev_cpu = getattr(self, "_thermo_prev", (step_no, 0.0))
+        d_cpu = row["cpu"] - prev_cpu
+        d_step = step_no - prev_step
+        spcpu = d_step / d_cpu if d_cpu > 0 and d_step > 0 else 0.0
+        row["spcpu"] = spcpu
+        row["tpcpu"] = spcpu * self._thermo_keyword("dt")
+        end_step = getattr(self, "_run_end", step_no)
+        row["cpuremain"] = ((end_step - step_no) / spcpu if spcpu > 0
+                            else 0.0)
+        self._thermo_prev = (step_no, row["cpu"])
         prd = _jax.device_get(sim.state.box.prd)
         row["lx"], row["ly"], row["lz"] = map(float, prd)
         if "density" in self._thermo_columns():
@@ -1259,8 +1273,12 @@ class LammpsScript:
             (self._THERMO_COLS[c][0] if c in self._THERMO_COLS else c)
             for c in self._thermo_columns()))
         t0 = time.perf_counter()
+        self._thermo_prev = (sim.ntimestep, 0.0)
+        self._run_end = sim.ntimestep + nsteps
         rows = [self._emit_thermo_row(sim, sim.ntimestep, t0)]
         self._write_dumps(sim.ntimestep)
+        restart_every = (getattr(self, "_restart_sched", None) or
+                         {}).get("every", 0)
 
         done = 0
         while done < nsteps:
@@ -1271,6 +1289,8 @@ class LammpsScript:
             for d in self.dumps.values():
                 if d["every"] > 0:
                     nxt = min(nxt, ((done // d["every"]) + 1) * d["every"])
+            if restart_every > 0:
+                nxt = min(nxt, ((done // restart_every) + 1) * restart_every)
             seg = nxt - done
             sim._run_segment_retry(seg)
             sim.ntimestep += seg
@@ -1280,6 +1300,7 @@ class LammpsScript:
                                   and done % self.thermo_every == 0):
                 rows.append(self._emit_thermo_row(sim, step_no, t0))
             self._write_dumps(step_no)
+            self._write_scheduled_restart(sim, step_no)
 
         sim.state.x.block_until_ready()
         loop = time.perf_counter() - t0
@@ -1421,7 +1442,35 @@ class LammpsScript:
 
         if self.sim is None:
             self._build_simulation()
-        write_restart(a[0], self.sim, script_meta=self._script_meta())
+        write_restart(self._restart_name(a[0]), self.sim,
+                      script_meta=self._script_meta())
+
+    def cmd_restart(self, a):
+        """restart N file1 [file2]: scheduled checkpoints every N steps
+        during `run` (ref: src/output.cpp:189 restart scheduling). With two
+        files they alternate; a `*` in the name becomes the timestep."""
+        n = int(a[0])
+        if n == 0:
+            self._restart_sched = None
+            return
+        files = list(a[1:3]) if len(a) > 1 else ["restart.*"]
+        self._restart_sched = {"every": n, "files": files, "toggle": 0}
+
+    def _restart_name(self, name: str) -> str:
+        return name.replace("*", str(self.ntimestep))
+
+    def _write_scheduled_restart(self, sim, step_no: int):
+        sched = getattr(self, "_restart_sched", None)
+        if not sched or sched["every"] <= 0 or step_no % sched["every"]:
+            return
+        from .io.restart import write_restart
+
+        files = sched["files"]
+        path = files[sched["toggle"] % len(files)]
+        sched["toggle"] += 1
+        self.ntimestep = step_no
+        write_restart(path.replace("*", str(step_no)), sim,
+                      script_meta=self._script_meta())
 
     def _script_meta(self) -> dict:
         return {

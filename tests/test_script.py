@@ -338,3 +338,56 @@ class TestRegions:
         r_t = 1.5 * sp[0]
         d2 = (x[:, 0] - c[0]) ** 2 + (x[:, 1] - c[1]) ** 2
         np.testing.assert_array_equal(t_in, d2 <= r_t * r_t)
+
+
+class TestScheduledOutput:
+    def test_scheduled_restart_files(self, tmp_path):
+        """restart N file1 file2 alternates files; `*` takes the timestep
+        (ref: src/output.cpp:189 restart scheduling)."""
+        from lammps_kokkos_port_tpu.io.restart import read_restart
+
+        f1 = str(tmp_path / "a.restart")
+        f2 = str(tmp_path / "b.restart")
+        deck = MELT_DECK.replace(
+            "run             50",
+            f"restart 10 {f1} {f2}\nrun             40")
+        s = run_deck(deck)
+        # steps 10,20,30,40 -> a(10), b(20), a(30), b(40)
+        st_a = read_restart(f1)
+        st_b = read_restart(f2)
+        assert int(st_a.ntimestep) == 30
+        assert int(st_b.ntimestep) == 40
+        # wildcard form writes one file per checkpoint
+        s2 = run_deck(MELT_DECK.replace(
+            "run             50",
+            f"restart 25 {tmp_path}/w.*.restart\nrun             50"))
+        assert (tmp_path / "w.25.restart").exists()
+        assert (tmp_path / "w.50.restart").exists()
+        assert int(read_restart(str(tmp_path / "w.50.restart")).ntimestep) == 50
+
+    def test_restart_zero_cancels(self, tmp_path):
+        deck = MELT_DECK.replace(
+            "run             50",
+            f"restart 10 {tmp_path}/n.*.restart\nrestart 0\nrun 20")
+        run_deck(deck)
+        assert not list(tmp_path.glob("n.*"))
+
+    def test_cpu_rate_thermo_keywords(self, capsys):
+        """spcpu/tpcpu/cpuremain print real rates (were silently dropped;
+        ref: src/thermo.cpp compute_spcpu)."""
+        deck = MELT_DECK.replace(
+            "thermo          50",
+            "thermo          10\n"
+            "thermo_style    custom step temp spcpu tpcpu cpuremain pxx pyy pzz")
+        s = run_deck(deck)
+        out = capsys.readouterr().out
+        header = next(l for l in out.splitlines() if l.startswith("Step"))
+        assert "S/CPU" in header and "T/CPU" in header and "CPULeft" in header
+        assert "Pxx" in header
+        rows = [l for l in out.splitlines()
+                if l.strip() and l.split()[0].isdigit()]
+        last = rows[-1].split()
+        # spcpu positive on every row after the first; pxx finite
+        assert float(last[2]) > 0
+        import math
+        assert all(math.isfinite(float(v)) for v in last[1:])
