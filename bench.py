@@ -82,13 +82,15 @@ def main():
         log(f"lj-1m failed: {e}")
 
     # -- secondary: EAM Cu 32k (bench/in.eam) ------------------------------
-    # dense Chebyshev-resampled path (ops/eamdense; force err < ~1e-3 rel
-    # vs the exact spline path, which stays the default for golden parity)
+    # Pallas two-sweep dense path (ops/pallas_eam) over Chebyshev-resampled
+    # tables; force err < 2e-3 rel / energy < 1e-5 rel vs the exact spline
+    # path (pinned in tests/test_eam.py TestEAMDense/TestEAMPallas; the
+    # spline path stays the default for golden-log parity)
     try:
         sim = eam_bulk_cu_sim(cells=20, dtype=jnp.float32)
-        sim._list_mode_req = "grid"
+        sim._list_mode_req = "sorted"
         r, n, st = run_rate(sim)
-        log(f"eam-32k [{sim.list_mode} dense]: {r/1e6:.2f} M atom-steps/s "
+        log(f"eam-32k [{sim.list_mode} pallas]: {r/1e6:.2f} M atom-steps/s "
             f"({st*1e3:.2f} ms/step), vs CPU baseline "
             f"{r/BASELINE_EAM:.1f}x")
         extra["eam_32k_atom_steps_per_sec"] = round(r)

@@ -49,7 +49,7 @@ def force_planar(key, params, cap, gx, gy, gz, gi, prd):
         return pallas_pair.column_half_force_pallas(
             key, params.ncells, cap, gx, gy, gz, gi, prd)
     rs = lambda a: a.reshape(nx, ny, nz, cc)
-    if nx >= 3 and pallas_pair.plane_half_fits(params):
+    if nx >= 2 and pallas_pair.plane_half_fits(params):
         fx, fy, fz = pallas_pair.plane_half_force_pallas(
             key, params.ncells, cap, rs(gx), rs(gy), rs(gz), rs(gi), prd)
     else:

@@ -84,6 +84,54 @@ def gather_pairs(state: State, nl: NeighborList):
     return j, jc, pair_valid, dx, r2
 
 
+# [rows, K] pair-tensor budget before the matrix engines switch to
+# row-chunked evaluation (each block materializes ~20 intermediates of
+# B*K f32 — 4M elements keeps the peak near ~300 MB instead of tens of GB
+# at molecular K of ~1-2k; ref problem: bench/in.rhodo at 32k atoms)
+_PAIR_ELEMS_LIMIT = 4 * 2 ** 20
+
+
+def map_row_blocks(cap: int, K: int, block_fn, slice_args, concat_outs=1):
+    """Evaluate `block_fn(*row_slices)` over row blocks of the [cap, K]
+    pair problem with jax.lax.map, bounding peak memory.
+
+    slice_args: per-row arrays ([cap, ...]) sliced per block (None kept).
+    block_fn returns a tuple; the first `concat_outs` entries are per-row
+    arrays (concatenated), the rest scalars/fixed-size (summed).
+    Rows are padded up to a block multiple; callers must already treat
+    out-of-range neighbor indices as invalid (they are, via j >= cap).
+    """
+    if cap * K <= _PAIR_ELEMS_LIMIT:
+        return block_fn(*slice_args)
+    B = max(8, _PAIR_ELEMS_LIMIT // max(K, 1) // 8 * 8)
+    nb = -(-cap // B)
+    pad = nb * B - cap
+
+    def pad_rows(a):
+        if a is None:
+            return None
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=0)
+
+    padded = [pad_rows(a) for a in slice_args]
+
+    def one(b):
+        sl = [None if a is None
+              else jax.lax.dynamic_slice_in_dim(a, b * B, B, axis=0)
+              for a in padded]
+        return block_fn(*sl)
+
+    outs = jax.lax.map(one, jnp.arange(nb))
+    res = []
+    for i, o in enumerate(outs):
+        if i < concat_outs:
+            o = o.reshape((nb * B,) + o.shape[2:])[:cap]
+        elif o is not None:
+            o = jnp.sum(o, axis=0)
+        res.append(o)
+    return tuple(res)
+
+
 def tally_virial(fpair: Array, dx: Array) -> Array:
     """Voigt virial from per-pair scalar forces (0.5 weight, FULL lists)."""
     w = 0.5 * fpair

@@ -134,18 +134,65 @@ class PairLJCharmmCoulLong:
 
     def compute_detailed(self, state, nl, eflag, vflag,
                          special_lj=None, special_coul=None):
+        """Row-block evaluation via map_row_blocks: molecular K runs to
+        ~1-2k, so the [cap, K] pair tensors are chunked to bound peak
+        memory (bench/in.rhodo at 32k atoms needs this)."""
         cap = state.capacity
         dt = state.dtype
-        j, jc, pair_valid, dx, r2 = gather_pairs(state, nl)
         qqrd2e = _qqrd2e(state)
+        from .pair import map_row_blocks
+
+        x_all = state.x
+        t_all = state.type
+        q_all = state.q
+        K = nl.idx.shape[1]
+        if nl.shift is not None:
+            from ..ops.neighbor import shift_offsets
+
+            offs = jnp.asarray(shift_offsets(nl.params.images), dtype=dt)
+            vecs = offs @ state.box.h.T
+        else:
+            vecs = None
+
+        ti_rows_in = None if self.ntypes == 1 else state.type
+        q_rows_in = None if state.q is None else state.q
+
+        def block(xi_rows, ti_rows, qi_rows, owned_rows, j_rows, sb_rows,
+                  sh_rows):
+            return self._block(
+                state, xi_rows, ti_rows, qi_rows, owned_rows, j_rows,
+                sb_rows, sh_rows, x_all, t_all, q_all, vecs, qqrd2e,
+                eflag, vflag, special_lj, special_coul)
+
+        f, evdwl, ecoul, virial = map_row_blocks(
+            cap, K, block,
+            [state.x, ti_rows_in, q_rows_in, state.owned_mask,
+             nl.idx, nl.sb, nl.shift],
+            concat_outs=1)
+        return f, evdwl, ecoul, virial
+
+    def _block(self, state, xi_rows, ti_rows, qi_rows, owned_rows, j_rows,
+               sb_rows, sh_rows, x_all, t_all, q_all, vecs, qqrd2e,
+               eflag, vflag, special_lj, special_coul):
+        cap = state.capacity
+        dt = state.dtype
+        jc = jnp.clip(j_rows, 0, cap - 1)
+        pair_valid = j_rows < cap
+        xi = xi_rows[:, None, :]
+        xj = x_all[jc]
+        if sh_rows is not None:
+            dx = xi - (xj + vecs[sh_rows])
+        else:
+            dx = state.box.min_image(xi - xj)
+        r2 = jnp.sum(dx * dx, axis=-1)
 
         if self.ntypes == 1:
             ti = tj = None
             lj1, lj2 = self.lj1[1, 1], self.lj2[1, 1]
             lj3, lj4 = self.lj3[1, 1], self.lj4[1, 1]
         else:
-            ti = state.type[:, None]
-            tj = state.type[jc]
+            ti = ti_rows[:, None]
+            tj = t_all[jc]
             lj1, lj2 = self.lj1[ti, tj], self.lj2[ti, tj]
             lj3, lj4 = self.lj3[ti, tj], self.lj4[ti, tj]
 
@@ -159,12 +206,12 @@ class PairLJCharmmCoulLong:
         r2inv = 1.0 / r2s
 
         # special factors per pair
-        if nl.sb is not None and special_lj is not None:
-            flj = jnp.asarray(special_lj, dt)[nl.sb]
+        if sb_rows is not None and special_lj is not None:
+            flj = jnp.asarray(special_lj, dt)[sb_rows]
         else:
             flj = None
-        if nl.sb is not None and special_coul is not None:
-            fcoul = jnp.asarray(special_coul, dt)[nl.sb]
+        if sb_rows is not None and special_coul is not None:
+            fcoul = jnp.asarray(special_coul, dt)[sb_rows]
         else:
             fcoul = None
 
@@ -192,9 +239,9 @@ class PairLJCharmmCoulLong:
         forcelj = jnp.where(lj_on, forcelj, 0.0)
 
         # ---- Coulomb part ----
-        if self.coul_mode != "none" and state.q is not None:
-            qi = state.q[:, None]
-            qj = state.q[jc]
+        if self.coul_mode != "none" and qi_rows is not None:
+            qi = qi_rows[:, None]
+            qj = q_all[jc]
             qiqj = qi * qj
             if self.coul_mode == "long":
                 forcecoul, ec = coul_long_terms(
@@ -226,7 +273,7 @@ class PairLJCharmmCoulLong:
         fpair = jnp.where(valid, fpair, 0.0)
         f = jnp.sum(dx * fpair[..., None], axis=1)
 
-        owned = state.owned_mask[:, None]
+        owned = owned_rows[:, None]
         evdwl = ecoul = None
         if eflag:
             evdwl = 0.5 * jnp.sum(jnp.where(lj_on & owned, philj, 0.0))

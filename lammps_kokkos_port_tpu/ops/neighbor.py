@@ -296,7 +296,10 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
     else:
         cell_coords, buckets, cell_overflow = _bin_atoms(state, p)
 
-    chunk = _chunk_size(cap)
+    # bound one chunk's [chunk, candidates] intermediates (~6 live f32
+    # copies) — molecular systems reach 27*cell_cap ~ 15k candidates/row
+    width = cap * nsh if p.all_pairs else 27 * p.cell_cap
+    chunk = _chunk_size(cap, target=max(64, 12 * 2 ** 20 // max(width, 1)))
     nchunk = cap // chunk
 
     def one_chunk(args):
@@ -435,6 +438,7 @@ def size_for_system(
     cell_pad: float = 1.6,
     k_round: int = 8,
     cell_round: int = 4,
+    ncells: tuple[int, int, int] | None = None,
 ) -> NeighborParams:
     """Pick initial padded capacities from host-side counting + density.
 
@@ -445,7 +449,8 @@ def size_for_system(
     good first guesses, never giant trial builds.
     """
     prd = np.asarray(jax.device_get(state.box.prd))
-    ncells = choose_grid(state.box, cutneigh)
+    if ncells is None:
+        ncells = choose_grid(state.box, cutneigh)
     n = int(jax.device_get(state.nlocal))
 
     def round_up(v, m):

@@ -351,67 +351,38 @@ def column_force_pallas(key, ncells, gx, gy, gz, gi, prd):
 _VMEM_ROW_LIMIT = 300_000
 
 
-def _plane_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
-                       gx0, gy0, gz0, gi0, gx1, gy1, gz1, gi1,
-                       gx2, gy2, gz2, gi2,
-                       fx, fy, fz, px_, py_, pz_,
-                       cand_scratch, acc, pend):
+# reaction targets that leave the own column: (dx, dy) with z-rolls
+# folded in-kernel; (0,0) reactions fold directly into the forward output
+_RTARGETS = [(0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _plane_half_kernel(key, nz, cc, idcap, prd_ref,
+                       *refs):
     """Newton-halved big-N kernel: grid (nx, ny), program (px, py) owns
-    z-column (px, py). Inputs are x-halo-padded [nx+2, ...] grids whose
-    wrap planes carry pre-shifted positions; the BlockSpec window is the
-    3-plane slab [px-1, px, px+1] (block rows 0..2, own = row 1), fetched
-    once per plane thanks to the row-major grid order. Within-plane
-    reactions accumulate into the plane's own output block (revisited by
-    all ny programs of the plane); dx=+1 reactions accumulate into the
-    rolling `pending` output (p*_), which the NEXT plane's py==0 program
-    folds into its output before computing — the sequential-grid analog
-    of the reference's reverse communication (ref: src/comm_brick.cpp:598
-    reverse_comm; Newton pair halving src/npair_half_bin_newton.cpp:36).
-    At kernel end `pending` holds the x-wrap reactions for plane 0, which
-    the caller adds (forces are translation-invariant, so index wrap
-    needs no value correction)."""
-    px = pl.program_id(0)
-    py = pl.program_id(1)
-    nyi = jnp.int32(ny)
+    z-column (px, py). The caller pads the grid in BOTH x and y with
+    pre-shifted periodic wrap images, so the 5 stencil column views
+    ((0,0),(0,1),(1,-1),(1,0),(1,1) — the half stencil has dx in {0,+1})
+    are plain BlockSpec windows: no dynamic indexing, no wrap arithmetic
+    in-kernel, and VMEM use independent of the grid size (multi-million-
+    atom capable). Reactions to the own column fold into the forward
+    output; the 4 cross-column targets are written ONCE per program to the
+    rc output, which the caller folds with periodic jnp.roll adds — the
+    XLA-side analog of the reference's reverse communication (ref:
+    src/comm_brick.cpp:598 reverse_comm; Newton pair halving
+    src/npair_half_bin_newton.cpp:36)."""
+    views = refs[:20]          # 5 stencil columns x (x, y, z, id)
+    fx, fy, fz, rc = refs[20:24]
+    cand_scratch = refs[24]
     cutsq = key[-1]
 
-    # acc: this plane's force accumulator; pend: reactions owed to the
-    # NEXT plane. Both live in scratch (persistent across the sequential
-    # grid); output blocks are written exactly once per plane (at the
-    # last py program) and never read.
-    @pl.when(py == 0)
-    def _():
-        @pl.when(px == 0)
-        def _():
-            acc[...] = jnp.zeros_like(acc)
-            pend[...] = jnp.zeros_like(pend)
-
-        @pl.when(px > 0)
-        def _():
-            acc[...] = pend[...]
-            pend[...] = jnp.zeros_like(pend)
-
-    planes = {0: (gx1, gy1, gz1, gi1), 1: (gx2, gy2, gz2, gi2),
-              -1: (gx0, gy0, gz0, gi0)}
+    cols = {t: views[4 * k:4 * (k + 1)]
+            for k, t in enumerate([(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)])}
 
     zrow = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
-    cols = sorted({(dx, dy) for dx, dy, _ in _HALF})
-    ncols = {}
-    for dx, dy in cols:
-        wy = py + jnp.int32(dy)
-        ncy = jax.lax.rem(wy + nyi, nyi)
-        sy = jnp.where(wy < 0, -prd_ref[1],
-                       jnp.where(wy >= nyi, prd_ref[1], 0.0))
-        ncols[(dx, dy)] = (ncy, sy)
-
     for s, (dx, dy, dz) in enumerate(_HALF):
-        ncy, sy = ncols[(dx, dy)]
-        prefs = planes[dx]
-        shs = (None, sy, None, None)
+        prefs = cols[(dx, dy)]
         for ci in range(4):
-            col = prefs[ci][0, ncy]  # [nz, cc]
-            if shs[ci] is not None:
-                col = col + shs[ci]
+            col = prefs[ci][0, 0]  # [nz, cc]
             if ci == 3 and s > 0:
                 col = jnp.where(col >= 0.0, col + float(idcap), -1.0)
             blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
@@ -422,117 +393,124 @@ def _plane_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
                 ).astype(blk.dtype)
             cand_scratch[ci, :, s * cc:(s + 1) * cc] = blk
 
-    own_x = gx1[0, py][:, :, None]
-    own_y = gy1[0, py][:, :, None]
-    own_z = gz1[0, py][:, :, None]
-    own_i = gi1[0, py][:, :, None]
+    o = cols[(0, 0)]
 
-    dxv = own_x - cand_scratch[0][:, None, :]
-    dyv = own_y - cand_scratch[1][:, None, :]
-    dzv = own_z - cand_scratch[2][:, None, :]
-    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+    # z-chunked pair math: the [nzb, cc, 14cc] displacement/product
+    # intermediates stay register-sized instead of materializing three
+    # [nz, cc, 14cc] arrays in VMEM for the dual (forward + reverse)
+    # reductions — the pair structure is z-diagonal, so chunks are local
+    NZB = 8
+    fwd_c, rev_c = [[], [], []], [[], [], []]
+    for z0 in range(0, nz, NZB):
+        zb = min(NZB, nz - z0)
+        zs = slice(z0, z0 + zb)
+        own_x = o[0][0, 0, zs][:, :, None]
+        own_y = o[1][0, 0, zs][:, :, None]
+        own_z = o[2][0, 0, zs][:, :, None]
+        own_i = o[3][0, 0, zs][:, :, None]
 
-    ic = cand_scratch[3]
-    valid = jnp.logical_and(own_i < ic[:, None, :], r2 < cutsq)
-    r2s = jnp.where(valid, r2, 1.0)
-    fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+        dxv = own_x - cand_scratch[0, zs][:, None, :]
+        dyv = own_y - cand_scratch[1, zs][:, None, :]
+        dzv = own_z - cand_scratch[2, zs][:, None, :]
+        r2 = dxv * dxv + dyv * dyv + dzv * dzv
 
-    fij_x = dxv * fpair
-    fij_y = dyv * fpair
-    fij_z = dzv * fpair
-    acc[0, py] += jnp.sum(fij_x, axis=-1)
-    acc[1, py] += jnp.sum(fij_y, axis=-1)
-    acc[2, py] += jnp.sum(fij_z, axis=-1)
+        ic = cand_scratch[3, zs]
+        valid = jnp.logical_and(own_i < ic[:, None, :], r2 < cutsq)
+        r2s = jnp.where(valid, r2, 1.0)
+        fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
 
-    rx = jnp.sum(fij_x, axis=-2)  # [nz, 14cc]
-    ry = jnp.sum(fij_y, axis=-2)
-    rz = jnp.sum(fij_z, axis=-2)
+        for ci, dv in enumerate((dxv, dyv, dzv)):
+            fij = dv * fpair
+            fwd_c[ci].append(jnp.sum(fij, axis=-1))
+            rev_c[ci].append(jnp.sum(fij, axis=-2))
+    fwd = [jnp.concatenate(c, axis=0) for c in fwd_c]
+    rx, ry, rz = (jnp.concatenate(c, axis=0) for c in rev_c)
+    # fold the dz variants per (dx, dy) target in registers (5 targets vs
+    # 14 raw blocks); (0,0) goes straight into the forward output
+    tacc = {}
     for s, (dx, dy, dz) in enumerate(_HALF):
-        ncy, _ = ncols[(dx, dy)]
         for ci, r in enumerate((rx, ry, rz)):
             blk = -r[:, s * cc:(s + 1) * cc]
             if dz:
                 blk = pltpu.roll(blk, dz % nz, axis=0)
-            if dx == 0:
-                acc[ci, ncy] += blk
-            else:
-                pend[ci, ncy] += blk
-
-    @pl.when(py == nyi - 1)
-    def _():
-        fx[0] = acc[0]
-        fy[0] = acc[1]
-        fz[0] = acc[2]
-
-        @pl.when(px == jnp.int32(nx) - 1)
-        def _():
-            px_[...] = pend[0]
-            py_[...] = pend[1]
-            pz_[...] = pend[2]
+            a = tacc.setdefault((dx, dy), [None, None, None])
+            a[ci] = blk if a[ci] is None else a[ci] + blk
+    fx[0, 0] = fwd[0] + tacc[(0, 0)][0]
+    fy[0, 0] = fwd[1] + tacc[(0, 0)][1]
+    fz[0, 0] = fwd[2] + tacc[(0, 0)][2]
+    for t, tgt in enumerate(_RTARGETS):
+        for ci in range(3):
+            rc[0, 0, t, ci] = tacc[tgt][ci]
 
 
 def plane_half_fits(params) -> bool:
-    """VMEM budget check for the plane-half kernel: the 12 double-buffered
-    single-plane views pad cc to 128 lanes, so the footprint is
-    ~24 * ny * ceil8(nz) * 128 * 4B plus outputs/scratch (~4 more plane
-    equivalents). Stay under ~12 MB to leave stack headroom."""
+    """The v3 plane-half kernel streams per-column blocks, so its VMEM
+    footprint (~2-3 MB) is independent of the grid size; it applies
+    whenever the grid is big enough to have distinct x and y neighbors."""
     nx, ny, nz = params.ncells
-    plane = ny * ((nz + 7) // 8 * 8) * 128 * 4
-    return 36 * plane < 12 * 2 ** 20
+    return nx >= 2 and ny >= 2 and nz >= 3
 
 
 @functools.partial(jax.jit, static_argnames=("key", "ncells", "idcap"))
 def plane_half_force_pallas(key, ncells, idcap, gx, gy, gz, gi, prd):
     """Newton-halved big-N force pass. g*: [nx, ny, nz, cc] planar grids
     (gi float ids, -1 invalid; pads at the PAD_POS sentinel). Returns
-    (fx, fy, fz) in the same layout. Requires nx >= 3."""
+    (fx, fy, fz) in the same layout. Requires nx, ny >= 2."""
     nx, ny, nz, cc = gx.shape
     dt = gx.dtype
 
-    # x halo planes with pre-shifted wrap positions
-    Lx = prd[0]
+    # pad x and y with pre-shifted periodic images: [nx+1, ny+2, nz, cc];
+    # padded column (i, j) = unpadded (i % nx, (j-1) % ny) + box shifts
+    Lx, Ly = prd[0], prd[1]
     parts = []
     for a, arr in enumerate((gx, gy, gz, gi)):
-        lo = arr[-1:] - (Lx if a == 0 else 0.0)
-        hi = arr[:1] + (Lx if a == 0 else 0.0)
-        parts.append(jnp.concatenate([lo, arr, hi], axis=0))
-    gxp, gyp, gzp, gip = parts  # [nx+2, ny, nz, cc]
+        p = jnp.concatenate([arr, arr[:1] + (Lx if a == 0 else 0.0)],
+                            axis=0)
+        lo = p[:, -1:] - (Ly if a == 1 else 0.0)
+        hi = p[:, :1] + (Ly if a == 1 else 0.0)
+        parts.append(jnp.concatenate([lo, p, hi], axis=1))
+    quad = tuple(parts)  # [nx+1, ny+2, nz, cc]
 
-    kern = functools.partial(_plane_half_kernel, key, nx, ny, nz, cc,
-                             idcap)
-    # one single-plane view per stencil x-offset (BlockSpec indices are in
-    # block units, so overlapping windows need three offset views)
-    lo = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i, 0, 0, 0),
-                      memory_space=pltpu.VMEM)
-    mid = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i + 1, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    hi = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i + 2, 0, 0, 0),
-                      memory_space=pltpu.VMEM)
-    outp = pl.BlockSpec((1, ny, nz, cc), lambda i, j: (i, 0, 0, 0),
+    kern = functools.partial(_plane_half_kernel, key, nz, cc, idcap)
+
+    def view(di, dj):
+        return pl.BlockSpec((1, 1, nz, cc),
+                            lambda i, j, di=di, dj=dj: (i + di, j + dj, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for (dxs, dys) in ((0, 1), (0, 2), (1, 0), (1, 1), (1, 2)):
+        in_specs.extend([view(dxs, dys)] * 4)
+    outp = pl.BlockSpec((1, 1, nz, cc), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
-    pend = pl.BlockSpec((ny, nz, cc), lambda i, j: (0, 0, 0),
+    outr = pl.BlockSpec((1, 1, len(_RTARGETS), 3, nz, cc),
+                        lambda i, j: (i, j, 0, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     interpret = jax.default_backend() != "tpu"
     out_shape = ([jax.ShapeDtypeStruct((nx, ny, nz, cc), dt)] * 3
-                 + [jax.ShapeDtypeStruct((ny, nz, cc), dt)] * 3)
-    quad = (gxp, gyp, gzp, gip)
-    fx, fy, fz, wx, wy, wz = pl.pallas_call(
+                 + [jax.ShapeDtypeStruct((nx, ny, len(_RTARGETS), 3, nz, cc),
+                                         dt)])
+    operands = []
+    for _ in range(5):
+        operands.extend(quad)
+    fx, fy, fz, rcv = pl.pallas_call(
         kern,
         grid=(nx, ny),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [lo] * 4 + [mid] * 4 + [hi] * 4),
-        out_specs=[outp] * 3 + [pend] * 3,
+        in_specs=in_specs,
+        out_specs=[outp] * 3 + [outr],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4, nz, len(_HALF) * cc), dt),
-                        pltpu.VMEM((3, ny, nz, cc), dt),
-                        pltpu.VMEM((3, ny, nz, cc), dt)],
+        scratch_shapes=[pltpu.VMEM((4, nz, len(_HALF) * cc), dt)],
         interpret=interpret,
-    )(prd, *quad, *quad, *quad)
-    # fold the x-wrap reactions (pending for "plane nx" = plane 0)
-    fx = fx.at[0].add(wx)
-    fy = fy.at[0].add(wy)
-    fz = fz.at[0].add(wz)
-    return fx, fy, fz
+    )(prd, *operands)
+    # fold the cross-column reactions: rc[i, j, t] belongs to column
+    # (i+dx, j+dy) with periodic wrap — forces are translation-invariant,
+    # so the wrap needs no value correction
+    f = [fx, fy, fz]
+    for t, (dx, dy) in enumerate(_RTARGETS):
+        blk = jnp.roll(rcv[:, :, t], (dx, dy), axis=(0, 1))
+        for ci in range(3):
+            f[ci] = f[ci] + blk[:, :, ci]
+    return f[0], f[1], f[2]
 
 
 def _slab_kernel(key, S, ny, nz, cc, prd_ref,

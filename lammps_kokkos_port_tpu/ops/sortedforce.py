@@ -111,7 +111,9 @@ def _local_perm(state: State, p: nbr.NeighborParams):
     host redo the build via the full-sort path (the usual grow-retry idiom,
     ref: src/KOKKOS/npair_kokkos.cpp:225-330).
 
-    Returns (perm [cap] int32 row sources with >=cap padding, overflow).
+    Returns (newpos [cap] int32 forward destinations, >= cap for padding
+    rows, overflow) — consumed by the forward-scatter _apply_perm, so the
+    permutation never needs inverting.
     """
     cap = state.capacity
     cc = p.cell_cap
@@ -171,18 +173,44 @@ def _local_perm(state: State, p: nbr.NeighborParams):
     dcell = (c_new[:, 0] * ny + c_new[:, 1]) * nz + c_new[:, 2]
     slot = base.reshape(-1)[dcell * 27 + o] + rank
     newpos = dcell * cc + jnp.minimum(slot, cc - 1)
-    perm = jnp.full((cap,), cap, dtype=jnp.int32)
-    perm = perm.at[jnp.where(valid, newpos, cap)].set(row, mode="drop")
-    return perm, moved_far | cell_overflow
+    return jnp.where(valid, newpos, cap), moved_far | cell_overflow
 
 
-def _apply_perm(state: State, perm, overflow):
-    """Permute all per-atom arrays by `perm` (>= cap entries -> padding).
-
-    The per-atom pytree is packed into ONE float and ONE int matrix first so
-    the whole permute is two row gathers instead of nine (TPU gathers pay a
-    large per-op cost; bytes are nearly free at this size)."""
+def _apply_gather_perm(state: State, perm, overflow):
+    """Permute by a dst->src gather permutation (`perm` [cap] source rows,
+    >= cap entries -> padding). Used by layouts that compute the inverse
+    permutation directly (zcol argsort); the local re-binning path uses
+    the forward-scatter `_apply_perm` instead."""
     cap = state.capacity
+    valid = perm < cap
+    safe = jnp.minimum(perm, cap - 1)
+
+    def g(a, fill=0):
+        if a is None:
+            return None
+        out = a[safe]
+        return jnp.where(valid.reshape([-1] + [1] * (a.ndim - 1)), out, fill)
+
+    return state.replace(
+        x=g(state.x, fill=PAD_POS), v=g(state.v), f=g(state.f),
+        type=g(state.type), tag=g(state.tag), image=g(state.image),
+        q=g(state.q), molecule=g(state.molecule), mask=g(state.mask),
+    ), overflow
+
+
+def _apply_perm(state: State, newpos, overflow):
+    """Move every row to its destination slot (`newpos` [cap], entries
+    >= cap are dropped). TPU scatters are far slower than gathers per row
+    (measured ~5x on wide rows), so the move inverts the permutation with
+    ONE narrow int scatter and then applies it as row gathers over the
+    per-atom pytree packed into ONE float and ONE int matrix.
+    `f` is NOT moved — every rebuild is followed by a force evaluation in
+    both the fused and generic steps (Verlet order: rebuild, force, kick),
+    so permuting stale forces is pure waste."""
+    cap = state.capacity
+    row = jnp.arange(cap, dtype=jnp.int32)
+    perm = jnp.full((cap,), cap, dtype=jnp.int32)
+    perm = perm.at[newpos].set(row, mode="drop", unique_indices=True)
     valid = perm < cap
     safe = jnp.minimum(perm, cap - 1)
 
@@ -205,7 +233,7 @@ def _apply_perm(state: State, perm, overflow):
             i += w
         return out
 
-    farrs = [state.x, state.v, state.f, state.q]
+    farrs = [state.x, state.v, state.q]
     iarrs = [state.type, state.tag, state.image, state.molecule, state.mask]
     fp = pack(farrs)
     ip = pack(iarrs)
@@ -216,10 +244,10 @@ def _apply_perm(state: State, perm, overflow):
     ffill = jnp.zeros((fp.shape[1],), fp.dtype).at[:3].set(PAD_POS)
     fm = jnp.where(valid[:, None], fp[safe], ffill)
     im = jnp.where(valid[:, None], ip[safe], 0)
-    x, v, f, q = unpack(fm, farrs)
+    x, v, q = unpack(fm, farrs)
     typ, tag, image, molecule, mask = unpack(im, iarrs)
     state = state.replace(
-        x=x, v=v, f=f, q=q, type=typ, tag=tag, image=image,
+        x=x, v=v, q=q, type=typ, tag=tag, image=image,
         molecule=molecule, mask=mask,
     )
     return state, overflow
@@ -320,7 +348,7 @@ def compute(style, state: State, cl: SortedCells, eflag: bool, vflag: bool):
                     g[..., 0], g[..., 1], g[..., 2],
                     ids.reshape(nx * ny, nz, cc), prd,
                 )
-            elif nx >= 3 and pallas_pair.plane_half_fits(p):
+            elif nx >= 2 and pallas_pair.plane_half_fits(p):
                 g = state.x.reshape(nx, ny, nz, cc, 3)
                 fx, fy, fz = pallas_pair.plane_half_force_pallas(
                     key, p.ncells, cap,

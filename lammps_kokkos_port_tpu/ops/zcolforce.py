@@ -172,11 +172,11 @@ def size_for_system(state: State, cutneigh: float, skin: float,
         nx=nx, ny=ny, colcap=colcap, chunk=chunk,
         w_self=8, w_cross=8, gh=gh, grid=grid,
     )
-    from .sortedforce import _apply_perm
+    from .sortedforce import _apply_gather_perm
 
     st = expand_state(state, p0)
     perm, _ = _sort_perm(st, p0)
-    st, _ = _apply_perm(st, perm, jnp.zeros((), bool))
+    st, _ = _apply_gather_perm(st, perm, jnp.zeros((), bool))
     _, _, _, need_self, need_cross = _windows(st, p0)
     ns = int(jax.device_get(need_self))
     ncr = int(jax.device_get(need_cross))
@@ -361,10 +361,10 @@ def _windows(state: State, p: ZColParams):
 def build(state: State, p: ZColParams):
     """Jit: sort the (already capacity-matched) state into the zcol layout
     and compute windows. Returns (state, ZColCells)."""
-    from .sortedforce import _apply_perm
+    from .sortedforce import _apply_gather_perm
 
     perm, col_overflow = _sort_perm(state, p)
-    state, _ = _apply_perm(state, perm, col_overflow)
+    state, _ = _apply_gather_perm(state, perm, col_overflow)
     starts, bot_idx, fills, need_self, need_cross = _windows(state, p)
     w_overflow = (need_self > p.w_self) | (need_cross > p.w_cross)
     return state, ZColCells(

@@ -142,6 +142,7 @@ class Simulation:
                 check=self.neigh_check, cell_pad=1.12, cell_round=2,
             )
         if self.list_mode == "sorted":
+            params = self._optimize_sorted_grid(params, cutneigh)
             params = self._align_cell_cap(params)
         self.nl = self._build_list(self.state, params)
         self._check_overflow_and_grow()
@@ -291,6 +292,49 @@ class Simulation:
 
             return cellforce.build_cell(state, params)
         return nbr.build(state, params, special=self.forcefield.special)
+
+    def _optimize_sorted_grid(self, params, cutneigh):
+        """Pick the cell grid minimizing the dense kernel's pair-math cost
+        ntot * cc_aligned^2. choose_grid's max-cells-with-edge>=cutneigh
+        grid can land just past an occupancy boundary (e.g. 37^3 cells at
+        19.7 atoms/cell where 33^3 gives 27.8 at the same aligned cap of
+        32): fewer, fuller cells do the same physics with up to ~30% fewer
+        padded candidate lanes. Occupancies are exact host bincounts on
+        the setup configuration; mid-run drift is healed by the overflow
+        grow-retry loop like any other density fluctuation."""
+        nx, ny, nz = params.ncells
+        if min(nx, ny, nz) < 4:
+            return params
+
+        def aligned_cap(max_cell):
+            # the same sizing size_for_system(cell_pad=1.12, cell_round=2)
+            # + _align_cell_cap would produce for this occupancy
+            tight = -(-max(int(max_cell * 1.12) + 1, 4) // 2) * 2
+            est_max = max(1, int((tight - 1) / 1.12))
+            aligned = max(32, ((est_max + 1 + 31) // 32) * 32)
+            return aligned if aligned <= max(tight, 8) * 1.45 else tight
+
+        import numpy as np
+
+        best, best_cost = None, None
+        for d in range(0, 4):
+            nc = (max(3, nx - d), max(3, ny - d), max(3, nz - d))
+            counts = np.bincount(
+                nbr._cell_ids_host(self.state, nc),
+                minlength=nc[0] * nc[1] * nc[2] + 1)
+            max_cell = int(counts[:-1].max())
+            cc = aligned_cap(max_cell)
+            # pair lanes = cells x ceil8(cc) own sublanes x 14*cc cand lanes
+            cost = nc[0] * nc[1] * nc[2] * (-(-cc // 8) * 8) * cc
+            if best_cost is None or cost < best_cost:
+                best, best_cost = nc, cost
+        if best == (nx, ny, nz):
+            return params
+        return nbr.size_for_system(
+            self.state, cutneigh=cutneigh, skin=self.skin,
+            every=self.neigh_every, delay=self.neigh_delay,
+            check=self.neigh_check, cell_pad=1.12, cell_round=2,
+            ncells=best)
 
     @staticmethod
     def _align_cell_cap(params):

@@ -142,3 +142,59 @@ class TestEAMDense:
             assert np.isfinite(rows[-1]["etotal"])
             drift[mode] = rows[-1]["etotal"] - rows[0]["etotal"]
         assert drift["grid"] == pytest.approx(drift["matrix"], abs=1e-3)
+
+
+class TestEAMPallas:
+    def test_sorted_pallas_matches_dense_and_spline(self):
+        """The Pallas two-sweep EAM (ops/pallas_eam) vs the grid-roll dense
+        path (same Chebyshev tables: roundoff-tight) and vs the exact
+        spline/matrix engine (within the resampling tolerance pinned in
+        TestEAMDense)."""
+        import jax
+
+        from lammps_kokkos_port_tpu.ops import neighbor as nbr
+        from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
+
+        rng_state = {}
+
+        def forces(mode):
+            sim = eam_bulk_cu_sim(cells=5, dtype=jnp.float64)
+            sim._list_mode_req = mode
+            # tag-keyed thermal jitter applied BEFORE setup so every mode
+            # bins/permutes the identical physical configuration
+            x = np.asarray(sim.state.x)
+            valid = np.asarray(jax.device_get(sim.state.valid_mask))
+            tag = np.asarray(sim.state.tag)
+            if "d" not in rng_state:
+                rng = np.random.default_rng(3)
+                rng_state["d"] = rng.normal(scale=0.08,
+                                            size=(int(valid.sum()) + 1, 3))
+            d = rng_state["d"]
+            x = x + d[np.where(valid, tag, 0)] * valid[:, None]
+            sim.state = sim.state.replace(x=jnp.asarray(x))
+            sim.setup()  # computes the initial force on the jittered state
+            valid = np.asarray(jax.device_get(sim.state.valid_mask))
+            tag = np.asarray(sim.state.tag)[valid]
+            return np.asarray(sim.state.f)[valid][np.argsort(tag)]
+
+        f_sorted = forces("sorted")
+        f_grid = forces("grid")
+        f_matrix = forces("matrix")
+        scale = np.abs(f_matrix).max()
+        # same tables, different summation order only
+        assert np.abs(f_sorted - f_grid).max() / scale < 1e-9
+        # resampling tolerance vs the exact splines
+        assert np.abs(f_sorted - f_matrix).max() / scale < 2e-3
+
+    def test_sorted_nve_tracks_spline_path(self):
+        from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
+
+        drift = {}
+        for mode in ("matrix", "sorted"):
+            sim = eam_bulk_cu_sim(cells=6, dtype=jnp.float64)
+            sim._list_mode_req = mode
+            sim.setup()
+            rows = sim.run(20, thermo_every=20)
+            assert np.isfinite(rows[-1]["etotal"])
+            drift[mode] = rows[-1]["etotal"] - rows[0]["etotal"]
+        assert drift["sorted"] == pytest.approx(drift["matrix"], abs=1e-3)

@@ -184,3 +184,51 @@ class TestPairHybrid:
         np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-10)
         assert float(e2) == pytest.approx(float(e1), rel=1e-12)
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-10)
+
+
+class TestRowBlockChunking:
+    def test_chunked_matches_unchunked(self, monkeypatch, tmp_path):
+        """map_row_blocks (the memory-bounded matrix-engine path used at
+        molecular K, e.g. bench/in.rhodo at 32k atoms) must be bit-stable
+        against the single-block evaluation."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "benchmarks"))
+        from make_rhodo_water import write_data
+
+        from lammps_kokkos_port_tpu.models import pair as pair_mod
+        from lammps_kokkos_port_tpu.script import LammpsScript
+
+        data = str(tmp_path / "data.rw")
+        write_data(data, nside=7)
+        deck = """
+units           real
+atom_style      full
+bond_style      harmonic
+angle_style     charmm
+pair_style      lj/charmm/coul/long 8.0 10.0
+pair_modify     mix arithmetic
+read_data       {data}
+special_bonds   charmm
+run             0
+"""
+
+        def forces():
+            s = LammpsScript(dtype=jnp.float64)
+            for ln in deck.format(data=data).strip().splitlines():
+                s.one(ln)
+            sim = s.sim
+            f, pe, _, vir = sim.force_fn(sim.state, sim.nl, True, True)
+            valid = np.asarray(jax.device_get(sim.state.valid_mask))
+            tag = np.asarray(sim.state.tag)[valid]
+            return (np.asarray(f)[valid][np.argsort(tag)], float(pe),
+                    np.asarray(vir))
+
+        f0, pe0, v0 = forces()
+        monkeypatch.setattr(pair_mod, "_PAIR_ELEMS_LIMIT", 1024)
+        f1, pe1, v1 = forces()
+        np.testing.assert_allclose(f1, f0, atol=1e-12)
+        assert pe1 == pytest.approx(pe0, rel=1e-12)
+        np.testing.assert_allclose(v1, v0, rtol=1e-12)
