@@ -37,16 +37,18 @@ def water_geometry():
     return np.stack([o, h1, h2])
 
 
-def build_water_box(nside: int, spacing: float = 3.1, seed: int = 12345):
-    """nside^3 molecules on a cubic grid with seeded random orientations."""
+def build_water_box(nside, spacing: float = 3.1, seed: int = 12345):
+    """Molecules on an (nx, ny, nz) grid (int = cubic) with seeded random
+    orientations."""
     rng = np.random.default_rng(seed)
     geom = water_geometry()
-    nmol = nside**3
-    L = nside * spacing
+    nx, ny, nz = (nside,) * 3 if isinstance(nside, int) else nside
+    nmol = nx * ny * nz
+    L = np.array([nx, ny, nz]) * spacing
     xs = []
-    for i in range(nside):
-        for j in range(nside):
-            for k in range(nside):
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
                 # random rotation (QR of a seeded gaussian -> uniform-ish)
                 m = rng.standard_normal((3, 3))
                 q, r = np.linalg.qr(m)
@@ -59,7 +61,7 @@ def build_water_box(nside: int, spacing: float = 3.1, seed: int = 12345):
     return x, nmol, L
 
 
-def write_data(path: str, nside: int = 22, spacing: float = 3.1,
+def write_data(path: str, nside=22, spacing: float = 3.1,
                seed: int = 12345):
     x, nmol, L = build_water_box(nside, spacing, seed)
     natoms = 3 * nmol
@@ -67,8 +69,8 @@ def write_data(path: str, nside: int = 22, spacing: float = 3.1,
         f.write("CHARMM TIP3P water box (rhodo-class benchmark system)\n\n")
         f.write(f"{natoms} atoms\n{2 * nmol} bonds\n{nmol} angles\n\n")
         f.write("2 atom types\n1 bond types\n1 angle types\n\n")
-        f.write(f"0.0 {L:.6f} xlo xhi\n0.0 {L:.6f} ylo yhi\n"
-                f"0.0 {L:.6f} zlo zhi\n\n")
+        f.write(f"0.0 {L[0]:.6f} xlo xhi\n0.0 {L[1]:.6f} ylo yhi\n"
+                f"0.0 {L[2]:.6f} zlo zhi\n\n")
         f.write(f"Masses\n\n1 {MASS_O}\n2 {MASS_H}\n\n")
         f.write("Pair Coeffs\n\n")
         f.write(f"1 {EPS_O} {SIG_O} {EPS_O} {SIG_O}\n")
@@ -97,4 +99,4 @@ if __name__ == "__main__":
     nside = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     out = sys.argv[2] if len(sys.argv) > 2 else "data.rhodo-water"
     n, L = write_data(out, nside=nside)
-    print(f"wrote {out}: {n} atoms, box {L:.2f}^3 A")
+    print(f"wrote {out}: {n} atoms, box {L[0]:.2f}x{L[1]:.2f}x{L[2]:.2f} A")

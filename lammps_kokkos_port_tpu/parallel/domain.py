@@ -452,6 +452,9 @@ class ShardedMD:
 
                 def mk(sel):
                     key = jnp.where(sel, arange, capS)
+                    if G > capS:  # thin slabs: ghost zone > slab capacity
+                        key = jnp.concatenate(
+                            [key, jnp.full((G - capS,), capS, jnp.int32)])
                     idx = jnp.sort(key)[:G]
                     cnt = jnp.sum(sel).astype(jnp.int32)
                     return idx, cnt
