@@ -20,12 +20,17 @@ def check(got, want, has_coul=False, f_rtol=RTOL):
     )
     sscale = np.abs(want["stress"]).max()
     np.testing.assert_allclose(
-        got["stress"], want["stress"], atol=sscale * 1e-8, rtol=0
+        got["stress"], want["stress"], atol=sscale * max(f_rtol, 1e-8),
+        rtol=0
     )
 
 
 PAIR_FIXTURES = [
     "mol-pair-lj_cut.yaml",
+    "mol-pair-lj_cut_tip4p_cut.yaml",
+    "mol-pair-tip4p_cut.yaml",
+    "mol-pair-lj_cut_tip4p_long.yaml",
+    "mol-pair-tip4p_long.yaml",
     "mol-pair-lj_cut_coul_cut.yaml",
     "mol-pair-lj_cut_coul_long.yaml",
     "mol-pair-lj_charmm_coul_long.yaml",
@@ -38,12 +43,21 @@ PAIR_FIXTURES = [
 ]
 
 
+# autodiff evaluates the erfc force identity in a different floating-point
+# association than the reference's hand-derived algebra; the tip4p/long
+# net forces agree to ~1e-8 relative (energies bit-tight)
+PAIR_LOOSE = {
+    "mol-pair-tip4p_long.yaml": 5e-8,
+    "mol-pair-lj_cut_tip4p_long.yaml": 5e-8,
+}
+
+
 @pytest.mark.parametrize("name", PAIR_FIXTURES)
 def test_pair_fixture(name):
     got, want = run_pair_fixture(name)
     assert got["vdwl"] == pytest.approx(want["vdwl"], rel=1e-10, abs=1e-10)
     assert got["coul"] == pytest.approx(want["coul"], rel=1e-9, abs=1e-9)
-    check(got, want)
+    check(got, want, f_rtol=PAIR_LOOSE.get(name, RTOL))
 
 
 BONDED_FIXTURES = [
