@@ -255,3 +255,139 @@ def make_gauss(ntypes, coeffs, cut_global, shift=False, mix="geometric",
         def se(t, c):
             return -t[0] * np.exp(-t[1] * c * c)
     return _finish(PairGauss, tabs, cut, ntypes, dtype, shift_energy=se)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["a", "rho", "sigma", "c", "d", "cutsq", "offset"],
+         meta_fields=["ntypes", "cut_max"])
+@dataclasses.dataclass(frozen=True)
+class PairBorn(_SimplePair):
+    """Born-Mayer-Huggins: E = A e^{(sigma-r)/rho} - C/r^6 + D/r^8
+    (ref: src/pair_born.cpp:117-133)."""
+
+    a: Array
+    rho: Array
+    sigma: Array
+    c: Array
+    d: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        a = self._p(self.a, ti, tj)
+        rho = self._p(self.rho, ti, tj)
+        sg = self._p(self.sigma, ti, tj)
+        c = self._p(self.c, ti, tj)
+        d = self._p(self.d, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        r = jnp.sqrt(r2)
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        rexp = jnp.exp((sg - r) / rho)
+        forceborn = (a / rho * r * rexp - 6.0 * c * r6inv
+                     + 8.0 * d * r6inv * r2inv)
+        fpair = forceborn * r2inv
+        e = (a * rexp - c * r6inv + d * r6inv * r2inv - off
+             if eflag else None)
+        return fpair, e
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["eps", "sigma", "delta", "cutsq", "offset"],
+         meta_fields=["ntypes", "cut_max"])
+@dataclasses.dataclass(frozen=True)
+class PairLJExpand(_SimplePair):
+    """LJ on the radially shifted distance r - delta
+    (ref: src/pair_lj_expand.cpp; shift mixes arithmetically)."""
+
+    eps: Array
+    sigma: Array
+    delta: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        e4 = 4.0 * self._p(self.eps, ti, tj)
+        sg = self._p(self.sigma, ti, tj)
+        dl = self._p(self.delta, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        r = jnp.sqrt(r2)
+        rs = r - dl
+        s6 = (sg / rs) ** 6
+        forcelj = e4 * (12.0 * s6 * s6 - 6.0 * s6) / rs
+        fpair = forcelj / r
+        e = e4 * (s6 * s6 - s6) - off if eflag else None
+        return fpair, e
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k", "cutsq", "offset"],
+         meta_fields=["ntypes", "cut_max"])
+@dataclasses.dataclass(frozen=True)
+class PairHarmonicCut(_SimplePair):
+    """E = k (rc - r)^2, zero beyond rc
+    (ref: src/EXTRA-PAIR/pair_harmonic_cut.cpp)."""
+
+    k: Array
+    cutsq: Array
+    offset: Array  # unused (the form vanishes at rc by construction)
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        k = self._p(self.k, ti, tj)
+        rc = jnp.sqrt(self._p(self.cutsq, ti, tj))
+        r = jnp.sqrt(r2)
+        delta = rc - r
+        fpair = 2.0 * k * delta / r
+        e = k * delta * delta if eflag else None
+        return fpair, e
+
+
+def make_born(ntypes, coeffs, cut_global, shift=False, dtype=jnp.float64):
+    tabs, cut = _build_tables(ntypes, coeffs, 5, cut_global)
+    se = None
+    if shift:
+        def se(t, c):
+            a, rho, sg, cc, d = t
+            return a * np.exp((sg - c) / rho) - cc / c**6 + d / c**8
+    return _finish(PairBorn, tabs, cut, ntypes, dtype, shift_energy=se)
+
+
+def make_lj_expand(ntypes, coeffs, cut_global, shift=False, mix="geometric",
+                   dtype=jnp.float64):
+    from .pair import mix_epsilon
+
+    def mix_fn(ci, cj):
+        e1, s1, d1 = ci
+        e2, s2, d2 = cj
+        return [mix_epsilon(e1, e2, s1, s2, mix), mix_sigma(s1, s2, mix),
+                0.5 * (d1 + d2)]  # shift always arithmetic (init_one:230)
+
+    tabs, cut = _build_tables(ntypes, coeffs, 3, cut_global, mix=mix,
+                              mix_fn=mix_fn)
+    # the effective range extends by the radial shift: the reference's
+    # init_one returns cut + delta and the force test uses ITS square
+    cut = cut + tabs[2]
+    se = None
+    if shift:
+        def se(t, c):
+            e, sg, dl = t
+            s6 = (sg / (c - dl)) ** 6
+            return 4.0 * e * (s6 * s6 - s6)
+    return _finish(PairLJExpand, tabs, cut, ntypes, dtype, shift_energy=se)
+
+
+def make_harmonic_cut(ntypes, coeffs, mix="geometric", dtype=jnp.float64):
+    """coeffs: {(i, j): (k, rc)}; rc rides the per-pair cutoff slot;
+    k mixes as an energy, rc as a distance (ref: init_one:189-194)."""
+    def mix_fn(ci, cj):
+        return [float(np.sqrt(ci[0] * cj[0]))]
+
+    tabs, cut = _build_tables(ntypes, coeffs, 1, 0.0, mix=mix,
+                              mix_fn=mix_fn)
+    return _finish(PairHarmonicCut, tabs, cut, ntypes, dtype)

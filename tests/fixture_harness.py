@@ -216,6 +216,56 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
         make_buck, make_gauss, make_morse, make_yukawa,
     )
 
+    if name in ("coul/dsf", "coul/wolf", "coul/debye"):
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import (
+            PairVdwCoul, self_energy_const)
+
+        mode = name.split("/")[1]
+        alpha, cutc = args[0], args[1]
+        return PairVdwCoul(vdw=None, ntypes=ntypes, coul_mode=mode,
+                           alpha=alpha, cut_coul=cutc,
+                           self_energy=self_energy_const(mode, alpha, cutc))
+    if name in ("born", "born/coul/dsf", "born/coul/wolf",
+                "buck/coul/cut", "buck/coul/long"):
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import (
+            PairVdwCoul, self_energy_const)
+        from lammps_kokkos_port_tpu.models.pair_simple import (
+            make_born, make_buck)
+
+        if name.startswith("born"):
+            if name == "born":
+                cutv = args[0]
+                return make_born(ntypes, coeffs, cut_global=cutv,
+                                 shift=opts["shift"], dtype=dtype)
+            alpha, cutv = args[0], args[1]
+            cutc = args[2] if len(args) > 2 else cutv
+            vdw = make_born(ntypes, coeffs, cut_global=cutv,
+                            shift=opts["shift"], dtype=dtype)
+            mode = name.split("/")[-1]
+        else:
+            cutv = args[0]
+            cutc = args[1] if len(args) > 1 else cutv
+            vdw = make_buck(ntypes, coeffs, cut_global=cutv,
+                            shift=opts["shift"], dtype=dtype)
+            mode = name.split("/")[-1]
+            alpha = 0.0
+        g = gewald if mode == "long" else 0.0
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode=mode,
+                           alpha=alpha, cut_coul=cutc, g_ewald=g,
+                           self_energy=self_energy_const(mode, alpha, cutc))
+    if name == "lj/expand":
+        from lammps_kokkos_port_tpu.models.pair_simple import make_lj_expand
+
+        return make_lj_expand(ntypes, coeffs, cut_global=args[0],
+                              shift=opts["shift"],
+                              mix=opts["mix"] or "geometric", dtype=dtype)
+    if name == "harmonic/cut":
+        from lammps_kokkos_port_tpu.models.pair_simple import (
+            make_harmonic_cut)
+
+        return make_harmonic_cut(ntypes, coeffs,
+                                 mix=opts["mix"] or "geometric",
+                                 dtype=dtype)
     if name == "morse":
         return make_morse(ntypes, coeffs, args[0], shift=opts["shift"],
                           dtype=dtype)

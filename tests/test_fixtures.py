@@ -40,6 +40,16 @@ PAIR_FIXTURES = [
     "mol-pair-buck.yaml",
     "mol-pair-yukawa.yaml",
     "mol-pair-gauss.yaml",
+    "mol-pair-born.yaml",
+    "mol-pair-born_coul_dsf.yaml",
+    "mol-pair-born_coul_wolf.yaml",
+    "mol-pair-coul_dsf.yaml",
+    "mol-pair-coul_wolf.yaml",
+    "mol-pair-coul_debye.yaml",
+    "mol-pair-buck_coul_cut.yaml",
+    "mol-pair-buck_coul_long.yaml",
+    "mol-pair-lj_expand.yaml",
+    "mol-pair-harmonic_cut.yaml",
 ]
 
 
