@@ -627,6 +627,72 @@ def run_atomic_fixture(name: str, dtype=jnp.float64, skin=0.5):
 _DECK_DT = {"real": 0.1, "metal": 0.0001}
 
 
+def run_kspace_fixture(name: str, dtype=jnp.float64):
+    """(got, want) forces for a kspace-*.yaml fixture: the long-range
+    solver alone on in.fourmol (pair_modify compute no), gewald pinned by
+    the yaml (ref driver: unittest/force-styles/test_pair_style.cpp
+    kspace branch)."""
+    import jax
+    import numpy as np
+
+    from lammps_kokkos_port_tpu.models.ewald import Ewald
+    from lammps_kokkos_port_tpu.utils.units import get_units
+
+    fix = load_fixture(name)
+    df, state, top, special = build_fourmol(dtype=dtype)
+    opts = _post_command_opts(fix)
+    style_line = next(
+        ln for ln in fix["post_commands"].splitlines()
+        if ln.split() and ln.split()[0] == "kspace_style")
+    words = style_line.split()
+    kname = words[1]
+    accuracy_rel = float(words[2])
+    gewald = opts["gewald"]
+    q = np.asarray(jax.device_get(state.q))
+    valid = np.asarray(jax.device_get(state.valid_mask))
+    qsqsum = float((q[valid] ** 2).sum())
+    qqrd2e = get_units("real").qqr2e
+    slabflag, volfactor = 0, 1.0
+    tilt = None
+    for ln in fix["post_commands"].splitlines():
+        t = ln.split()
+        if len(t) >= 3 and t[:2] == ["kspace_modify", "slab"]:
+            if t[2] == "nozforce":
+                slabflag = 2
+            else:
+                slabflag, volfactor = 1, float(t[2])
+        if t[:2] == ["change_box", "none"] and "xy" in t:
+            # "change_box none xy final X xz final Y yz final Z"
+            vals = {}
+            for i, w in enumerate(t):
+                if w in ("xy", "xz", "yz"):
+                    vals[w] = float(t[i + 2])
+            tilt = [vals.get("xy", 0.0), vals.get("xz", 0.0),
+                    vals.get("yz", 0.0)]
+    if tilt is not None:
+        from lammps_kokkos_port_tpu.core.box import Box
+
+        lo = np.asarray(jax.device_get(state.box.lo))
+        hi = np.asarray(jax.device_get(state.box.hi))
+        state = state.replace(box=Box.create(lo, hi, tilt=tilt,
+                                             dtype=jnp.float64))
+
+    if kname == "ewald":
+        ks = Ewald.create_reference(
+            state.box, g_ewald=gewald, accuracy_rel=accuracy_rel,
+            natoms=df.natoms, qsqsum=qsqsum, qqrd2e=qqrd2e, dtype=dtype,
+            slabflag=slabflag, slab_volfactor=volfactor)
+    else:
+        raise NotImplementedError(kname)
+    f, e, vir = ks.compute(state, True, True)
+    n = df.natoms
+    got = dict(forces=np.asarray(f)[:n], energy=float(e),
+               stress=np.asarray(vir))
+    want = dict(forces=parse_forces(fix["init_forces"], n),
+                stress=parse_stress(fix["init_stress"]))
+    return got, want
+
+
 def _nve4(state, compute_f, dt: float, units_name: str, nsteps: int = 4):
     """Plain velocity-Verlet for nsteps, recomputing forces fresh each step
     (the 29/32-atom fixture cells never need a mid-run rebuild; the list is

@@ -104,6 +104,25 @@ BONDED_FIXTURES = [
 ]
 
 
+KSPACE_FIXTURES = [
+    "kspace-ewald.yaml",
+    "kspace-ewald_slab.yaml",
+    "kspace-ewald_nozforce.yaml",
+    "kspace-ewald_tri.yaml",
+    "kspace-ewald_tilted.yaml",
+]
+
+
+@pytest.mark.parametrize("name", KSPACE_FIXTURES)
+def test_kspace_fixture(name):
+    from fixture_harness import run_kspace_fixture
+
+    got, want = run_kspace_fixture(name)
+    scale = np.abs(want["forces"]).max()
+    np.testing.assert_allclose(got["forces"], want["forces"],
+                               atol=scale * 1e-10, rtol=0)
+
+
 @pytest.mark.parametrize("kind,name", BONDED_FIXTURES)
 def test_bonded_fixture(kind, name):
     got, want = run_bonded_fixture(kind, name)
