@@ -217,9 +217,18 @@ def make_step(
         if gran is not None:
             # carry per-contact shear history across the rebuild
             # (FixNeighHistory::pre_exchange analog)
-            from ..models.pair_gran import remap_shear
+            from ..ops import gridforce as _gf
 
-            sh = remap_shear(state.aux["gran_shear"], nl.idx, nl2.idx)
+            if isinstance(nl2, _gf.GridCells):
+                from ..ops.grangrid import remap_shear_grid
+
+                sh = remap_shear_grid(state.aux["gran_shear"], nl.buckets,
+                                      nl2.buckets, nl2.params,
+                                      state.capacity)
+            else:
+                from ..models.pair_gran import remap_shear
+
+                sh = remap_shear(state.aux["gran_shear"], nl.idx, nl2.idx)
             state = state.replace(aux={**state.aux, "gran_shear": sh})
         return state, nl2
 

@@ -67,6 +67,13 @@ class ForceField:
             # dense fast paths: pair-only force fields (see ops/cellforce,
             # ops/gridforce, ops/sortedforce, ops/zcolforce; two-pass styles
             # like EAM take ops/eamdense)
+            if getattr(self.pair, "is_granular", False):
+                # granular styles own their dense dispatch (ops/grangrid
+                # via compute_gran); energies are zero by definition
+                f, pe, vir = self.pair.compute(state, nl, eflag, vflag)
+                z = jnp.zeros((), dtype=state.dtype)
+                return (f, pe if eflag else None,
+                        z if eflag else None, vir)
             if getattr(self.pair, "dense_two_pass", False):
                 from ..ops import eamdense
 

@@ -69,7 +69,14 @@ class PairGranHooke:
 
     def compute_gran(self, state, nl, shear: Array, shearupdate: bool):
         """One granular force pass. Returns (f [cap,3], torque [cap,3],
-        new_shear [cap,K,3])."""
+        new_shear). Dense GridCells lists take the gather-free grid
+        engine (ops/grangrid, the TPU fast path); matrix lists the
+        [cap, K, 3] slot-space below."""
+        from ..ops import grangrid, gridforce
+
+        if isinstance(nl, gridforce.GridCells):
+            return grangrid.compute_gran_grid(self, state, nl, shear,
+                                              shearupdate)
         j, jc, pair_valid, dx, r2 = gather_pairs(state, nl)
         rad = state.aux["radius"]
         radi = rad[:, None]

@@ -147,10 +147,16 @@ class Simulation:
         self.nl = self._build_list(self.state, params)
         self._check_overflow_and_grow()
         if getattr(self.pair_style, "is_granular", False):
+            from .ops import gridforce as _gf
+
+            if isinstance(self.nl, _gf.GridCells):
+                p = self.nl.params
+                want = (p.total_cells, p.cell_cap, 27, p.cell_cap)
+            else:
+                want = tuple(self.nl.idx.shape)
             sh = self.state.aux.get("gran_shear")
-            if sh is None or sh.shape[:2] != self.nl.idx.shape:
-                sh = jnp.zeros(self.nl.idx.shape + (3,),
-                               dtype=self.state.dtype)
+            if sh is None or sh.shape[:-1] != want:
+                sh = jnp.zeros(want + (3,), dtype=self.state.dtype)
             # setup force pass: shearupdate off (ref: update->setupflag)
             f, tq, sh = self.pair_style.compute_gran(
                 self.state, self.nl, sh, False)

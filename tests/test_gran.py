@@ -113,3 +113,44 @@ def test_gran_hooke_history_mini_chute():
     np.testing.assert_allclose(x, wx, atol=1e-10, rtol=0)
     np.testing.assert_allclose(v, wv, atol=1e-10, rtol=0)
     np.testing.assert_allclose(om, wom, atol=1e-10, rtol=0)
+
+
+def test_grid_engine_matches_matrix(tmp_path):
+    """The dense grid granular engine (ops/grangrid: rolls + slot-space
+    shear + elementwise rebuild remap) vs the [N,K] matrix engine on the
+    mini chute: same directed-edge math, so trajectories agree to
+    accumulation-order roundoff over a run with rebuilds."""
+    from lammps_kokkos_port_tpu.runner import Simulation
+    from lammps_kokkos_port_tpu.script import LammpsScript
+
+    data = os.path.join(GOLD_DIR, "data.mini")
+    deck = DECK.format(data=data).replace("run             5000",
+                                          "run 800")
+
+    def run_mode(mode):
+        orig = Simulation._pick_list_mode
+        if mode == "grid":
+            def forced(self, params):
+                self.list_mode = "grid"
+            Simulation._pick_list_mode = forced
+        try:
+            s = LammpsScript(dtype=jnp.float64)
+            for ln in deck.strip().splitlines():
+                s.one(ln)
+        finally:
+            Simulation._pick_list_mode = orig
+        sim = s.sim
+        assert sim.list_mode == mode
+        valid = np.asarray(sim.state.valid_mask)
+        tag = np.asarray(sim.state.tag)[valid]
+        order = np.argsort(tag)
+        return (np.asarray(sim.state.x)[valid][order],
+                np.asarray(sim.state.v)[valid][order],
+                np.asarray(sim.state.aux["omega"])[valid][order],
+                int(sim.nl.nbuilds) if hasattr(sim.nl, "nbuilds") else 0)
+
+    xm, vm, om, _ = run_mode("matrix")
+    xg, vg, og, nb = run_mode("grid")
+    np.testing.assert_allclose(xg, xm, atol=1e-9)
+    np.testing.assert_allclose(vg, vm, atol=1e-7)
+    np.testing.assert_allclose(og, om, atol=1e-7)
