@@ -97,6 +97,94 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"eam-32k failed: {e}")
 
+    # -- secondary: granular chute 32k (bench/in.chute) ---------------------
+    # dense grid engine (ops/grangrid); baseline 5.99 M atom-steps/s =
+    # bench/log.6Oct16.chute.fixed.icc.1 (1 CPU core, 2016)
+    try:
+        import os as _os
+
+        from lammps_kokkos_port_tpu.script import LammpsScript
+
+        cwd = _os.getcwd()
+        _os.chdir("/root/reference/bench")
+        try:
+            s = LammpsScript(dtype=jnp.float32, list_mode="grid")
+            deck = open("in.chute").read().replace(
+                "run             100", "run 0")
+            for ln in deck.strip().splitlines():
+                s.one(ln)
+        finally:
+            _os.chdir(cwd)
+        sim = s.sim
+        n = int(jax.device_get(sim.state.nlocal))
+        runner = sim._get_segment_runner()
+
+        def timed(k):
+            st, l = runner(sim.state, sim.nl, k)
+            jax.block_until_ready(st.x)
+            t0 = time.perf_counter()
+            st, l = runner(sim.state, sim.nl, k)
+            jax.block_until_ready(st.x)
+            return time.perf_counter() - t0
+
+        t1, t2 = timed(100), timed(300)
+        per = (t2 - t1) / 200
+        r = n / per
+        log(f"chute-32k [gran grid]: {r/1e6:.2f} M atom-steps/s "
+            f"({per*1e3:.2f} ms/step), vs CPU baseline {r/5.99e6:.1f}x")
+        extra["chute_32k_atom_steps_per_sec"] = round(r)
+    except Exception as e:  # noqa: BLE001
+        log(f"chute-32k failed: {e}")
+
+    # -- secondary: rhodo-class 32k (CHARMM water + PPPM + SHAKE + NPT) -----
+    # baseline 0.341 M atom-steps/s = bench/log.6Oct16.rhodo.fixed.icc.4
+    # (4 CPU cores, 2016); the reference data file is stripped, so the
+    # system is synthesized at the same scale (benchmarks/make_rhodo_water)
+    try:
+        import os as _os
+        import sys as _sys
+        import tempfile as _tf
+
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "benchmarks"))
+        from make_rhodo_water import write_data
+
+        from lammps_kokkos_port_tpu.script import LammpsScript
+
+        with _tf.TemporaryDirectory() as td:
+            data = _os.path.join(td, "data.rhodo-water")
+            write_data(data, nside=22)  # 31,944 atoms
+            deck = open(_os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)),
+                "benchmarks", "in.rhodo-water")).read()
+            deck = deck.replace("read_data       data.rhodo-water",
+                                f"read_data       {data}")
+            deck = deck.replace("run             100", "run 0")
+            s = LammpsScript(dtype=jnp.float32)
+            for ln in deck.strip().splitlines():
+                s.one(ln)
+        sim = s.sim
+        n = int(jax.device_get(sim.state.nlocal))
+        runner = sim._get_segment_runner()
+
+        def timed(k):
+            st, l = runner(sim.state, sim.nl, k)
+            jax.block_until_ready(st.x)
+            t0 = time.perf_counter()
+            st, l = runner(sim.state, sim.nl, k)
+            jax.block_until_ready(st.x)
+            return time.perf_counter() - t0
+
+        t1, t2 = timed(20), timed(60)
+        per = (t2 - t1) / 40
+        r = n / per
+        log(f"rhodo-32k [charmm+pppm+shake+npt]: {r/1e6:.3f} M "
+            f"atom-steps/s ({per*1e3:.2f} ms/step), vs CPU baseline "
+            f"{r/0.341e6:.1f}x")
+        extra["rhodo_32k_atom_steps_per_sec"] = round(r)
+    except Exception as e:  # noqa: BLE001
+        log(f"rhodo-32k failed: {e}")
+
     # -- 10k-step energy drift (BASELINE.json second metric) ----------------
     try:
         sim = lj_melt_sim(cells=20, t_init=T_INIT, seed=SEED,

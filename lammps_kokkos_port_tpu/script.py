@@ -71,10 +71,12 @@ class LammpsScript:
     """Parse + execute an input script (ref: Input::file/one)."""
 
     def __init__(self, dtype=None, log_file: str | None = None,
-                 echo: bool = False, var_overrides: dict | None = None):
+                 echo: bool = False, var_overrides: dict | None = None,
+                 list_mode: str = "auto"):
         import jax.numpy as jnp
 
         self.dtype = dtype if dtype is not None else jnp.float32
+        self.list_mode = list_mode
         self.units_name = "lj"
         self.dimension = 3
         self.boundary = ("p", "p", "p")
@@ -1635,6 +1637,7 @@ class LammpsScript:
             neigh_delay=self.neigh_delay,
             neigh_check=self.neigh_check,
             respa=self.respa,
+            list_mode=self.list_mode,
         )
         sim.thermo_norm = self.thermo_norm
         for d, tok in enumerate(self.boundary):
