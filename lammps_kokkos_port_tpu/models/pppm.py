@@ -351,3 +351,54 @@ class PPPM:
                 comps.append(jnp.sum(uk * (delta + vterm * a_arr * b_arr)))
             virial = jnp.stack(comps)
         return f, pe, virial
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pppm", "qO_h1", "qO_h2"],
+    meta_fields=["alpha"],
+)
+@dataclasses.dataclass(frozen=True)
+class PPPMTIP4P:
+    """pppm/tip4p: the charge of an O-type atom spreads from its M site
+    (ref: src/KSPACE/pppm_tip4p.cpp particle_map/make_rho with
+    find_M). The energy is evaluated at M(x) and jax.grad chains the
+    force back through the lever rule — exactly the reference's
+    fieldforce redistribution."""
+
+    pppm: PPPM
+    qO_h1: Array  # [cap] H partner rows for O atoms (cap elsewhere)
+    qO_h2: Array
+    alpha: float
+
+    @property
+    def dynamic(self):
+        return self.pppm.dynamic
+
+    def _m_positions(self, x, state):
+        cap = x.shape[0]
+        h1 = jnp.minimum(self.qO_h1, cap - 1)
+        h2 = jnp.minimum(self.qO_h2, cap - 1)
+        d1 = state.box.min_image(x[h1] - x)
+        d2 = state.box.min_image(x[h2] - x)
+        is_o = (self.qO_h1 < cap)[:, None]
+        return x + jnp.where(is_o, self.alpha * 0.5 * (d1 + d2), 0.0)
+
+    def compute(self, state: State, eflag: bool, vflag: bool):
+        qqrd2e = get_units(state.units_name).qqr2e
+        gf = self.pppm._gf(state)
+
+        def energy_of(xx):
+            xm = self._m_positions(xx, state)
+            return qqrd2e * self.pppm._mesh_energy(xm, state, gf)
+
+        e_k, neg_f = jax.value_and_grad(energy_of)(state.x)
+        f = -neg_f
+        pe = None
+        if eflag:
+            pe = e_k + qqrd2e * self.pppm._corrections(state)
+        virial = None
+        if vflag:
+            st_m = state.replace(x=self._m_positions(state.x, state))
+            _, _, virial = self.pppm.compute(st_m, False, True)
+        return f, pe, virial

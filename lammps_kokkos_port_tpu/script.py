@@ -1672,6 +1672,7 @@ class LammpsScript:
         # (ref: FixNH::initial_integrate -> kspace->setup(),
         # src/fix_nh.cpp:874-876)
         dynamic_box = any(f.style in ("npt", "nph") for f in self.fixes)
+        kspace_tip4p = False
 
         if self.kspace_words:
             kname = self.kspace_words[0]
@@ -1681,13 +1682,14 @@ class LammpsScript:
 
                 cut = self._pair_cut_guess()
                 g_ewald = g_ewald_estimate(accuracy, cut)
-            if kname == "pppm":
+            if kname in ("pppm", "pppm/tip4p"):
                 from .models.pppm import PPPM
 
                 kspace = PPPM.create(self.box, g_ewald,
                                      accuracy_rel=accuracy,
                                      dtype=jnp.float64,
                                      dynamic=dynamic_box)
+                kspace_tip4p = kname == "pppm/tip4p"
             elif kname == "ewald":
                 from .models.ewald import Ewald
 
@@ -1720,6 +1722,8 @@ class LammpsScript:
             numeric_styles = (
                 "lj/cut", "lj/charmm/coul/long", "lj/cut/coul/long",
                 "lj/cut/coul/cut", "coul/long", "coul/cut",
+                "lj/cut/tip4p/cut", "lj/cut/tip4p/long",
+                "tip4p/cut", "tip4p/long",
             )
             coeffs = (self._pair_coeff_dict()
                       if name in numeric_styles else {})
@@ -1730,6 +1734,42 @@ class LammpsScript:
                 pair = make_lj_cut(self.ntypes, coeffs, float(args[0]),
                                    mix=mix or "geometric", shift=shift,
                                    dtype=dt)
+            elif name in ("lj/cut/tip4p/cut", "lj/cut/tip4p/long",
+                          "tip4p/cut", "tip4p/long"):
+                # TIP4P family: needs the equilibrium bond/angle geometry
+                # and the bond topology (finalized in _build_forcefield,
+                # after read_data) -> defer via a builder closure
+                otype, htype, btype, atype = (int(w) for w in args[:4])
+                qdist = float(args[4])
+                cut = float(args[5])
+                cut2 = float(args[6]) if len(args) > 6 else cut
+                lj_on = name.startswith("lj/cut")
+                cmode = "long" if name.endswith("long") else "cut"
+                from .models.pair_tip4p import make_lj_cut_tip4p_cut
+
+                bc = self.bond_coeffs.get(btype)
+                ac = self.angle_coeffs.get(atype)
+                if bc is None or ac is None:
+                    raise ScriptError(
+                        "tip4p styles need bond/angle coeffs for the "
+                        "designated types (equilibrium geometry)")
+                blen = float(bc[1]) if len(bc) > 1 else float(bc[0])
+                theta = float(ac[1]) if len(ac) > 1 else float(ac[0])
+                braw = self.topology_raw.get("bonds")
+                if braw is None:
+                    raise ScriptError("tip4p styles need bond topology")
+                import numpy as _np
+
+                bl = _np.asarray(braw).copy()
+                bl[:, 1:] -= 1  # 1-based atom ids -> local rows
+                pair = make_lj_cut_tip4p_cut(
+                    self.ntypes, coeffs, typeO=otype, typeH=htype,
+                    qdist=qdist, blen=blen, theta_deg=theta,
+                    cut_lj=cut if lj_on else 0.0,
+                    cut_coul=cut2 if lj_on else cut,
+                    bonds=bl, types=_np.asarray(state.type), cap=cap,
+                    mix=mix or "geometric", lj_on=lj_on,
+                    coul_mode=cmode, g_ewald=g_ewald, dtype=dt)
             elif name == "lj/charmm/coul/long":
                 cut_coul = float(args[2]) if len(args) > 2 else float(args[1])
                 pair = make_lj_charmm_coul_long(
@@ -1961,6 +2001,16 @@ class LammpsScript:
                 natoms, cap, local(raw["bonds"])[:, 1:],
                 weights_lj=wl, weights_coul=wc, mode=mode,
             )
+
+        if kspace_tip4p:
+            from .models.pair_tip4p import PairTIP4PCut
+            from .models.pppm import PPPMTIP4P
+
+            if not isinstance(pair, PairTIP4PCut):
+                raise ScriptError(
+                    "kspace pppm/tip4p needs a tip4p pair style")
+            kspace = PPPMTIP4P(pppm=kspace, qO_h1=pair.qO_h1,
+                               qO_h2=pair.qO_h2, alpha=pair.alpha)
 
         return ForceField(
             pair=pair, bond=bond, angle=angle, dihedral=dihedral,

@@ -391,3 +391,89 @@ class TestScheduledOutput:
         assert float(last[2]) > 0
         import math
         assert all(math.isfinite(float(v)) for v in last[1:])
+
+
+def test_tip4p_water_deck(tmp_path):
+    """pair lj/cut/tip4p/cut through the interpreter on a TIP4P-style
+    water box: M-site coulomb via autodiff (fixture-pinned physics in
+    test_fixtures), NVE stays finite and near-conservative."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    from make_rhodo_water import write_data
+
+    data = str(tmp_path / "data.w")
+    write_data(data, nside=4)
+    deck = f"""
+units           real
+atom_style      full
+bond_style      harmonic
+angle_style     charmm
+pair_style      lj/cut/tip4p/cut 1 2 1 1 0.15 6.0
+pair_modify     mix arithmetic
+read_data       {data}
+special_bonds   lj/coul 0.0 0.0 0.0
+velocity        all create 300.0 4928 loop geom
+fix             1 all nve
+timestep        0.5
+thermo          10
+run             20
+"""
+    s = run_deck(deck)
+    sim = s.sim
+    import jax
+    import numpy as np
+    assert bool(np.isfinite(np.asarray(sim.state.x)).all())
+    row = s._emit_thermo_row.__self__  # script alive
+    # the style stack produced nonzero coulomb forces
+    f = np.asarray(sim.state.f)
+    valid = np.asarray(jax.device_get(sim.state.valid_mask))
+    assert np.abs(f[valid]).max() > 0
+
+
+def test_tip4p_long_pppm_deck(tmp_path):
+    """lj/cut/tip4p/long + pppm/tip4p: k-space charge spreads from the M
+    site; forces must equal -grad of the total M-site energy (checked by
+    an autodiff cross-validation on the assembled force field)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    import jax
+    import numpy as np
+    from make_rhodo_water import write_data
+
+    data = str(tmp_path / "data.w")
+    write_data(data, nside=4)
+    deck = f"""
+units           real
+atom_style      full
+bond_style      harmonic
+angle_style     charmm
+pair_style      lj/cut/tip4p/long 1 2 1 1 0.15 5.0
+pair_modify     mix arithmetic
+kspace_style    pppm/tip4p 1e-4
+read_data       {data}
+special_bonds   lj/coul 0.0 0.0 0.0
+velocity        all create 300.0 4928 loop geom
+fix             1 all nve
+timestep        0.5
+run             5
+"""
+    s = run_deck(deck)
+    sim = s.sim
+    st, nl = sim.state, sim.nl
+    f, _, _, _ = sim.force_fn(st, nl, False, False)
+
+    def etot(x):
+        _, epair, emol, _ = sim.forcefield.compute(
+            st.replace(x=x), nl, True, False)
+        return epair + emol
+
+    f_ad = -jax.grad(etot)(st.x)
+    valid = np.asarray(jax.device_get(st.valid_mask))
+    np.testing.assert_allclose(np.asarray(f)[valid], np.asarray(f_ad)[valid],
+                               atol=1e-8)
