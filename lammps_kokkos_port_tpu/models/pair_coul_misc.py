@@ -114,6 +114,73 @@ def coul_debye_terms(r2, qiqj, qqrd2e, kappa, factor_coul, eflag):
     return forcecoul, ecoul
 
 
+# MSM gamma-splitting polynomial coefficients, indexed by split_order =
+# order/2 (ref: src/kspace.cpp:100-148; Eq 4 of Hardy et al., Parallel
+# Computing 35 (2009) 164-177)
+GCONS = {
+    2: (15 / 8, -5 / 4, 3 / 8),
+    3: (35 / 16, -35 / 16, 21 / 16, -5 / 16),
+    4: (315 / 128, -105 / 32, 189 / 64, -45 / 32, 35 / 128),
+    5: (693 / 256, -1155 / 256, 693 / 128, -495 / 128, 385 / 256,
+        -63 / 256),
+    6: (3003 / 1024, -3003 / 512, 9009 / 1024, -2145 / 256, 5005 / 1024,
+        -819 / 512, 231 / 1024),
+}
+DGCONS = {
+    2: (-5 / 2, 3 / 2),
+    3: (-35 / 8, 21 / 4, -15 / 8),
+    4: (-105 / 16, 189 / 16, -135 / 16, 35 / 16),
+    5: (-1155 / 128, 693 / 32, -1485 / 64, 385 / 32, -315 / 128),
+    6: (-3003 / 256, 9009 / 256, -6435 / 128, 5005 / 128, -4095 / 256,
+        693 / 256),
+}
+
+
+def msm_gamma(rho, split_order: int):
+    """gamma(rho) for rho <= 1 (ref: kspace.h:147-160)."""
+    c = GCONS[split_order]
+    rho2 = rho * rho
+    g = jnp.full_like(rho, c[0])
+    rho_n = rho2
+    for n in range(1, split_order + 1):
+        g = g + c[n] * rho_n
+        rho_n = rho_n * rho2
+    return jnp.where(rho <= 1.0, g, 1.0 / jnp.where(rho > 1.0, rho, 1.0))
+
+
+def msm_dgamma(rho, split_order: int):
+    c = DGCONS[split_order]
+    rho2 = rho * rho
+    dg = c[0] * rho
+    rho_n = rho * rho2
+    for n in range(1, split_order):
+        dg = dg + c[n] * rho_n
+        rho_n = rho_n * rho2
+    return jnp.where(rho <= 1.0, dg,
+                     -1.0 / jnp.where(rho > 1.0, rho * rho, 1.0))
+
+
+def coul_msm_terms(r2, qiqj, qqrd2e, split_order, cut_coul, factor_coul,
+                   eflag):
+    """(forcecoul = F*r, ecoul): the MSM real-space split
+    qq/r * (1 - rho*gamma(rho)) (ref: src/KSPACE/pair_coul_msm.cpp
+    egamma/fgamma lines)."""
+    r = jnp.sqrt(r2)
+    rho = r / cut_coul
+    prefactor = qqrd2e * qiqj / r
+    egamma = 1.0 - rho * msm_gamma(rho, split_order)
+    fgamma = 1.0 + (r2 / (cut_coul * cut_coul)) * msm_dgamma(rho,
+                                                             split_order)
+    forcecoul = prefactor * fgamma
+    ecoul = prefactor * egamma if eflag else None
+    if factor_coul is not None:
+        sub = (1.0 - factor_coul) * prefactor
+        forcecoul = forcecoul - sub
+        if eflag:
+            ecoul = ecoul - sub
+    return forcecoul, ecoul
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vdw"],
@@ -198,6 +265,10 @@ class PairVdwCoul:
             elif self.coul_mode == "debye":
                 fc, e = coul_debye_terms(r2s, qiqj, qqrd2e, self.alpha,
                                          fcoul, eflag)
+            elif self.coul_mode == "msm":
+                fc, e = coul_msm_terms(r2s, qiqj, qqrd2e,
+                                       int(self.alpha), self.cut_coul,
+                                       fcoul, eflag)
             elif self.coul_mode == "long":
                 fc, e = coul_long_terms(r2s, qiqj, qqrd2e, self.g_ewald,
                                         fcoul, eflag)

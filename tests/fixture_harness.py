@@ -216,6 +216,12 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
         make_buck, make_gauss, make_morse, make_yukawa,
     )
 
+    if name == "coul/msm":
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import PairVdwCoul
+
+        # msm default order 10 -> split_order 5 (ref: msm.cpp:77)
+        return PairVdwCoul(vdw=None, ntypes=ntypes, coul_mode="msm",
+                           alpha=5, cut_coul=args[0])
     if name in ("coul/dsf", "coul/wolf", "coul/debye"):
         from lammps_kokkos_port_tpu.models.pair_coul_misc import (
             PairVdwCoul, self_energy_const)
