@@ -168,6 +168,115 @@ class lammps:
                                       dtype=sim.state.dtype), box)
         )
 
+
+    # -- computes / fixes / variables (ref: lammps_extract_compute,
+    #    lammps_extract_fix, lammps_extract_variable, lammps_set_variable,
+    #    library.cpp:1741-2400) ------------------------------------------
+
+    def extract_compute(self, cid: str, style: int = 0, dtype: int = 0):
+        """Current value of a defined compute (global scalar/vector; the
+        style/type ints of the C API are accepted and inferred)."""
+        val = self.script.get_compute(cid)
+        arr = np.asarray(jax.device_get(val))
+        return float(arr) if arr.ndim == 0 else arr
+
+    def extract_fix(self, fid: str, style: int = 0, dtype: int = 0):
+        """Global scalar of fix `fid` (the fix's energy/scalar output,
+        matching thermo's f_<id> column)."""
+        sim = self._sim
+        ids = getattr(self.script, "fix_ids", None)
+        for fx in sim.fixes:
+            if ids is not None and ids.get(id(fx), None) not in (None, fid):
+                continue
+            e = getattr(fx, "energy", None)
+            if e is not None:
+                v = e(sim.state)
+                if v is not None:
+                    return float(jax.device_get(v))
+        raise KeyError(fid)
+
+    def extract_variable(self, name: str, group: str | None = None):
+        """Value of an equal-style variable (or the raw string for
+        index/string variables)."""
+        ev = getattr(self.script, "_equal_vars", {})
+        if name in ev:
+            return float(self.script._eval_expr(ev[name]))
+        sv = getattr(self.script, "variables", {})
+        if name in sv:
+            return sv[name]
+        raise KeyError(name)
+
+    def set_variable(self, name: str, value) -> int:
+        """(Re)define a string/index variable (ref: lammps_set_variable)."""
+        self.script.one(f"variable {name} string {value}")
+        return 0
+
+    def extract_setting(self, name: str) -> int:
+        """Integer settings (ref: lammps_extract_setting,
+        library.cpp:1320): sizes, dimension, type counts."""
+        sim = self._sim
+        st = sim.state
+        vals = {
+            "dimension": st.dimension,
+            "world_size": 1, "world_rank": 0,
+            "nlocal": self.get_natoms(), "nghost": 0,
+            "nall": self.get_natoms(),
+            "ntypes": int(np.asarray(jax.device_get(st.type)).max()),
+            "molecule_flag": int(st.molecule is not None),
+            "q_flag": int(st.q is not None),
+        }
+        if name not in vals:
+            return -1
+        return int(vals[name])
+
+    def create_atoms(self, n: int, ids, types, x, v=None) -> int:
+        """Append atoms to the current system (ref: lammps_create_atoms,
+        library.cpp:2279). Positions/velocities are tag-ordered rows."""
+        import jax.numpy as jnp
+
+        sim = self._sim
+        st = sim.state
+        from .core.state import create_state
+
+        cur_n = self.get_natoms()
+        from .core.state import atom_order
+
+        order = atom_order(st)
+        xs = np.asarray(jax.device_get(st.x))[order]
+        vs = np.asarray(jax.device_get(st.v))[order]
+        ts = np.asarray(jax.device_get(st.type))[order]
+        tg = np.asarray(jax.device_get(st.tag))[order]
+        q_old = (np.asarray(jax.device_get(st.q))[order]
+                 if st.q is not None else None)
+
+        x_new = np.concatenate([xs, np.asarray(x, float).reshape(n, 3)])
+        v_new = np.concatenate(
+            [vs, (np.asarray(v, float).reshape(n, 3) if v is not None
+                  else np.zeros((n, 3)))])
+        t_new = np.concatenate([ts, np.asarray(types, np.int32)])
+        tg_new = np.concatenate(
+            [tg, (np.asarray(ids, np.int32) if ids is not None
+                  else np.arange(cur_n + 1, cur_n + n + 1, dtype=np.int32))])
+        q_new = (np.concatenate([q_old, np.zeros(n)])
+                 if q_old is not None else None)
+        mass = np.asarray(jax.device_get(st.mass))
+        new_state = create_state(
+            x_new, st.box, types=t_new, velocities=v_new,
+            masses=mass, charges=q_new, tags=tg_new,
+            units_name=st.units_name, dtype=st.dtype)
+        sim.state = new_state
+        sim.nl = None
+        sim._segment_cache.clear()
+        sim.setup()
+        return n
+
+    def last_thermo(self) -> dict:
+        """The most recent thermo row (ref: lammps_last_thermo)."""
+        return dict(self._sim.thermo())
+
+    def get_thermo_dict(self) -> dict:
+        return self.last_thermo()
+
     def version(self) -> int:
         return __version__
 

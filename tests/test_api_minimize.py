@@ -115,3 +115,63 @@ class TestProfiler:
         rows = sim.run(10)
         rep = finish_report(sim, 10, sim.last_loop_time)
         assert "timesteps/s" in rep and "500 atoms" in rep
+
+
+class TestLibraryExtras:
+    def test_extract_compute_fix_variable_setting(self):
+        from lammps_kokkos_port_tpu.api import lammps
+
+        lmp = lammps()
+        lmp.commands_string("""
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 4 0 4 0 4
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0
+neighbor        0.3 bin
+variable        two equal 2.0*1.5
+compute         myt all temp
+fix             1 all nve
+run             0
+""")
+        assert lmp.extract_variable("two") == 3.0
+        t = lmp.extract_compute("myt")
+        assert 1.3 < float(t) < 1.6
+        assert lmp.extract_setting("dimension") == 3
+        assert lmp.extract_setting("ntypes") == 1
+        assert lmp.extract_setting("q_flag") == 0
+        assert lmp.extract_setting("nlocal") == lmp.get_natoms()
+        lmp.set_variable("nm", "hello")
+        assert lmp.extract_variable("nm") == "hello"
+        row = lmp.last_thermo()
+        assert "temp" in row and "etotal" in row
+
+    def test_create_atoms_appends(self):
+        from lammps_kokkos_port_tpu.api import lammps
+
+        lmp = lammps()
+        lmp.commands_string("""
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 3 0 3 0 3
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0
+neighbor        0.3 bin
+fix             1 all nve
+run             0
+""")
+        n0 = lmp.get_natoms()
+        lmp.create_atoms(2, None, [1, 1],
+                         [[0.25, 0.25, 0.25], [1.9, 1.9, 1.9]])
+        assert lmp.get_natoms() == n0 + 2
+        x = lmp.extract_atom("x")
+        assert x.shape[0] == n0 + 2
