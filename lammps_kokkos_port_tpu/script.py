@@ -1697,6 +1697,25 @@ class LammpsScript:
                                       accuracy_rel=accuracy,
                                       dtype=jnp.float64,
                                       dynamic=dynamic_box)
+            elif kname in ("msm", "msm/cg"):
+                from .models.msm import MSM
+
+                if dynamic_box:
+                    raise ScriptError(
+                        "kspace msm under a barostat unsupported (grid "
+                        "kernels are box-dependent)")
+                import numpy as _np
+
+                qs = _np.asarray(jax.device_get(state.q))
+                vm = _np.asarray(jax.device_get(state.valid_mask))
+                kspace = MSM.create(
+                    self.box, cutoff=self._pair_cut_guess(),
+                    accuracy_rel=accuracy, natoms=natoms,
+                    qsqsum=float((qs[vm] ** 2).sum()),
+                    qqrd2e=get_units(self.units_name).qqr2e,
+                    scalar_pressure=self.kspace_modify.get(
+                        "pressure/scalar", "yes") == "yes",
+                    dtype=jnp.float64)
             else:
                 raise ScriptError(f"kspace style {kname} unsupported")
 
@@ -1788,6 +1807,14 @@ class LammpsScript:
                 pair = PairCoul.create(self.ntypes, float(args[0]), coeffs,
                                        g_ewald=g_ewald, coul_mode=mode,
                                        mix=mix or "geometric", dtype=dt)
+            elif name == "coul/msm":
+                from .models.pair_coul_misc import PairVdwCoul
+
+                # gamma split order = kspace order/2 (default order 10,
+                # ref: msm.cpp:77, pair_coul_msm.cpp gamma calls)
+                pair = PairVdwCoul(vdw=None, ntypes=self.ntypes,
+                                   coul_mode="msm", alpha=5,
+                                   cut_coul=float(args[0]))
             elif name == "eam":
                 files = {}
                 for c in self.pair_coeffs:

@@ -654,7 +654,21 @@ def run_kspace_fixture(name: str, dtype=jnp.float64):
     kname = words[1]
     accuracy_rel = float(words[2])
     gewald = opts["gewald"]
-    q = np.asarray(jax.device_get(state.q))
+    # apply `set atom A*B charge Q` / `set type T charge Q` post-commands
+    # (the msm/cg fixture zeroes charges to exercise grid compression)
+    q = np.asarray(jax.device_get(state.q)).copy()
+    types_np = np.asarray(jax.device_get(state.type))
+    for ln in fix["post_commands"].splitlines():
+        t = ln.split()
+        if len(t) == 5 and t[0] == "set" and t[3] == "charge":
+            val = float(t[4])
+            if t[1] == "atom":
+                lohi = t[2].split("*")
+                lo = int(lohi[0]); hi = int(lohi[1]) if len(lohi) > 1 else lo
+                q[lo - 1:hi] = val
+            elif t[1] == "type":
+                q[types_np == int(t[2])] = val
+            state = state.replace(q=jnp.asarray(q, dtype=state.q.dtype))
     valid = np.asarray(jax.device_get(state.valid_mask))
     qsqsum = float((q[valid] ** 2).sum())
     qqrd2e = get_units("real").qqr2e
@@ -688,6 +702,17 @@ def run_kspace_fixture(name: str, dtype=jnp.float64):
             state.box, g_ewald=gewald, accuracy_rel=accuracy_rel,
             natoms=df.natoms, qsqsum=qsqsum, qqrd2e=qqrd2e, dtype=dtype,
             slabflag=slabflag, slab_volfactor=volfactor)
+    elif kname in ("msm", "msm/cg"):
+        # msm/cg only compresses away zero-charge grid work
+        # (ref: msm_cg.cpp) — identical values
+        from lammps_kokkos_port_tpu.models.msm import MSM
+
+        # cutoff comes from the pair style ("coul/msm 12.0"): MSM::init
+        # extracts cut_coul from the pair (msm.cpp:157)
+        cutoff = float(fix["pair_style"].split()[-1])
+        ks = MSM.create(state.box, cutoff=cutoff,
+                        accuracy_rel=accuracy_rel, natoms=df.natoms,
+                        qsqsum=qsqsum, qqrd2e=qqrd2e, dtype=dtype)
     else:
         raise NotImplementedError(kname)
     f, e, vir = ks.compute(state, True, True)

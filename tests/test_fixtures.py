@@ -115,6 +115,8 @@ KSPACE_FIXTURES = [
     "kspace-ewald_nozforce.yaml",
     "kspace-ewald_tri.yaml",
     "kspace-ewald_tilted.yaml",
+    "kspace-msm.yaml",
+    "kspace-msm_cg.yaml",
 ]
 
 

@@ -477,3 +477,68 @@ run             5
     valid = np.asarray(jax.device_get(st.valid_mask))
     np.testing.assert_allclose(np.asarray(f)[valid], np.asarray(f_ad)[valid],
                                atol=1e-8)
+
+
+def _write_nacl_data(path, ncell=3, a=5.6402):
+    """Rock-salt NaCl data file (atom_style charge, units real)."""
+    basis_na = [(0, 0, 0), (0.5, 0.5, 0), (0.5, 0, 0.5), (0, 0.5, 0.5)]
+    basis_cl = [(0.5, 0, 0), (0, 0.5, 0), (0, 0, 0.5), (0.5, 0.5, 0.5)]
+    rows = []
+    for i in range(ncell):
+        for j in range(ncell):
+            for k in range(ncell):
+                for b in basis_na:
+                    rows.append((1, 1.0, (i + b[0]) * a, (j + b[1]) * a,
+                                 (k + b[2]) * a))
+                for b in basis_cl:
+                    rows.append((2, -1.0, (i + b[0]) * a, (j + b[1]) * a,
+                                 (k + b[2]) * a))
+    L = ncell * a
+    with open(path, "w") as f:
+        f.write("NaCl\n\n")
+        f.write(f"{len(rows)} atoms\n2 atom types\n\n")
+        f.write(f"0.0 {L} xlo xhi\n0.0 {L} ylo yhi\n0.0 {L} zlo zhi\n\n")
+        f.write("Masses\n\n1 22.98977\n2 35.453\n\nAtoms\n\n")
+        for n, (t, q, x, y, z) in enumerate(rows, 1):
+            f.write(f"{n} {t} {q} {x} {y} {z}\n")
+
+
+def test_msm_deck_matches_ewald(tmp_path):
+    """kspace_style msm through the interpreter: total coulomb energy and
+    forces on rock-salt NaCl agree with ewald at the accuracy target.
+
+    MSM splits 1/r into gamma real-space + multilevel grid parts (ref:
+    src/KSPACE/msm.cpp); ewald at 1e-6 is the oracle. LAMMPS accuracy
+    1e-4 means force error ~1e-4 * qqr2e abs (kspace.cpp two_charge)."""
+    import jax
+
+    data = str(tmp_path / "data.nacl")
+    _write_nacl_data(data)
+
+    def coul_forces(pair_line, kspace_line):
+        deck = f"""
+units           real
+atom_style      charge
+{pair_line}
+{kspace_line}
+read_data       {data}
+pair_coeff      * *
+run             0
+"""
+        s = run_deck(deck)
+        sim = s.sim
+        f, epair, _, _ = sim.force_fn(sim.state, sim.nl, True, False)
+        valid = np.asarray(jax.device_get(sim.state.valid_mask))
+        return np.asarray(f)[valid], float(epair), sim.state
+
+    f_ew, e_ew, st = coul_forces("pair_style      coul/long 8.0",
+                                 "kspace_style    ewald 1e-6")
+    f_msm, e_msm, _ = coul_forces("pair_style      coul/msm 8.0",
+                                  "kspace_style    msm 1e-4")
+    n = f_ew.shape[0]
+    # Madelung sanity on the oracle: E/pair = -1.74756 * qqr2e / (a/2)
+    e_pair = e_ew / (n / 2)
+    assert abs(e_pair - (-1.747565 * 332.06371 / 2.8201)) < 0.05
+    # MSM vs ewald: abs force tolerance ~ accuracy * two_charge_force
+    assert np.abs(f_msm - f_ew).max() < 1e-4 * 332.06371 * 3
+    assert abs(e_msm - e_ew) / abs(e_ew) < 2e-4
