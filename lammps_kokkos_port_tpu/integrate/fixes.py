@@ -393,6 +393,153 @@ class FixTempBerendsen(AuxFix):
 
 
 @dataclasses.dataclass(frozen=True)
+class FixTempCSVR(AuxFix):
+    """fix temp/csvr t_start t_stop t_period seed: Bussi-Donadio-Parrinello
+    canonical-sampling velocity rescale, stream-exact vs the reference
+    (ref: src/EXTRA-FIX/fix_temp_csvr.cpp end_of_step/resamplekin; the
+    RanMars draws — gaussian + gamma-deviate rejection chains — replay
+    inside jit via utils/ranmars lax.while_loops)."""
+
+    t_start: float = 1.0
+    t_stop: float = 1.0
+    t_period: float = 1.0
+    seed: int = 12345
+    dof: int = 0  # group DOF (dim*N - dim), static for the gamdev branch
+    dt: float = 0.005
+    units: Units = None
+    groupbit: int = 1
+
+    @property
+    def aux_key(self) -> str:
+        return f"csvr_rng_{self.seed}"
+
+    def setup(self, state: State) -> State:
+        if self.aux_key in state.aux:
+            return state
+        from ..utils.ranmars import ranmars_init
+
+        return state.replace(
+            aux={**state.aux, self.aux_key: ranmars_init(self.seed)})
+
+    def end_of_step(self, state: State) -> State:
+        from ..utils import ranmars as rm
+
+        if self.dof < 1:
+            return state
+        u = self.units
+        rs = state.aux[self.aux_key]
+        t_cur = _group_temp(state, self.groupbit, self.units)
+        t_target = self.t_start + _run_delta(state) * (self.t_stop
+                                                       - self.t_start)
+        efactor = 0.5 * self.dof * u.boltz
+        ekin_old = t_cur * efactor
+        ekin_new = t_target * efactor
+        # resamplekin (fix_temp_csvr.cpp:304-313)
+        c1 = jnp.exp(jnp.asarray(-self.dt / self.t_period, jnp.float64))
+        c2 = (1.0 - c1) * ekin_new / ekin_old / self.dof
+        r1, rs = rm.gaussian(rs)
+        r2, rs = rm.sumnoises(rs, self.dof - 1)
+        scale = c1 + c2 * (r1 * r1 + r2) + 2.0 * r1 * jnp.sqrt(c1 * c2)
+        lamda = jnp.sqrt(scale).astype(state.dtype)
+        v = jnp.where(_gmask(state, self.groupbit), state.v * lamda, state.v)
+        return state.replace(v=v, aux={**state.aux, self.aux_key: rs})
+
+
+@dataclasses.dataclass(frozen=True)
+class FixTempCSLD(AuxFix):
+    """fix temp/csld: canonical-sampling Langevin-dynamics thermostat —
+    per-atom mix of old velocities with fresh gaussian ones, stream-exact
+    (ref: src/EXTRA-FIX/fix_temp_csld.cpp end_of_step; Bussi & Parrinello,
+    Phys Rev E 75, 056707 (2007))."""
+
+    t_start: float = 1.0
+    t_stop: float = 1.0
+    t_period: float = 1.0
+    seed: int = 12345
+    dof: int = 0
+    dt: float = 0.005
+    units: Units = None
+    groupbit: int = 1
+
+    # per-atom draws must replay in the reference's local atom order —
+    # the spatial-bin sort refreshed by the script at every run setup
+    # (utils/localorder.py; ref: src/verlet.cpp:123, src/atom.cpp:2246)
+    needs_local_order = True
+
+    @property
+    def aux_key(self) -> str:
+        return f"csld_rng_{self.seed}"
+
+    def setup(self, state: State) -> State:
+        if self.aux_key in state.aux:
+            return state
+        from ..utils.ranmars import ranmars_init
+
+        aux = {**state.aux, self.aux_key: ranmars_init(self.seed)}
+        rank_key = self.aux_key + "_rank"
+        if rank_key not in aux:
+            # identity fallback (tag order); the script overwrites with
+            # the reference bin-sorted order before each run
+            n = int(state.tag.shape[0])
+            aux[rank_key] = jnp.arange(n + 1, dtype=jnp.int32)
+        return state.replace(aux=aux)
+
+    def end_of_step(self, state: State) -> State:
+        from jax import lax
+
+        from ..utils import ranmars as rm
+
+        if self.dof < 1:
+            return state
+        rs = state.aux[self.aux_key]
+        t_target = self.t_start + _run_delta(state) * (self.t_stop
+                                                       - self.t_start)
+        g = _gmask(state, self.groupbit)[:, 0]
+        minv = (1.0 / jnp.sqrt(jnp.maximum(
+            state.per_atom_mass, 1e-300))).astype(jnp.float64)
+
+        # the reference consumes gaussians in LOCAL INDEX order = the
+        # data-file line order on one rank (NOT tag order — fourmol's
+        # Atoms section is unsorted); our storage order changes at
+        # rebuilds, so scan in that recorded order
+        rank_key = self.aux_key + "_rank"
+        if rank_key in state.aux:
+            rank = state.aux[rank_key][state.tag]
+        else:
+            rank = state.tag
+        key = jnp.where(g, rank, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(key)
+
+        def body(rs, inp):
+            gi, mi = inp
+
+            def draw(rs):
+                a, rs = rm.gaussian(rs)
+                b, rs = rm.gaussian(rs)
+                c, rs = rm.gaussian(rs)
+                return rs, jnp.stack([a, b, c])
+
+            rs, gv = lax.cond(
+                gi, draw, lambda r: (r, jnp.zeros(3, jnp.float64)), rs)
+            return rs, gv * mi
+
+        rs, vrand_o = lax.scan(body, rs, (g[order], minv[order]))
+        vrand = jnp.zeros_like(vrand_o).at[order].set(vrand_o)
+        vrand = vrand.astype(state.dtype)
+        # c2 uses the temperature of the RANDOMIZED group velocities
+        # (fix_temp_csld.cpp:222-225 calls compute_scalar after the swap)
+        vmix = jnp.where(g[:, None], vrand, state.v)
+        t_rand = _group_temp(state.replace(v=vmix), self.groupbit,
+                             self.units)
+        c1 = jnp.exp(jnp.asarray(-self.dt / self.t_period,
+                                 state.dtype))
+        c2 = jnp.sqrt((1.0 - c1 * c1) * t_target
+                      / jnp.maximum(t_rand, 1e-300))
+        v = jnp.where(g[:, None], state.v * c1 + vrand * c2, state.v)
+        return state.replace(v=v, aux={**state.aux, self.aux_key: rs})
+
+
+@dataclasses.dataclass(frozen=True)
 class FixPlaneForce(AuxFix):
     """fix planeforce: project force onto the plane normal to n
     (ref: src/fix_planeforce.cpp)."""
@@ -495,6 +642,39 @@ class FixWall(AuxFix):
 
 
 @dataclasses.dataclass(frozen=True)
+class FixWallLepton(AuxFix):
+    """fix wall/lepton: flat walls with a runtime-compiled algebraic
+    potential E(r[,rc]); force from autodiff where the reference
+    differentiates symbolically (ref: src/LEPTON/fix_wall_lepton.cpp
+    wall_particle: f[dim] += side * dE/dr(delta), E shifted by E(rc)).
+    walls: tuple of (dim, side, coord, cutoff, expr)."""
+
+    walls: tuple = ()
+    groupbit: int = 1
+
+    def post_force(self, state: State) -> State:
+        import jax
+
+        from ..utils.lepton import lepton_fn
+
+        f = state.f
+        g = _gmask(state, self.groupbit)[:, 0]
+        for dim, side, coord, cutoff, expr in self.walls:
+            e_fn = lepton_fn(expr)
+
+            def e_of_r(r):
+                return e_fn(r=r, rc=jnp.asarray(cutoff, state.dtype))
+
+            delta = jnp.where(side < 0, state.x[:, dim] - coord,
+                              coord - state.x[:, dim])
+            inside = g & (delta > 0.0) & (delta < cutoff)
+            d = jnp.where(inside, delta, 0.5 * cutoff)
+            fw = float(side) * jax.vmap(jax.grad(e_of_r))(d)
+            f = f.at[:, dim].add(jnp.where(inside, fw, 0.0))
+        return state.replace(f=f)
+
+
+@dataclasses.dataclass(frozen=True)
 class FixMomentumFull(AuxFix):
     """fix momentum with linear + angular + rescale options
     (ref: src/fix_momentum.cpp end_of_step: vcm subtraction, omega = I^-1 L
@@ -578,6 +758,50 @@ class FixEfield(AuxFix):
                                         state.q.shape)
                        for c in comps], axis=-1)
         add = state.q[:, None] * e
+        return state.replace(f=state.f + jnp.where(g, add, 0.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class FixEfieldTIP4P(AuxFix):
+    """fix efield/tip4p Ex Ey Ez: qE with each water's M-site share
+    redistributed onto real sites — (1-alpha) to O, alpha/2 per H (ref:
+    src/EXTRA-FIX/fix_efield_tip4p.cpp post_force:92-118; alpha from the
+    pair style's qdist + equilibrium geometry, :72-76). The weights are
+    static, so the per-atom force is qeff*E with qeff precomputed on
+    host and installed in aux."""
+
+    ex: object = 0.0
+    ey: object = 0.0
+    ez: object = 0.0
+    alpha: float = 0.0
+    groupbit: int = 1
+    osrc: object = None  # np [cap] int: owning-O index for water H, else i
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def setup(self, state: State) -> State:
+        if "eft_osrc" in state.aux:
+            return state
+        return state.replace(aux={
+            **state.aux, "eft_osrc": jnp.asarray(self.osrc, jnp.int32)})
+
+    def post_force(self, state: State) -> State:
+        g = _gmask(state, self.groupbit)
+        comps = [_fix_value(c, state) for c in (self.ex, self.ey, self.ez)]
+        e = jnp.stack([jnp.broadcast_to(jnp.asarray(c, state.dtype),
+                                        state.q.shape)
+                       for c in comps], axis=-1)
+        qe = state.q[:, None] * e
+        osrc = state.aux["eft_osrc"]
+        idx = jnp.arange(osrc.shape[0])
+        is_h = osrc != idx
+        is_o = jnp.zeros_like(is_h).at[osrc].set(is_h, mode="drop")
+        add = (qe - self.alpha * jnp.where(is_o[:, None], qe, 0.0)
+               + 0.5 * self.alpha * jnp.where(is_h[:, None], qe[osrc], 0.0))
         return state.replace(f=state.f + jnp.where(g, add, 0.0))
 
 

@@ -55,6 +55,10 @@ class DataFile:
     masses: np.ndarray | None = None  # [natomtypes+1]
     # per-atom (in tag order, tags must be 1..N after sorting)
     tags: np.ndarray | None = None
+    # tags in data-file line order — the reference's local atom order on
+    # one rank (read_data.cpp appends in file order); stochastic fixes
+    # that consume RNG draws per-atom need this order for stream parity
+    file_order: np.ndarray | None = None
     types: np.ndarray | None = None
     molecule: np.ndarray | None = None
     q: np.ndarray | None = None
@@ -105,6 +109,34 @@ def _scan_coeff_sections(df: "DataFile", path: str) -> None:
                 df.coeffs.setdefault(cur, []).append(s.split())
 
 
+def _scan_file_order(path: str, natoms: int) -> np.ndarray | None:
+    """Light second pass recording the Atoms-section tag order (the
+    reference's local atom order on one rank; stochastic fixes replay
+    RNG draws in it — see DataFile.file_order)."""
+    order = np.empty(natoms, dtype=np.int64)
+    k = 0
+    in_atoms = False
+    with open(path) as f:
+        for line in f:
+            s = line.split("#")[0].strip()
+            if not in_atoms:
+                if s == "Atoms" or s.startswith("Atoms "):
+                    in_atoms = True
+                continue
+            if not s:
+                if k:  # trailing blank ends the section
+                    break
+                continue
+            try:
+                order[k] = int(s.split(None, 1)[0])
+            except (ValueError, IndexError):
+                break
+            k += 1
+            if k == natoms:
+                break
+    return order if k == natoms else None
+
+
 def read_data(path: str, atom_style: str = "full",
               use_native: bool = True) -> DataFile:
     if atom_style.startswith("hybrid") or atom_style == "sphere":
@@ -115,6 +147,7 @@ def read_data(path: str, atom_style: str = "full",
         df = read_data_native(path, atom_style)
         if df is not None:
             _scan_coeff_sections(df, path)
+            df.file_order = _scan_file_order(path, df.natoms)
             return df
     with open(path) as f:
         lines = f.read().splitlines()
@@ -188,6 +221,7 @@ def read_data(path: str, atom_style: str = "full",
     df.masses = np.ones(df.natomtypes + 1)
 
     def parse_atoms(rows):
+        df.file_order = np.array([int(t[0]) for t in rows], dtype=np.int64)
         for toks in rows:
             tag = int(toks[0])
             k = tag - 1

@@ -166,6 +166,9 @@ class LammpsScript:
         label/jump/next/if/include control flow (ref: src/input.cpp:749-862
         hardwired commands; jump re-reads the file, here a program counter
         over the cached lines)."""
+        import os
+
+        self._last_file_dir = os.path.dirname(os.path.abspath(path))
         self._run_program(self._read_lines(path), path)
 
     def _run_program(self, lines: list[str], path: str = "SELF"):
@@ -853,6 +856,56 @@ class LammpsScript:
         for i in range(0, len(a) - 1, 2):
             self.pair_modify[a[i]] = a[i + 1]
 
+    def cmd_set(self, a):
+        """set atom|mol|type RANGE keyword value ...: per-atom property
+        assignment before the first run; keywords type/charge/mol with
+        LAMMPS n*m range selectors (ref: src/set.cpp command + select)."""
+        if self.sim is not None:
+            raise ScriptError("set after a run is not supported")
+        style, sel = a[0], a[1]
+        n = len(self.types)
+        types = np.asarray(self.types, dtype=np.int64)
+        mols = (np.asarray(self.molecules, dtype=np.int64)
+                if self.molecules else np.zeros(n, dtype=np.int64))
+        tags = np.arange(1, n + 1)  # positions/types lists are tag-ordered
+
+        def rng_mask(vals, spec):
+            if "*" in spec:
+                los, _, his = spec.partition("*")
+                m = np.ones(len(vals), dtype=bool)
+                if los:
+                    m &= vals >= int(los)
+                if his:
+                    m &= vals <= int(his)
+                return m
+            return vals == int(spec)
+
+        if style == "mol":
+            m = rng_mask(mols, sel)
+        elif style == "atom":
+            m = rng_mask(tags, sel)
+        elif style == "type":
+            m = rng_mask(types, sel)
+        else:
+            raise ScriptError(f"set style {style} unsupported")
+        i = 2
+        while i < len(a) - 1:
+            kw, val = a[i], a[i + 1]
+            if kw == "type":
+                types[m] = int(val)
+                self.types = types.tolist()
+            elif kw == "charge":
+                q = (np.asarray(self.charges, dtype=float)
+                     if self.charges else np.zeros(n))
+                q[m] = float(val)
+                self.charges = q.tolist()
+            elif kw == "mol":
+                mols[m] = int(val)
+                self.molecules = mols.tolist()
+            else:
+                raise ScriptError(f"set keyword {kw} unsupported")
+            i += 2
+
     def cmd_bond_style(self, a):
         self.bond_style_name = a[0]
 
@@ -1096,6 +1149,7 @@ class LammpsScript:
         self._box_lo_np = np.array([df.xlo, df.ylo, df.zlo], dtype=float)
         self._box_hi_np = np.array([df.xhi, df.yhi, df.zhi], dtype=float)
         self.positions = df.x.tolist()
+        self.data_file_order = df.file_order
         self.types = df.types.tolist()
         if df.q is not None:
             self.charges = df.q.tolist()
@@ -1233,6 +1287,44 @@ class LammpsScript:
             raise ScriptError(f"non-finite thermo at step {step_no}: {row}")
         return row
 
+    def _refresh_local_order(self, sim):
+        """Track the reference's local atom order for RNG-stream-exact
+        stochastic fixes. Verlet::setup spatially sorts atoms at every run
+        (ref: src/verlet.cpp:123, src/atom.cpp:2246); the draw order is
+        that bin-sorted sequence, threaded stably run to run."""
+        keys = [f.aux_key + "_rank" for f in sim.fixes
+                if getattr(f, "needs_local_order", False)]
+        if not keys:
+            return
+        from .utils.localorder import default_skin, ref_sort_order
+
+        st = sim.state
+        valid = np.asarray(st.valid_mask)
+        tags = np.asarray(st.tag)[valid]
+        x = np.asarray(st.x)[valid]
+        maxtag = int(tags.max())
+        x_by_tag = np.zeros((maxtag, 3))
+        x_by_tag[tags - 1] = x
+        if getattr(self, "_ref_local_order", None) is None:
+            fo = getattr(self, "data_file_order", None)
+            self._ref_local_order = (np.asarray(fo, dtype=np.int64)
+                                     if fo is not None else np.sort(tags))
+        skin = (self.skin if self.skin is not None
+                else default_skin(self.units_name))
+        binsize = 0.5 * (self._pair_cut_guess() + skin)
+        lo = np.asarray(st.box.lo, dtype=float)
+        hi = np.asarray(st.box.hi, dtype=float)
+        self._ref_local_order = ref_sort_order(
+            self._ref_local_order, x_by_tag, lo, hi, binsize)
+        cap = int(st.tag.shape[0])
+        rank = np.zeros(cap + 1, dtype=np.int32)
+        rank[self._ref_local_order] = np.arange(
+            len(self._ref_local_order), dtype=np.int32)
+        aux = dict(st.aux)
+        for k in keys:
+            aux[k] = jnp.asarray(rank)
+        sim.state = st.replace(aux=aux)
+
     def cmd_run(self, a):
         """run N [start S stop E] [pre yes/no] [post yes/no]: the Output
         scheduler loop — thermo and every dump fire at their OWN cadence
@@ -1259,6 +1351,7 @@ class LammpsScript:
             sim.setup()
         elif pre and not fresh:
             sim.presetup_forces()
+        self._refresh_local_order(sim)
         if "nh_run" in sim.state.aux:
             begin = sim.ntimestep if start is None else start
             end = begin + nsteps if stop is None else stop
@@ -1620,7 +1713,7 @@ class LammpsScript:
         rigid_integ, state = self._build_rigid(state, x, types, cap, n)
 
         ff = self._build_forcefield(state, cap, n)
-        integ, fixes = self._build_fixes()
+        integ, fixes = self._build_fixes(state)
         if shake_fix is not None:
             fixes = fixes + (shake_fix,)
         if rigid_integ is not None:
@@ -1719,7 +1812,13 @@ class LammpsScript:
             else:
                 raise ScriptError(f"kspace style {kname} unsupported")
 
-        if self.pair_style_words:
+        if (self.pair_style_words
+                and self.pair_modify.get("compute", "on") == "off"):
+            # pair_modify compute off: the pair style exists (its geometry
+            # params remain extractable) but contributes no force/energy
+            # (ref: src/pair.cpp modify_params compute flag)
+            pass
+        elif self.pair_style_words:
             words = self.pair_style_words
             name = words[0]
             args = words[1:]
@@ -2349,7 +2448,7 @@ class LammpsScript:
             self.topology_raw["angles"] = new_angles
         return fix
 
-    def _build_fixes(self):
+    def _build_fixes(self, state=None):
         from .integrate.fixes import (
             FixAddForce, FixEnforce2D, FixLangevin, FixMomentum, FixRecenter,
             FixSetForce, FixSpring, FixViscous,
@@ -2439,6 +2538,27 @@ class LammpsScript:
                     fixes.append(FixMomentum(
                         every=int(args[0]), groupbit=gbit,
                         linear=linear or (True, True, True)))
+            elif f.style == "python/move":
+                import importlib
+                import os
+                import sys as _sys
+
+                from .integrate.pymove import (
+                    IntegratorPythonMove, PyMoveAPI, install_lammps_shim,
+                )
+
+                install_lammps_shim()
+                modname, _, clsname = f.args[0].rpartition(".")
+                for d in (getattr(self, "_last_file_dir", None),
+                          self.variables.get("input_dir")):
+                    if d and os.path.isdir(d) and d not in _sys.path:
+                        _sys.path.insert(0, d)
+                cls = getattr(importlib.import_module(modname), clsname)
+                api = PyMoveAPI(dt, units, self._mass_table(),
+                                self.ntypes)
+                integ = IntegratorPythonMove(
+                    dt=dt, units=units, groupbit=gbit,
+                    pyobj=cls(api), api=api, nlocal=len(self.types))
             elif f.style == "nve/limit":
                 from .integrate.verlet import IntegratorNVELimit
 
@@ -2476,6 +2596,22 @@ class LammpsScript:
                     t_start=float(f.args[0]), t_stop=float(f.args[1]),
                     t_period=float(f.args[2]), dt=dt, units=units,
                     groupbit=gbit))
+            elif f.style in ("temp/csvr", "temp/csld"):
+                import numpy as _np
+
+                from .integrate.fixes import FixTempCSLD, FixTempCSVR
+
+                st = state if state is not None else self.sim.state
+                g = _np.asarray(st.valid_mask) & _np.asarray(
+                    st.group_mask(gbit))
+                dim = 3 if getattr(st, "dimension", 3) == 3 else 2
+                dof = dim * int(g.sum()) - dim
+                cls = (FixTempCSVR if f.style == "temp/csvr"
+                       else FixTempCSLD)
+                fixes.append(cls(
+                    t_start=float(f.args[0]), t_stop=float(f.args[1]),
+                    t_period=float(f.args[2]), seed=int(f.args[3]),
+                    dof=dof, dt=dt, units=units, groupbit=gbit))
             elif f.style in ("planeforce", "lineforce"):
                 from .integrate.fixes import FixLineForce, FixPlaneForce
 
@@ -2553,6 +2689,37 @@ class LammpsScript:
                     ex=fc(f.args[0], q), ey=fc(f.args[1], q),
                     ez=fc(f.args[2], q), groupbit=gbit,
                     region=self._fix_region_kw(f.args)))
+            elif f.style == "efield/tip4p":
+                import math as _math
+
+                from .integrate.fixes import FixEfieldTIP4P
+
+                # tip4p pair styles carry typeO typeH typeB typeA qdist
+                # as their first five args (ref: pair_tip4p_cut.cpp
+                # settings; fix reads them via pair->extract,
+                # fix_efield_tip4p.cpp:53-76)
+                pw = self.pair_style_words or []
+                typeO, typeH = int(pw[1]), int(pw[2])
+                typeB, typeA = int(pw[3]), int(pw[4])
+                qdist = float(pw[5])
+                blen = float(self.bond_coeffs[typeB][1])
+                theta = float(self.angle_coeffs[typeA][1]) * _math.pi / 180.0
+                alpha = qdist / (_math.cos(0.5 * theta) * blen)
+                tv = np.asarray(self.types, dtype=np.int64)
+                cap = (state.capacity if state is not None
+                       else self.sim.state.capacity)
+                osrc = np.arange(cap, dtype=np.int32)
+                for i in np.nonzero(tv == typeO)[0]:
+                    if (i + 2 < len(tv) and tv[i + 1] == typeH
+                            and tv[i + 2] == typeH):
+                        osrc[i + 1] = i
+                        osrc[i + 2] = i
+                fc = self._fix_component
+                q = units.qe2f
+                fixes.append(FixEfieldTIP4P(
+                    ex=fc(f.args[0], q), ey=fc(f.args[1], q),
+                    ez=fc(f.args[2], q), alpha=alpha, groupbit=gbit,
+                    osrc=osrc))
             elif f.style == "drag":
                 from .integrate.fixes import FixDrag
 
@@ -2782,6 +2949,32 @@ class LammpsScript:
                 fixes.append(FixWallTable(
                     fid=f.fid, walls=tuple(walls), spline=spline,
                     tables=tuple(tables), groupbit=gbit))
+            elif f.style == "wall/lepton":
+                from .integrate.fixes import FixWallLepton
+
+                a = list(f.args)
+                faces = {"xlo": (0, -1), "xhi": (0, 1), "ylo": (1, -1),
+                         "yhi": (1, 1), "zlo": (2, -1), "zhi": (2, 1)}
+                walls = []
+                i = 0
+                while i < len(a):
+                    if a[i] in faces:
+                        dim, side = faces[a[i]]
+                        coordw = a[i + 1]
+                        if coordw == "EDGE":
+                            coord = float((self._box_lo_np
+                                           if side < 0
+                                           else self._box_hi_np)[dim])
+                        else:
+                            coord = float(coordw)
+                        expr = a[i + 2].strip("\"'")
+                        cutoff = float(a[i + 3])
+                        walls.append((dim, side, coord, cutoff, expr))
+                        i += 4
+                    else:
+                        i += 1
+                fixes.append(FixWallLepton(
+                    walls=tuple(walls), groupbit=gbit))
             elif f.style == "wall/region":
                 from .integrate.fixes import FixWallRegion
 

@@ -902,14 +902,12 @@ def run_fix_timestep(name: str, dtype=jnp.float64):
             s.one(ln.strip())
     deck = fix.get("input_file", "in.fourmol")
     s.file(f"{TESTS_DIR}/{deck}")
-    if deck == "in.fourmol":
-        for c in _FIXTS_FF:
-            s.one(c)
-    else:
-        # non-fourmol decks (in.dipole): groups only; the force field comes
-        # entirely from post_commands (test_fix_timestep.cpp:127-128)
-        s.one("group solute molecule 1:2")
-        s.one("group solvent molecule 3:5")
+    # the molecular force field is applied unconditionally — also for
+    # in.dipole, whose data file carries the same bonds/angles; fixtures'
+    # post_commands may then REPLACE the pair style
+    # (test_fix_timestep.cpp:109-128)
+    for c in _FIXTS_FF:
+        s.one(c)
     for ln in (fix.get("post_commands") or "").splitlines():
         if ln.strip():
             s.one(ln.strip())
