@@ -90,6 +90,27 @@ class Integrator:
 
 
 @dataclasses.dataclass(frozen=True)
+class IntegratorSPH(Integrator):
+    """fix sph: velocity-Verlet plus the vest velocity extrapolation the
+    SPH pair styles consume for their velocity-dependent terms (ref:
+    src/SPH/fix_sph.cpp initial_integrate — vest = v + 2*dtf/m*f BEFORE
+    the half kick; rho/e time integration is unnecessary here because the
+    deck pairs it with summation density, pair sph/rhosum)."""
+
+    def setup(self, state: State) -> State:
+        if "vest" in state.aux:
+            return state
+        return state.replace(aux={**state.aux, "vest": state.v})
+
+    def initial_integrate(self, state: State) -> State:
+        m = state.per_atom_mass[:, None]
+        vest = jnp.where(self._gmask(state),
+                         state.v + 2.0 * self.dtf * state.f / m, state.v)
+        state = state.replace(aux={**state.aux, "vest": vest})
+        return self.nve_x(self.nve_v(state))
+
+
+@dataclasses.dataclass(frozen=True)
 class IntegratorNVELimit(Integrator):
     """fix nve/limit xmax: clamp |v| to xmax/dt after each half kick
     (ref: src/fix_nve_limit.cpp initial/final_integrate)."""

@@ -74,6 +74,11 @@ class DataFile:
     sph_rho: np.ndarray | None = None
     sph_e: np.ndarray | None = None
     sph_cv: np.ndarray | None = None
+    # reference positions (fork atom styles x0image / full/sph/x0image,
+    # ref: src/atom_vec_x0image.cpp fields_data_atom {id,type,x0,x};
+    # src/atom_vec_full_sph_x0image.cpp {id,molecule,type,q,rho,esph,cv,
+    # x0,x}) — the RBC membrane styles' rest configuration
+    x0: np.ndarray | None = None
     # finite-size / dipole per-atom fields (atom styles sphere + dipole,
     # ref: src/atom_vec_sphere.cpp data_atom: diameter density ->
     # radius + rmass; src/DIPOLE/atom_vec_dipole.cpp: mux muy muz)
@@ -139,8 +144,9 @@ def _scan_file_order(path: str, natoms: int) -> np.ndarray | None:
 
 def read_data(path: str, atom_style: str = "full",
               use_native: bool = True) -> DataFile:
-    if atom_style.startswith("hybrid") or atom_style == "sphere":
-        use_native = False  # hybrid/sphere column layouts: python path only
+    if (atom_style.startswith("hybrid") or atom_style == "sphere"
+            or "x0image" in atom_style):
+        use_native = False  # hybrid/sphere/x0image layouts: python path only
     if use_native:
         from .native import read_data_native
 
@@ -189,14 +195,17 @@ def read_data(path: str, atom_style: str = "full",
     df.x = np.zeros((n, 3))
     df.image = np.zeros((n, 3), dtype=np.int32)
     df.v = np.zeros((n, 3))
-    if atom_style in ("charge", "full"):
+    if atom_style in ("charge", "full", "full/sph/x0image"):
         df.q = np.zeros(n)
-    if atom_style in ("bond", "angle", "molecular", "full"):
+    if atom_style in ("bond", "angle", "molecular", "full",
+                      "full/sph/x0image"):
         df.molecule = np.zeros(n, dtype=np.int32)
-    if atom_style == "sph":
+    if atom_style in ("sph", "full/sph/x0image"):
         df.sph_rho = np.zeros(n)
         df.sph_e = np.zeros(n)
         df.sph_cv = np.zeros(n)
+    if "x0image" in atom_style:
+        df.x0 = np.zeros((n, 3))
     # hybrid: "id type x y z" then each sub-style's extra columns in
     # sub-style order, then images (ref: atom_vec_hybrid.cpp data_atom —
     # sub-style fields_data_atom minus the base fields, concatenated)
@@ -266,6 +275,27 @@ def read_data(path: str, atom_style: str = "full",
                 df.radius[k] = 0.5 * diam
                 df.rmass[k] = ((4.0 * np.pi / 3.0) * df.radius[k] ** 3 * dens
                                if diam > 0.0 else dens)
+                df.x[k] = [float(toks[c]), float(toks[c + 1]),
+                           float(toks[c + 2])]
+                c += 3
+                if len(toks) >= c + 3:
+                    df.image[k] = [int(toks[c]), int(toks[c + 1]),
+                                   int(toks[c + 2])]
+                continue
+            if "x0image" in atom_style:
+                # fork styles: x0 (rest position) precedes x
+                if atom_style == "full/sph/x0image":
+                    df.molecule[k] = int(toks[c]); c += 1
+                    df.types[k] = int(toks[c]); c += 1
+                    df.q[k] = float(toks[c]); c += 1
+                    df.sph_rho[k] = float(toks[c]); c += 1
+                    df.sph_e[k] = float(toks[c]); c += 1
+                    df.sph_cv[k] = float(toks[c]); c += 1
+                else:  # x0image: id type x0 x
+                    df.types[k] = int(toks[c]); c += 1
+                df.x0[k] = [float(toks[c]), float(toks[c + 1]),
+                            float(toks[c + 2])]
+                c += 3
                 df.x[k] = [float(toks[c]), float(toks[c + 1]),
                            float(toks[c + 2])]
                 c += 3

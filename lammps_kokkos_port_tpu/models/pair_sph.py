@@ -132,8 +132,13 @@ class PairSPHTaitwater:
         r2s = jnp.where(within, r2, jnp.ones((), dt))
         wfd = jnp.where(within, _wfd_lucy(r2s, hij, dim), 0.0)
 
-        vi = state.v[:, None, :]
-        vj = state.v[jc]
+        # velocity-dependent terms use the EXTRAPOLATED full-step
+        # velocities vest = v(t) + 2*dtf/m*f(t), maintained by fix sph
+        # (ref: pair_sph_taitwater.cpp:70 `v = atom->vest`,
+        # fix_sph.cpp initial_integrate extrapolation)
+        vel = state.aux.get("vest", state.v)
+        vi = vel[:, None, :]
+        vj = vel[jc]
         dv = vi - vj
         dvdotdr = jnp.sum(dv * dx, axis=-1)
 

@@ -96,6 +96,7 @@ class LammpsScript:
         self.images: list = []
         self.velocities: np.ndarray | None = None
         self.sphere_data: dict | None = None
+        self.x0_data: np.ndarray | None = None
         self.thermo_norm: bool | None = None
         self.masses: dict[int, float] = {}
         self.pair_style_words: list[str] | None = None
@@ -886,6 +887,18 @@ class LammpsScript:
             m = rng_mask(tags, sel)
         elif style == "type":
             m = rng_mask(types, sel)
+        elif style == "region":
+            rm = self._region_match(sel)
+            m = np.asarray(rm.match(jnp.asarray(
+                np.asarray(self.positions, dtype=float))))
+        elif style == "group":
+            gbit = self.groups.get(sel)
+            if gbit is None:
+                raise ScriptError(f"set group {sel} undefined")
+            masks = self._resolve_group_masks(
+                np.asarray(self.positions), types.astype(np.int32),
+                n, n)
+            m = (masks & gbit) != 0
         else:
             raise ScriptError(f"set style {style} unsupported")
         i = 2
@@ -1165,6 +1178,8 @@ class LammpsScript:
                 "rmass": df.rmass, "radius": df.radius,
                 "mu": df.mu, "omega": df.omega,
             }
+        # fork x0image styles carry an explicit rest configuration
+        self.x0_data = df.x0
         self.topology_raw = dict(
             bonds=df.bonds, angles=df.angles, dihedrals=df.dihedrals,
             impropers=df.impropers,
@@ -1701,7 +1716,14 @@ class LammpsScript:
         if (self.bond_style_name == "wlc_pow_all_visc"
                 or self.angle_style_name == "area_volume3"
                 or self.dihedral_style_name == "bend2"):
-            state = state.replace(aux={**state.aux, "x0": state.x})
+            if getattr(self, "x0_data", None) is not None:
+                # explicit rest configuration from an x0image data file
+                x0 = np.zeros((cap, 3))
+                x0[:n] = np.asarray(self.x0_data)
+                x0j = jnp.asarray(x0, dtype=state.x.dtype)
+            else:
+                x0j = state.x
+            state = state.replace(aux={**state.aux, "x0": x0j})
 
         # fix shake pre-pass: build constraints AND remove constrained
         # bonds/angles from the force topology (ref: fix_shake.cpp:2775,2832
@@ -3057,10 +3079,12 @@ class LammpsScript:
                 else:
                     raise ScriptError(f"fix move {ms} unsupported")
             elif f.style == "sph":
-                # summation density: rho needs no time integration, so
-                # `fix sph` is group-scoped velocity-Verlet
+                # group-scoped velocity-Verlet + vest extrapolation; rho
+                # needs no time integration under summation density
                 # (ref: src/SPH/fix_sph.cpp; models/pair_sph.py design note)
-                integ = Integrator(dt=dt, units=units, groupbit=gbit)
+                from .integrate.verlet import IntegratorSPH
+
+                integ = IntegratorSPH(dt=dt, units=units, groupbit=gbit)
             elif f.style == "sph/stationary":
                 pass  # no x/v update; rho re-summed every step anyway
             elif f.style == "gravity":

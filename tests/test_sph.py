@@ -2,6 +2,8 @@
 density against the analytic value, Tait-EOS pressure response, and a
 water-collapse-class smoke run through the interpreter."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,6 +124,83 @@ class TestTaitwater:
         valid = np.asarray(jax.device_get(sim.state.valid_mask))
         ptot = (m[valid, None] * v[valid]).sum(0)
         assert np.abs(ptot).max() < 1e-8
+
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens", "sph",
+                    "water_column_50.dump")
+
+GOLDEN_DECK = """
+units           lj
+dimension       3
+boundary        p p p
+atom_style      sph
+lattice         sc 1.0
+region          box block 0 6 0 6 0 6
+create_box      2 box
+create_atoms    1 box
+region          bottom block INF INF INF INF 0 0.9
+set             region bottom type 2
+mass            1 1.0
+mass            2 1.0
+pair_style      hybrid/overlay sph/rhosum 1 sph/taitwater
+pair_coeff      * * sph/taitwater 1.0 10.0 1.0 2.2
+pair_coeff      * * sph/rhosum 2.2
+group           water type 1
+group           bc type 2
+fix             1 water sph
+fix             s bc sph/stationary
+fix             g water gravity -0.5 vector 0 0 1
+neighbor        0.2 bin
+neigh_modify    every 1 delay 0 check no
+timestep        0.002
+run             50
+"""
+
+
+def _read_dump_frames(path):
+    frames = {}
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        ts = int(lines[i + 1])
+        n = int(lines[i + 3])
+        j = i + 4
+        while not lines[j].startswith("ITEM: ATOMS"):
+            j += 1
+        rows = np.array([[float(x) for x in lines[j + 1 + k].split()]
+                         for k in range(n)])
+        frames[ts] = rows  # id type x y z vx vy vz, sorted by id
+        i = j + 1 + n
+    return frames
+
+
+class TestSPHOracle:
+    def test_water_column_reference_golden(self):
+        """Reference-binary oracle: a 216-atom water column (water_collapse
+        class, ref examples/PACKAGES/sph/water_collapse) under gravity with
+        frozen bottom boundary particles — pair hybrid/overlay sph/rhosum +
+        sph/taitwater, fix sph (+vest extrapolation, ref fix_sph.cpp
+        initial_integrate) and fix sph/stationary. 50 steps; positions and
+        velocities pinned to the dumped 17-digit golden within fp64
+        accumulation roundoff."""
+        from lammps_kokkos_port_tpu.script import LammpsScript
+
+        s = LammpsScript(dtype=jnp.float64)
+        for ln in GOLDEN_DECK.strip().splitlines():
+            s.one(ln)
+        st = s.sim.state
+        valid = np.asarray(st.valid_mask)
+        order = np.argsort(np.asarray(st.tag)[valid])
+        x = np.asarray(st.x)[valid][order]
+        v = np.asarray(st.v)[valid][order]
+
+        gold = _read_dump_frames(GOLD)[50]
+        L = 6.0
+        dxw = x - gold[:, 2:5]
+        dxw -= L * np.round(dxw / L)  # wrap-convention-free comparison
+        assert np.abs(dxw).max() < 1e-13
+        np.testing.assert_allclose(v, gold[:, 5:8], atol=1e-13, rtol=0)
 
 
 class TestSPHDeck:
