@@ -919,14 +919,20 @@ class LammpsScript:
                 raise ScriptError(f"set keyword {kw} unsupported")
             i += 2
 
+    # the fork registers its RBC styles with slash spellings
+    # (BondStyle(wlc/pow/all/visc,...), AngleStyle(area/volume3,...));
+    # internally we key on the underscore file names
+    _RBC_ALIASES = {"wlc/pow/all/visc": "wlc_pow_all_visc",
+                    "area/volume3": "area_volume3"}
+
     def cmd_bond_style(self, a):
-        self.bond_style_name = a[0]
+        self.bond_style_name = self._RBC_ALIASES.get(a[0], a[0])
 
     def cmd_bond_coeff(self, a):
         self._coeff(self.bond_coeffs, a, self.nbondtypes)
 
     def cmd_angle_style(self, a):
-        self.angle_style_name = a[0]
+        self.angle_style_name = self._RBC_ALIASES.get(a[0], a[0])
 
     def cmd_angle_coeff(self, a):
         self._coeff(self.angle_coeffs, a, self.nangletypes)
@@ -1178,8 +1184,12 @@ class LammpsScript:
                 "rmass": df.rmass, "radius": df.radius,
                 "mu": df.mu, "omega": df.omega,
             }
-        # fork x0image styles carry an explicit rest configuration
-        self.x0_data = df.x0
+        # fork x0image styles: the data file CARRIES x0 columns but
+        # data_atom_post overwrites them with the read-time positions
+        # (ref: atom_vec_full_sph_x0image.cpp:375-377, atom_vec_x0image.cpp
+        # same) — the rest configuration is x-at-read, pinned here so a
+        # later displace_atoms does not move it
+        self.x0_data = df.x.copy() if df.x0 is not None else None
         self.topology_raw = dict(
             bonds=df.bonds, angles=df.angles, dihedrals=df.dihedrals,
             impropers=df.impropers,

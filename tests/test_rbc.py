@@ -279,3 +279,63 @@ class TestRBCScript:
         # membrane held together: vertices stay within ~2x the original size
         c = xf.mean(axis=0)
         assert np.all(np.linalg.norm(xf - c, axis=1) < 3.0)
+
+
+class TestRBCOracle:
+    def test_octa_membrane_reference_golden(self):
+        """Reference-binary oracle: a 6-vertex octahedron membrane
+        (8 triangles, 12 WLC bonds, 12 bend dihedrals) read from a
+        full/sph/x0image data file, integrated 100 NVE steps with
+        bond wlc/pow/all/visc (gamc=gamt=0: deterministic elastic limit),
+        angle area/volume3 (global area+volume + local-area + x0
+        triangles), dihedral bend2. Positions/velocities pinned to the
+        reference binary's 17-digit dump within fp64 roundoff.
+
+        Also pins the data_atom_post semantics: the reference OVERWRITES
+        the data file's x0 columns with the read-time positions
+        (atom_vec_full_sph_x0image.cpp:375-377), so the rest shape is
+        x-at-read, not the x0 columns.
+        """
+        import os
+
+        from lammps_kokkos_port_tpu.script import LammpsScript
+
+        gold_dir = os.path.join(os.path.dirname(__file__), "goldens", "rbc")
+        deck = f"""
+units           lj
+dimension       3
+boundary        p p p
+atom_style      full/sph/x0image
+read_data       {os.path.join(gold_dir, "data.octa")}
+bond_style      wlc/pow/all/visc
+bond_coeff      1 0.05 2.2 100.0 2.0 0.0 0.0
+angle_style     area/volume3
+angle_coeff     1 50.0 9.9766126516841089 50.0 2.304 20.0 0 0 1.0 0 0 1 1.0
+dihedral_style  bend2
+dihedral_coeff  1 5.0 0.0
+pair_style      zero 2.0
+pair_coeff      * *
+special_bonds   lj/coul 1.0 1.0 1.0
+fix             1 all nve
+timestep        0.005
+run             100
+"""
+        s = LammpsScript(dtype=jnp.float64)
+        for ln in deck.strip().splitlines():
+            s.one(ln)
+        st = s.sim.state
+        valid = np.asarray(st.valid_mask)
+        order = np.argsort(np.asarray(st.tag)[valid])
+        x = np.asarray(st.x)[valid][order]
+        v = np.asarray(st.v)[valid][order]
+
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_sph import _read_dump_frames
+
+        gold = _read_dump_frames(os.path.join(gold_dir, "octa_100.dump"))[100]
+        L = 10.0
+        dxw = x - gold[:, 2:5]
+        dxw -= L * np.round(dxw / L)
+        assert np.abs(dxw).max() < 1e-12
+        np.testing.assert_allclose(v, gold[:, 5:8], atol=1e-12, rtol=0)
