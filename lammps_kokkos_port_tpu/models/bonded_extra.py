@@ -533,6 +533,366 @@ class ImproperUmbrella:
                          0.5 * self.C[t] * dom * dom)
 
 
+# -- round-3 fixture-sweep styles --------------------------------------------
+# YAFF / MOFFF / CLASS2 / EXTRA-MOLECULE additions; each is the reference
+# style's energy with autodiffed forces.
+
+_KB_REAL = 0.0019872067  # force->boltz, units real (update.cpp)
+
+
+@_style(["bond_temp", "alpha", "width", "r0g"])
+class BondGaussian:
+    """E = -kB T ln( sum_i A_i/(w_i sqrt(pi/2)) e^{-2 dr^2/w_i^2} )
+    (ref: src/EXTRA-MOLECULE/bond_gaussian.cpp single()). Variable term
+    counts are padded with A=0 rows."""
+
+    bond_temp: Array   # [ntypes+1]
+    alpha: Array       # [ntypes+1, m]
+    width: Array
+    r0g: Array
+
+    def energy_one(self, dx, t):
+        r = _r(dx)
+        dr = r - self.r0g[t]
+        # log-sum-exp: the reference evaluates sum_i pref_i e^{expo_i}
+        # directly and lets it go subnormal (its only guard is 2e-308,
+        # bond_gaussian.cpp:30); we need the same values without underflow
+        logp = jnp.log(self.alpha[t] / (self.width[t]
+                                        * jnp.sqrt(jnp.pi / 2.0)))
+        expo = -2.0 * dr * dr / self.width[t] ** 2
+        terms = logp + expo
+        m = jnp.max(terms)
+        logs = m + jnp.log(jnp.sum(jnp.exp(terms - m)))
+        return -(_KB_REAL * self.bond_temp[t]) * logs
+
+
+@_style(["k2", "r0"])
+class BondMM3:
+    """E = K dr^2 (1 - 2.55 dr + 7/12 2.55^2 dr^2)
+    (ref: src/YAFF/bond_mm3.cpp; angstrom units)."""
+
+    k2: Array
+    r0: Array
+
+    def energy_one(self, dx, t):
+        dr = _r(dx) - self.r0[t]
+        return self.k2[t] * dr * dr * (
+            1.0 - 2.55 * dr + (7.0 / 12.0) * 2.55 * 2.55 * dr * dr)
+
+
+@_style(["k", "r0", "epsilon", "sigma", "nn", "mm"])
+class BondFENENM:
+    """FENE backbone + generalized Mie n-m repulsion inside sigma
+    (ref: src/EXTRA-MOLECULE/bond_fene_nm.cpp single())."""
+
+    k: Array
+    r0: Array
+    epsilon: Array
+    sigma: Array
+    nn: Array
+    mm: Array
+
+    def energy_one(self, dx, t):
+        rsq = jnp.sum(dx * dx)
+        r0sq = self.r0[t] ** 2
+        rlogarg = jnp.maximum(1.0 - rsq / r0sq, 0.02)
+        e = -0.5 * self.k[t] * r0sq * jnp.log(rlogarg)
+        r = jnp.sqrt(rsq)
+        sr_n = (self.sigma[t] / r) ** self.nn[t]
+        sr_m = (self.sigma[t] / r) ** self.mm[t]
+        rep = (self.epsilon[t] / (self.nn[t] - self.mm[t])) * (
+            self.mm[t] * sr_n - self.nn[t] * sr_m)
+        return e + jnp.where(rsq < self.sigma[t] ** 2, rep, 0.0)
+
+
+@_style(["k2", "theta0"])
+class AngleMM3:
+    """E = K dtheta^2 (1 - 0.802141 dt + 0.183837 dt^2 - 0.131664 dt^3
+    + 0.237090 dt^4), dt in rad (ref: src/YAFF/angle_mm3.cpp:132).
+
+    Explicit forces: the reference's de_angle uses 0.3239159 for the
+    quartic-term coefficient where the exact energy gradient gives
+    2.5*0.131664 = 0.329160 (angle_mm3.cpp:136) — replicated verbatim so
+    the golden forces match."""
+
+    k2: Array
+    theta0: Array  # radians
+
+    def compute(self, state, top, eflag, vflag):
+        def fpair(d1, d2, t):
+            rsq1 = jnp.sum(d1 * d1)
+            rsq2 = jnp.sum(d2 * d2)
+            r1r2 = jnp.sqrt(rsq1 * rsq2)
+            c = jnp.clip(d1 @ d2 / r1r2, -1.0, 1.0)
+            sinv = 1.0 / jnp.maximum(jnp.sqrt(1.0 - c * c), 0.001)
+            dt = _acos_safe(c) - self.theta0[t]
+            dt2 = dt * dt
+            de = 2.0 * self.k2[t] * dt * (
+                1.0 - 1.203211 * dt + 0.367674 * dt2
+                - 0.3239159 * dt2 * dt + 0.711270 * dt2 * dt2)
+            a = -de * sinv
+            a11 = a * c / rsq1
+            a12 = -a / r1r2
+            a22 = a * c / rsq2
+            f1 = a11 * d1 + a12 * d2
+            f3 = a22 * d2 + a12 * d1
+            e = self.k2[t] * dt2 * (1.0 - 0.802141 * dt + 0.183837 * dt2
+                                    - 0.131664 * dt2 * dt
+                                    + 0.237090 * dt2 * dt2)
+            return f1, f3, e
+
+        return _angle_explicit(fpair, state, top, eflag, vflag)
+
+
+@_style(["angle_temp", "alpha", "width", "theta0g"])
+class AngleGaussian:
+    """E = -kB T ln( sum_i A_i/(w_i sqrt(pi/2)) e^{-2 dtheta^2/w_i^2} )
+    (ref: src/EXTRA-MOLECULE/angle_gaussian.cpp)."""
+
+    angle_temp: Array
+    alpha: Array    # [ntypes+1, m]
+    width: Array
+    theta0g: Array  # radians
+
+    def energy_one(self, d1, d2, t):
+        theta = _acos_safe(_costheta(d1, d2))
+        dt = theta - self.theta0g[t]
+        logp = jnp.log(self.alpha[t] / (self.width[t]
+                                        * jnp.sqrt(jnp.pi / 2.0)))
+        expo = -2.0 * dt * dt / self.width[t] ** 2
+        terms = logp + expo
+        m = jnp.max(terms)
+        logs = m + jnp.log(jnp.sum(jnp.exp(terms - m)))
+        return -(_KB_REAL * self.angle_temp[t]) * logs
+
+
+@_style(["theta0", "k2", "k3", "k4", "k5", "k6",
+         "bb_k", "bb_r1", "bb_r2", "ba_k1", "ba_k2", "ba_r1", "ba_r2"])
+class AngleClass2:
+    """CLASS2 angle: quartic dtheta polynomial + bond-bond + bond-angle
+    cross terms (ref: src/CLASS2/angle_class2.cpp:59-160). k5/k6 extend to
+    the MOFFF class2/p6 sextic variant (src/MOFFF/angle_class2_p6.cpp:155);
+    plain class2 has k5=k6=0."""
+
+    theta0: Array  # radians
+    k2: Array
+    k3: Array
+    k4: Array
+    k5: Array
+    k6: Array
+    bb_k: Array
+    bb_r1: Array
+    bb_r2: Array
+    ba_k1: Array
+    ba_k2: Array
+    ba_r1: Array
+    ba_r2: Array
+
+    def energy_one(self, d1, d2, t):
+        r1 = _r(d1)
+        r2 = _r(d2)
+        dt = _acos_safe(_costheta(d1, d2)) - self.theta0[t]
+        e = (self.k2[t] * dt**2 + self.k3[t] * dt**3 + self.k4[t] * dt**4
+             + self.k5[t] * dt**5 + self.k6[t] * dt**6)
+        e = e + self.bb_k[t] * (r1 - self.bb_r1[t]) * (r2 - self.bb_r2[t])
+        e = e + (self.ba_k1[t] * (r1 - self.ba_r1[t])
+                 + self.ba_k2[t] * (r2 - self.ba_r2[t])) * dt
+        return e
+
+
+@_style(["kf", "nf", "df"])
+class DihedralFourier:
+    """E = sum_j K_j (1 + cos(n_j phi - d_j))
+    (ref: src/EXTRA-MOLECULE/dihedral_fourier.cpp); padded with K=0."""
+
+    kf: Array  # [ntypes+1, m]
+    nf: Array
+    df: Array  # radians
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        phi = _dihedral_phi(vb1, vb2, vb3)
+        return jnp.sum(self.kf[t] * (1.0 + jnp.cos(self.nf[t] * phi
+                                                   - self.df[t])))
+
+
+@_style(["umin", "a", "cost", "sint", "opt1", "expand"])
+class DihedralCosineShiftExp:
+    """E = -Umin (e^{a U} - 1)/(e^a - 1), U = 0.5 (1 + cos(phi - theta0)),
+    with the small-|a| Taylor branch (ref:
+    src/EXTRA-MOLECULE/dihedral_cosine_shift_exp.cpp:150-158)."""
+
+    umin: Array
+    a: Array
+    cost: Array
+    sint: Array
+    opt1: Array
+    expand: Array  # bool per type: |a| < 0.001
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        phi = _dihedral_phi(vb1, vb2, vb3)
+        ccc = jnp.cos(phi) * self.cost[t] + jnp.sin(phi) * self.sint[t]
+        e_exp = self.opt1[t] * (1.0 - jnp.exp(0.5 * self.a[t] * (1.0 + ccc)))
+        e_tay = -0.125 * (1.0 + ccc) * (4.0 + self.a[t] * (ccc - 1.0)) \
+            * self.umin[t]
+        return jnp.where(self.expand[t] != 0.0, e_tay, e_exp)
+
+
+def _unit(v):
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v), 1e-300))
+
+
+@_style(["k", "chi"])
+class ImproperDistance:
+    """E = K d^2 + chi d^4, d the distance of the central atom 1 from the
+    2-3-4 plane (ref: src/EXTRA-MOLECULE/improper_distance.cpp: normal of
+    (x3-x2)x(x4-x2) projected on x2-x1)."""
+
+    k: Array
+    chi: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        # vb1 = x1-x2, vb2 = x3-x2, vb3 = x4-x3
+        nhat = _unit(jnp.cross(vb2, vb2 + vb3))
+        da = jnp.dot(nhat, -vb1)  # n . (x2-x1)... sign cancels in d^2/d^4
+        return self.k[t] * da * da + self.chi[t] * da**4
+
+
+@_style(["k", "chi"])
+class ImproperDistharm:
+    """E = K (d - d0)^2, d = -nhat.(x4-x1) with nhat from
+    (x3-x2)x(x4-x3) (ref: src/YAFF/improper_distharm.cpp:141-144)."""
+
+    k: Array
+    chi: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        nhat = _unit(jnp.cross(vb2, vb3))
+        da = -jnp.dot(nhat, vb2 + vb3 - vb1)
+        dd = da - self.chi[t]
+        return self.k[t] * dd * dd
+
+
+@_style(["k", "chi"])
+class ImproperSqdistharm:
+    """E = K (d^2 - d0^2)^2 (ref: src/YAFF/improper_sqdistharm.cpp:143)."""
+
+    k: Array
+    chi: Array  # d0^2 directly (the coeff is passed through unmodified)
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        nhat = _unit(jnp.cross(vb2, vb3))
+        da = -jnp.dot(nhat, vb2 + vb3 - vb1)
+        dd = da * da - self.chi[t]
+        return self.k[t] * dd * dd
+
+
+@_style(["k", "chi"])
+class ImproperRing:
+    """E = (1/6) K (sum over triads (cos theta - cos chi0))^6, triads
+    (1,2,4), (1,2,3), (4,2,3) with the bend cos between at2-at1 and
+    at3-at2 (ref: src/EXTRA-MOLECULE/improper_ring.cpp:140-176)."""
+
+    k: Array
+    chi: Array  # cos(chi0)
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        # our vb1 = x1-x2, vb2 = x3-x2, vb3 = x4-x3
+        def bend(b1, b2):
+            return jnp.dot(b1, b2) / (_r(b1) * _r(b2))
+
+        x42 = vb2 + vb3
+        s = (bend(-vb1, x42) + bend(-vb1, vb2)
+             + bend(-x42, vb2) - 3.0 * self.chi[t])
+        return (1.0 / 6.0) * self.k[t] * s**6
+
+
+@_style(["k", "c0", "c1", "c2", "allf"])
+class ImproperFourier:
+    """E = K (C0 + C1 s + C2 (2 s^2 - 1)) per wag term, where c is the
+    cosine between the 1-2/1-3 plane normal and the 1-4 bond and s the
+    sign-corrected sine; with all=1 the three bond permutations are summed
+    (ref: src/EXTRA-MOLECULE/improper_fourier.cpp addone():150-185)."""
+
+    k: Array
+    c0: Array
+    c1: Array
+    c2: Array
+    allf: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        # reference bonds all hang off atom 1:
+        w1 = -vb1                # x2 - x1
+        w2 = vb2 - vb1           # x3 - x1
+        w3 = vb2 + vb3 - vb1     # x4 - x1
+
+        def addone(a, b, h):
+            nhat = _unit(jnp.cross(a, b))
+            c = jnp.clip(jnp.dot(nhat, _unit(h)), -1.0, 1.0)
+            s = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-12))
+            proj = (jnp.dot(h, _unit(a)) + jnp.dot(h, _unit(b)))
+            s = jnp.where(proj > 0.0, -s, s)
+            return self.k[t] * (self.c0[t] + self.c1[t] * s
+                                + self.c2[t] * (2.0 * s * s - 1.0))
+
+        e1 = addone(w1, w2, w3)
+        e_all = addone(w3, w1, w2) + addone(w2, w3, w1)
+        return e1 + jnp.where(self.allf[t] != 0.0, e_all, 0.0)
+
+
+@_style(["kw", "w0"])
+class ImproperInversionHarmonic:
+    """Wilson out-of-plane inversion: E = sum over the 3 branch
+    permutations of K (omega - w0)^2, cos(omega) = |(rup, rum)| / |vb3|
+    with up/um the unit bisectors of the other two bonds
+    (ref: src/MOFFF/improper_inversion_harmonic.cpp invang())."""
+
+    kw: Array
+    w0: Array  # radians
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        # reference bonds all hang off atom 1:
+        w1 = -vb1
+        w2 = vb2 - vb1
+        w3 = vb2 + vb3 - vb1
+
+        def invang(a, b, h):
+            up = _unit(_unit(b) + _unit(a))
+            um = _unit(_unit(b) - _unit(a))
+            rup = jnp.dot(h, up)
+            rum = jnp.dot(h, um)
+            wwr = jnp.sqrt(rup * rup + rum * rum)
+            cosom = jnp.minimum(wwr / _r(h), 1.0)
+            dom = _acos_safe(cosom) - self.w0[t]
+            return self.kw[t] * dom * dom
+
+        return (invang(w3, w2, w1) + invang(w1, w3, w2)
+                + invang(w2, w1, w3))
+
+
+@_style([])
+class BondZero:
+    """bond/angle/dihedral/improper zero: no interaction
+    (ref: src/bond_zero.cpp et al.)."""
+
+    def energy_one(self, *args):
+        return jnp.zeros(())
+
+
+@_style([])
+class AngleZero(BondZero):
+    pass
+
+
+@_style([])
+class DihedralZero(BondZero):
+    pass
+
+
+@_style([])
+class ImproperZero(BondZero):
+    pass
+
+
 # -- makers ------------------------------------------------------------------
 
 
@@ -658,3 +1018,117 @@ def make_improper_umbrella(ntypes, coeffs, dtype=jnp.float64):
     s2 = jnp.sin(w0r) ** 2
     C = jnp.where(s2 > 0, k / jnp.where(s2 > 0, s2, 1.0), k)
     return ImproperUmbrella(k=k, w0=w0r, C=C)
+
+
+# round-3 fixture-sweep makers
+
+
+def _vartable(ntypes, rows, stride, dtype, lead=0):
+    """rows[type] = (lead fixed cols..., n, then n groups of `stride`);
+    returns (lead arrays, list of [ntypes+1, m] padded group arrays)."""
+    m = max((int(r[lead]) for r in rows.values()), default=1)
+    leads = np.zeros((lead, ntypes + 1))
+    groups = np.zeros((stride, ntypes + 1, m))
+    for t, r in rows.items():
+        for li in range(lead):
+            leads[li, t] = r[li]
+        n = int(r[lead])
+        for j in range(n):
+            for si in range(stride):
+                groups[si, t, j] = r[lead + 1 + stride * j + si]
+    return ([jnp.asarray(leads[i], dtype=dtype) for i in range(lead)],
+            [jnp.asarray(groups[i], dtype=dtype) for i in range(stride)])
+
+
+def make_bond_gaussian(ntypes, coeffs, dtype=jnp.float64):
+    (tempv,), (alpha, width, r0) = _vartable(ntypes, coeffs, 3, dtype,
+                                             lead=1)
+    width = jnp.where(alpha > 0, width, 1.0)  # padded rows: keep log finite
+    return BondGaussian(bond_temp=tempv, alpha=alpha, width=width, r0g=r0)
+
+
+def make_bond_mm3(ntypes, coeffs, dtype=jnp.float64):
+    k2, r0 = table(ntypes, coeffs, 2, dtype)
+    return BondMM3(k2=k2, r0=r0)
+
+
+def make_bond_fene_nm(ntypes, coeffs, dtype=jnp.float64):
+    k, r0, eps, sig, nn, mm = table(ntypes, coeffs, 6, dtype)
+    return BondFENENM(k=k, r0=r0, epsilon=eps, sigma=sig, nn=nn, mm=mm)
+
+
+def make_angle_mm3(ntypes, coeffs, dtype=jnp.float64):
+    k2, th0 = table(ntypes, coeffs, 2, dtype)
+    return AngleMM3(k2=k2, theta0=th0 * _D2R)
+
+
+def make_angle_gaussian(ntypes, coeffs, dtype=jnp.float64):
+    (tempv,), (alpha, width, th0) = _vartable(ntypes, coeffs, 3, dtype,
+                                              lead=1)
+    width = jnp.where(alpha > 0, width, 1.0)
+    return AngleGaussian(angle_temp=tempv, alpha=alpha, width=width,
+                         theta0g=th0 * _D2R)
+
+
+def make_angle_class2(ntypes, main, bb, ba, dtype=jnp.float64, p6=False):
+    """main[t] = (theta0_deg, k2, k3, k4[, k5, k6]); bb[t] = (M, r1, r2);
+    ba[t] = (N1, N2, r1, r2) (ref: angle_class2.cpp coeff() 3-part form)."""
+    ncols = 6 if p6 else 4
+    cols = table(ntypes, main, ncols, dtype)
+    th0, k2, k3, k4 = cols[0], cols[1], cols[2], cols[3]
+    z = jnp.zeros_like(k2)
+    k5, k6 = (cols[4], cols[5]) if p6 else (z, z)
+    bbk, bbr1, bbr2 = table(ntypes, bb, 3, dtype)
+    bak1, bak2, bar1, bar2 = table(ntypes, ba, 4, dtype)
+    return AngleClass2(theta0=th0 * _D2R, k2=k2, k3=k3, k4=k4, k5=k5, k6=k6,
+                       bb_k=bbk, bb_r1=bbr1, bb_r2=bbr2,
+                       ba_k1=bak1, ba_k2=bak2, ba_r1=bar1, ba_r2=bar2)
+
+
+def make_dihedral_fourier(ntypes, coeffs, dtype=jnp.float64):
+    _, (kf, nf, df) = _vartable(ntypes, coeffs, 3, dtype, lead=0)
+    return DihedralFourier(kf=kf, nf=nf, df=df * _D2R)
+
+
+def make_dihedral_cosine_shift_exp(ntypes, coeffs, dtype=jnp.float64):
+    umin, th0, a = table(ntypes, coeffs, 3, dtype)
+    th0r = th0 * _D2R
+    expand = (jnp.abs(a) < 0.001).astype(umin.dtype)
+    safe_a = jnp.where(expand != 0.0, 1.0, a)
+    opt1 = umin / (jnp.exp(safe_a) - 1.0)
+    return DihedralCosineShiftExp(umin=umin, a=a, cost=jnp.cos(th0r),
+                                  sint=jnp.sin(th0r), opt1=opt1,
+                                  expand=expand)
+
+
+def make_improper_distance(ntypes, coeffs, dtype=jnp.float64):
+    k, chi = table(ntypes, coeffs, 2, dtype)
+    return ImproperDistance(k=k, chi=chi)
+
+
+def make_improper_distharm(ntypes, coeffs, dtype=jnp.float64):
+    k, chi = table(ntypes, coeffs, 2, dtype)
+    return ImproperDistharm(k=k, chi=chi)
+
+
+def make_improper_sqdistharm(ntypes, coeffs, dtype=jnp.float64):
+    k, chi = table(ntypes, coeffs, 2, dtype)
+    return ImproperSqdistharm(k=k, chi=chi)
+
+
+def make_improper_ring(ntypes, coeffs, dtype=jnp.float64):
+    k, chi0 = table(ntypes, coeffs, 2, dtype)
+    return ImproperRing(k=k, chi=jnp.cos(chi0 * _D2R))
+
+
+def make_improper_fourier(ntypes, coeffs, dtype=jnp.float64):
+    # narg 4 or 5: K C0 C1 C2 [all]
+    full = {t: (tuple(c) + (1.0,))[:5] for t, c in coeffs.items()}
+    k, c0, c1, c2, allf = table(ntypes, full, 5, dtype)
+    return ImproperFourier(k=k, c0=c0, c1=c1, c2=c2, allf=allf)
+
+
+def make_improper_inversion_harmonic(ntypes, coeffs, dtype=jnp.float64):
+    kw, w0 = table(ntypes, coeffs, 2, dtype)
+    # K/3: threefold branch averaging (improper_inversion_harmonic.cpp:293)
+    return ImproperInversionHarmonic(kw=kw / 3.0, w0=w0 * _D2R)

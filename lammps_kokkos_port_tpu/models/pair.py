@@ -182,7 +182,11 @@ def compute(
     if nl.sb is not None and special_lj is not None:
         w = jnp.asarray(special_lj, dtype=r2.dtype)[nl.sb]
         fpair = fpair * w
-        if eflag and evdwl is not None:
+        if eflag and evdwl is not None and not getattr(
+                style, "special_scales_force_only", False):
+            # a few reference styles scale the force by factor_lj but
+            # tally the UNWEIGHTED energy (e.g. lj/smooth/linear:
+            # pair_lj_smooth_linear.cpp ev_tally gets raw evdwl)
             evdwl = evdwl * w
 
     f = jnp.sum(dx * fpair[..., None], axis=1)

@@ -183,9 +183,9 @@ def coul_msm_terms(r2, qiqj, qqrd2e, split_order, cut_coul, factor_coul,
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vdw"],
+    data_fields=["vdw", "cut_coulsq_tab"],
     meta_fields=["ntypes", "coul_mode", "alpha", "cut_coul", "g_ewald",
-                 "self_energy"],
+                 "self_energy", "dsf_poly"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairVdwCoul:
@@ -203,6 +203,15 @@ class PairVdwCoul:
     cut_coul: float
     g_ewald: float = 0.0
     self_energy: float = 0.0
+    # optional [ntypes+1, ntypes+1] per-pair coulomb cutoff-squared table
+    # (e.g. nm/cut/coul/cut's optional per-coeff cutoffs,
+    # ref: pair_nm_cut_coul_cut.cpp coeff() narg>=7)
+    cut_coulsq_tab: Array | None = None
+    # dsf erfc flavour: lj/cut/coul/dsf + plain coul/dsf use the A&S
+    # t-polynomial (pair_lj_cut_coul_dsf.cpp:143), born/coul/dsf the exact
+    # erfcx (pair_born_coul_dsf.cpp:136). None = poly iff no vdw (the
+    # born-style default).
+    dsf_poly: bool | None = None
 
     def max_cutoff(self) -> float:
         vc = self.vdw.max_cutoff() if self.vdw is not None else 0.0
@@ -253,12 +262,20 @@ class PairVdwCoul:
         ecoul = jnp.zeros((), dt) if eflag else None
         if state.q is not None and self.coul_mode != "none":
             qiqj = state.q[:, None] * state.q[jc]
-            con = pair_valid & (r2 < self.cut_coul ** 2)
+            if self.cut_coulsq_tab is not None:
+                ti = state.type[:, None]
+                tj = state.type[jc]
+                ccsq = self.cut_coulsq_tab[ti, tj]
+            else:
+                ccsq = self.cut_coul ** 2
+            con = pair_valid & (r2 < ccsq)
             r2s = jnp.where(con, r2, 1.0)
             if self.coul_mode == "dsf":
+                poly = (self.vdw is None if self.dsf_poly is None
+                        else self.dsf_poly)
                 fc, e = coul_dsf_terms(r2s, qiqj, qqrd2e, self.alpha,
                                        self.cut_coul, fcoul, eflag,
-                                       poly=self.vdw is None)
+                                       poly=poly)
             elif self.coul_mode == "wolf":
                 fc, e = coul_wolf_terms(r2s, qiqj, qqrd2e, self.alpha,
                                         self.cut_coul, fcoul, eflag)

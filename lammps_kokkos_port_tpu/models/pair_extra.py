@@ -1,0 +1,695 @@
+"""EXTRA-PAIR / CLASS2 two-body pair styles.
+
+TPU-native re-implementations expressed through the shared neighbor-matrix
+engine (`pair_terms(r2, ti, tj, eflag) -> (F/r, e)` consumed by
+models/pair.py compute and models/pair_coul_misc.PairVdwCoul):
+
+  lj/class2            (ref: src/CLASS2/pair_lj_class2.cpp, 9-6 LJ,
+                        sixthpower mixing :509-516)
+  lj96/cut             (ref: src/EXTRA-PAIR/pair_lj96_cut.cpp)
+  mie/cut              (ref: src/EXTRA-PAIR/pair_mie_cut.cpp:528-545)
+  nm/cut               (ref: src/EXTRA-PAIR/pair_nm_cut.cpp:242-251)
+  lj/gromacs           (ref: src/EXTRA-PAIR/pair_lj_gromacs.cpp:265-288
+                        switch polynomials)
+  lj/smooth/linear     (ref: src/EXTRA-PAIR/pair_lj_smooth_linear.cpp:241)
+  lj/cubic             (ref: src/EXTRA-PAIR/pair_lj_cubic.cpp +
+                        pair_lj_cubic_const.h)
+  soft                 (ref: src/pair_soft.cpp)
+  gauss/cut            (ref: src/EXTRA-PAIR/pair_gauss_cut.cpp)
+  ufm                  (ref: src/EXTRA-PAIR/pair_ufm.cpp:228-234)
+  wf/cut               (ref: src/EXTRA-PAIR/pair_wf_cut.cpp:230-246,
+                        Wang-Frenkel 2020)
+  cosine/squared       (ref: src/EXTRA-PAIR/pair_cosine_squared.cpp)
+  zero                 (ref: src/pair_zero.cpp)
+
+All coefficient tables are [ntypes+1, ntypes+1]; unset cross terms mix per
+each style's reference rule (eps geometric, distances per `mix`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pair_simple import _SimplePair
+
+Array = jax.Array
+
+
+def _mix_tables(ntypes, coeffs, ncoeff, cut_global, mixer,
+                mix="geometric"):
+    """Tables with style-specific cross-term mixing. coeffs[(i,j)] =
+    (c0..c{n-1}[, cut]); mixer(ci, cj) -> mixed coeff tuple (without cut);
+    the cutoff mixes by mix_distance(mix)."""
+    tabs = [np.zeros((ntypes + 1, ntypes + 1)) for _ in range(ncoeff)]
+    cut = np.full((ntypes + 1, ntypes + 1), float(cut_global))
+    setflag = np.zeros((ntypes + 1, ntypes + 1), dtype=bool)
+    for (i, j), c in coeffs.items():
+        lo, hi = min(i, j), max(i, j)
+        for t in range(ncoeff):
+            tabs[t][lo, hi] = c[t]
+        if len(c) > ncoeff:
+            cut[lo, hi] = c[ncoeff]
+        setflag[lo, hi] = True
+    for i in range(1, ntypes + 1):
+        for j in range(i + 1, ntypes + 1):
+            if not setflag[i, j]:
+                vals = mixer([tabs[t][i, i] for t in range(ncoeff)],
+                             [tabs[t][j, j] for t in range(ncoeff)])
+                for t in range(ncoeff):
+                    tabs[t][i, j] = vals[t]
+                cut[i, j] = (math.sqrt(cut[i, i] * cut[j, j])
+                             if mix == "geometric"
+                             else 0.5 * (cut[i, i] + cut[j, j]))
+    for a in tabs + [cut]:
+        for i in range(1, ntypes + 1):
+            for j in range(1, i):
+                a[i, j] = a[j, i]
+    return tabs, cut
+
+
+def _std_mixer(mix="geometric"):
+    """LAMMPS mix_energy/mix_distance (ref: src/pair.cpp:702-727):
+    epsilon = sqrt(e1 e2) for geometric AND arithmetic; distance columns
+    sqrt(d1 d2) (geometric) or (d1+d2)/2 (arithmetic)."""
+
+    def dist(a, b):
+        return math.sqrt(a * b) if mix == "geometric" else 0.5 * (a + b)
+
+    def mixer(ci, cj):
+        return [math.sqrt(ci[0] * cj[0])] + [
+            dist(a, b) for a, b in zip(ci[1:], cj[1:])]
+
+    return mixer
+
+
+def _finish(cls, ntypes, tabs, cut, dtype, shift_fn=None, shift=False,
+            **extra):
+    cutsq = cut * cut
+    off = np.zeros_like(cut)
+    if shift and shift_fn is not None:
+        for i in range(1, ntypes + 1):
+            for j in range(1, ntypes + 1):
+                if cut[i, j] > 0:
+                    off[i, j] = shift_fn(
+                        [t[i, j] for t in tabs], cut[i, j])
+    arrs = [jnp.asarray(a, dtype=dtype) for a in tabs]
+    return cls(*arrs, cutsq=jnp.asarray(cutsq, dtype=dtype),
+               offset=jnp.asarray(off, dtype=dtype), ntypes=ntypes,
+               cut_max=float(cut.max()), **extra)
+
+
+def _pairstyle(fields, meta=("ntypes", "cut_max")):
+    def deco(cls):
+        return partial(
+            jax.tree_util.register_dataclass,
+            data_fields=list(fields) + ["cutsq", "offset"],
+            meta_fields=list(meta))(dataclasses.dataclass(frozen=True)(cls))
+    return deco
+
+
+@_pairstyle(["eps", "sig"])
+class PairLJClass2(_SimplePair):
+    """E = eps [2 (s/r)^9 - 3 (s/r)^6] (ref: pair_lj_class2.cpp:520-523)."""
+
+    eps: Array
+    sig: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        r2inv = 1.0 / r2
+        rinv = jnp.sqrt(r2inv)
+        s3 = (sig * sig * sig)
+        r3inv = r2inv * rinv * s3
+        r6inv = r3inv * r3inv
+        forcelj = r6inv * (18.0 * eps * r3inv - 18.0 * eps)
+        e = r6inv * (2.0 * eps * r3inv - 3.0 * eps) - off if eflag else None
+        return forcelj * r2inv, e
+
+
+@_pairstyle(["eps", "sig"])
+class PairLJ96(_SimplePair):
+    """E = 4 eps [(s/r)^9 - (s/r)^6] (ref: pair_lj96_cut.cpp:518-521)."""
+
+    eps: Array
+    sig: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        r2inv = 1.0 / r2
+        rinv = jnp.sqrt(r2inv)
+        s3 = sig * sig * sig
+        r3inv = r2inv * rinv * s3
+        r6inv = r3inv * r3inv
+        forcelj = r6inv * (36.0 * eps * r3inv - 24.0 * eps)
+        e = r6inv * (4.0 * eps * r3inv - 4.0 * eps) - off if eflag else None
+        return forcelj * r2inv, e
+
+
+@_pairstyle(["eps", "sig", "gamr", "gama"])
+class PairMie(_SimplePair):
+    """Mie n-m: E = C eps [(s/r)^gR - (s/r)^gA],
+    C = gR/(gR-gA) (gR/gA)^{gA/(gR-gA)} (ref: pair_mie_cut.cpp:533-545)."""
+
+    eps: Array
+    sig: Array
+    gamr: Array
+    gama: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        gr = self._p(self.gamr, ti, tj)
+        ga = self._p(self.gama, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        cmie = gr / (gr - ga) * (gr / ga) ** (ga / (gr - ga))
+        rinv = jax.lax.rsqrt(r2)
+        sr = sig * rinv
+        rgr = sr**gr
+        rga = sr**ga
+        forcemie = cmie * eps * (gr * rgr - ga * rga)
+        e = cmie * eps * (rgr - rga) - off if eflag else None
+        return forcemie / r2, e
+
+
+@_pairstyle(["e0", "r0", "nn", "mm"])
+class PairNMCut(_SimplePair):
+    """E = E0/(n-m) [m (r0/r)^n - n (r0/r)^m]
+    (ref: pair_nm_cut.cpp:242-251)."""
+
+    e0: Array
+    r0: Array
+    nn: Array
+    mm: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        e0 = self._p(self.e0, ti, tj)
+        r0 = self._p(self.r0, ti, tj)
+        nn = self._p(self.nn, ti, tj)
+        mm = self._p(self.mm, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        e0nm = e0 / (nn - mm)
+        r = jnp.sqrt(r2)
+        rn = (r0 / r) ** nn
+        rm = (r0 / r) ** mm
+        forcenm = e0nm * nn * mm * (rn - rm)
+        e = e0nm * (mm * rn - nn * rm) - off if eflag else None
+        return forcenm / r2, e
+
+
+@_pairstyle(["eps", "sig", "cut_inner"])
+class PairLJGromacs(_SimplePair):
+    """12-6 LJ force-switched to zero between cut_inner and cut
+    (ref: pair_lj_gromacs.cpp:265-288 a/b/c polynomial construction)."""
+
+    eps: Array
+    sig: Array
+    cut_inner: Array
+    cutsq: Array
+    offset: Array  # unused (GROMACS switch replaces offsets)
+    ntypes: int
+    cut_max: float
+
+    def _sw(self, ti, tj):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        ci = self._p(self.cut_inner, ti, tj)
+        rc = jnp.sqrt(self._p(self.cutsq, ti, tj))
+        lj1 = 48.0 * eps * sig**12
+        lj2 = 24.0 * eps * sig**6
+        lj3 = 4.0 * eps * sig**12
+        lj4 = 4.0 * eps * sig**6
+        r6inv = rc**-6
+        r8inv = rc**-8
+        t = rc - ci
+        a6 = (7.0 * ci - 10.0 * rc) * r8inv / t**2
+        b6 = (9.0 * rc - 7.0 * ci) * r8inv / t**3
+        a12 = (13.0 * ci - 16.0 * rc) * r6inv * r8inv / t**2
+        b12 = (15.0 * rc - 13.0 * ci) * r6inv * r8inv / t**3
+        c6 = r6inv - t**3 * (6.0 * a6 / 3.0 + 6.0 * b6 * t / 4.0)
+        c12 = r6inv * r6inv - t**3 * (12.0 * a12 / 3.0
+                                      + 12.0 * b12 * t / 4.0)
+        sw1 = lj1 * a12 - lj2 * a6
+        sw2 = lj1 * b12 - lj2 * b6
+        sw3 = -lj3 * 12.0 * a12 / 3.0 + lj4 * 6.0 * a6 / 3.0
+        sw4 = -lj3 * 12.0 * b12 / 4.0 + lj4 * 6.0 * b6 / 4.0
+        sw5 = -lj3 * c12 + lj4 * c6
+        return (lj1, lj2, lj3, lj4, ci, sw1, sw2, sw3, sw4, sw5)
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        lj1, lj2, lj3, lj4, ci, sw1, sw2, sw3, sw4, sw5 = self._sw(ti, tj)
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = r6inv * (lj1 * r6inv - lj2)
+        r = jnp.sqrt(r2)
+        t = jnp.maximum(r - ci, 0.0)
+        on = r2 > ci * ci
+        forcelj = forcelj + jnp.where(on, r * t * t * (sw1 + sw2 * t), 0.0)
+        e = None
+        if eflag:
+            e = r6inv * (lj3 * r6inv - lj4) + sw5
+            e = e + jnp.where(on, t**3 * (sw3 + sw4 * t), 0.0)
+        return forcelj * r2inv, e
+
+
+@_pairstyle(["eps", "sig"])
+class PairLJSmoothLinear(_SimplePair):
+    """E = lj(r) - lj(rc) + (r-rc) F(rc)
+    (ref: pair_lj_smooth_linear.cpp:241-242). The reference tallies the
+    UNWEIGHTED energy for special pairs (factor_lj scales only fpair in
+    its compute()) — special_scales_force_only replicates that."""
+
+    special_scales_force_only = True
+
+    eps: Array
+    sig: Array
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        rc = jnp.sqrt(self._p(self.cutsq, ti, tj))
+        lj1 = 48.0 * eps * sig**12
+        lj2 = 24.0 * eps * sig**6
+        lj3 = 4.0 * eps * sig**12
+        lj4 = 4.0 * eps * sig**6
+        c6inv = rc**-6
+        ljcut = c6inv * (lj3 * c6inv - lj4)
+        dljcut = (1.0 / rc) * c6inv * (lj1 * c6inv - lj2)
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        rinv = jnp.sqrt(r2inv)
+        forcelj = rinv * r6inv * (lj1 * r6inv - lj2) - dljcut
+        e = None
+        if eflag:
+            r = jnp.sqrt(r2)
+            e = r6inv * (lj3 * r6inv - lj4) - ljcut + (r - rc) * dljcut
+        return forcelj * rinv, e
+
+
+@_pairstyle(["a"])
+class PairSoft(_SimplePair):
+    """E = A (1 + cos(pi r / rc)) (ref: src/pair_soft.cpp:93-110)."""
+
+    a: Array
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        a = self._p(self.a, ti, tj)
+        rc = jnp.sqrt(self._p(self.cutsq, ti, tj))
+        r = jnp.sqrt(r2)
+        arg = jnp.pi * r / rc
+        fpair = a * (jnp.pi / rc) * jnp.sin(arg) / jnp.maximum(r, 1e-300)
+        e = a * (1.0 + jnp.cos(arg)) if eflag else None
+        return fpair, e
+
+
+@_pairstyle(["h", "rmh", "sigmah"])
+class PairGaussCut(_SimplePair):
+    """E = H/(sig sqrt(2 pi)) e^{-(r-rmh)^2 / (2 sig^2)}
+    (ref: pair_gauss_cut.cpp:224-243)."""
+
+    h: Array
+    rmh: Array
+    sigmah: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        h = self._p(self.h, ti, tj)
+        rmh = self._p(self.rmh, ti, tj)
+        sh = self._p(self.sigmah, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        pg = h / (sh * jnp.sqrt(2.0 * jnp.pi))
+        r = jnp.sqrt(r2)
+        rexp = (r - rmh) / sh
+        ug = pg * jnp.exp(-0.5 * rexp * rexp)
+        fpair = rexp / r * ug / sh
+        e = ug - off if eflag else None
+        return fpair, e
+
+
+# lj/cubic spline constants (ref: pair_lj_cubic_const.h; rmin = sig 2^1/6)
+_RT6TWO = 1.1224620483093730
+_SS = 1.1086834179687215
+_PHIS = -0.7869822485207097
+_DPHIDS = 2.6899008972047196
+_A3 = 27.9335700460986445
+_SM = 1.5475372709146737
+
+
+@_pairstyle(["eps", "sig"])
+class PairLJCubic(_SimplePair):
+    """12-6 LJ to the inflection point rs = rmin*SS, cubic spline to zero
+    at rmin*SM (ref: pair_lj_cubic.cpp:105-135; constants above).
+    No explicit cutoff argument: cut = rmin*SM per pair."""
+
+    eps: Array
+    sig: Array
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        lj1 = 48.0 * eps * sig**12
+        lj2 = 24.0 * eps * sig**6
+        lj3 = 4.0 * eps * sig**12
+        lj4 = 4.0 * eps * sig**6
+        rmin = sig * _RT6TWO
+        rin = rmin * _SS
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        r = jnp.sqrt(r2)
+        t = (r - rin) / rmin
+        inner = r2 <= rin * rin
+        forcelj = jnp.where(
+            inner,
+            r6inv * (lj1 * r6inv - lj2),
+            eps * (-_DPHIDS + _A3 * t * t / 2.0) * r / rmin)
+        e = None
+        if eflag:
+            e = jnp.where(
+                inner,
+                r6inv * (lj3 * r6inv - lj4),
+                eps * (_PHIS + _DPHIDS * t - _A3 * t**3 / 6.0))
+        return forcelj * r2inv, e
+
+
+@_pairstyle(["eps", "sig"])
+class PairUFM(_SimplePair):
+    """Uhlenbeck-Ford: E = -eps ln(1 - e^{-r^2/sig^2})
+    (ref: pair_ufm.cpp:228-234)."""
+
+    eps: Array
+    sig: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        uf1 = 2.0 * eps / (sig * sig)
+        uf2 = 1.0 / (sig * sig)
+        expuf = jnp.exp(-r2 * uf2)
+        fpair = uf1 * expuf / (1.0 - expuf)
+        e = -eps * jnp.log(1.0 - expuf) - off if eflag else None
+        return fpair, e
+
+
+@_pairstyle(["eps", "sig", "nu", "mu"])
+class PairWFCut(_SimplePair):
+    """Wang-Frenkel: E = e0 (sig^2mu/r^2mu - 1)(rc^2mu/r^2mu - 1)^2nu
+    (ref: pair_wf_cut.cpp:105-135, 230-246)."""
+
+    eps: Array
+    sig: Array
+    nu: Array
+    mu: Array
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        nu = self._p(self.nu, ti, tj)
+        mu = self._p(self.mu, ti, tj)
+        rc2 = self._p(self.cutsq, ti, tj)
+        rc_sig2mu = (rc2 / (sig * sig)) ** mu
+        e0 = eps * 2.0 * nu * rc_sig2mu * (
+            (1.0 + 2.0 * nu) / (2.0 * nu) / (rc_sig2mu - 1.0)
+        ) ** (2.0 * nu + 1.0)
+        sig2mu = (sig * sig) ** mu
+        rc2mu = rc2**mu
+        r2inv = 1.0 / r2
+        rminv = r2inv**mu
+        rm = sig2mu * rminv - 1.0
+        rn = rc2mu * rminv - 1.0
+        forcenm = (2.0 * mu * sig2mu * rn ** (2.0 * nu)
+                   + 4.0 * nu * mu * rc2mu * rm * rn ** (2.0 * nu - 1.0))
+        fpair = e0 * forcenm * r2inv ** (mu + 1.0)  # already F/r form
+        e = e0 * rm * rn ** (2.0 * nu) if eflag else None
+        return fpair, e
+
+
+@_pairstyle(["eps", "sig", "wca"])
+class PairCosineSquared(_SimplePair):
+    """E = -eps cos^2(pi (r-sig)/(2 w)) for sig<r<rc, -eps inside sig,
+    optional WCA core (ref: pair_cosine_squared.cpp:190-207 compute)."""
+
+    eps: Array
+    sig: Array
+    wca: Array
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        wca = self._p(self.wca, ti, tj)
+        rc = jnp.sqrt(self._p(self.cutsq, ti, tj))
+        w = jnp.maximum(rc - sig, 1e-300)
+        r = jnp.sqrt(r2)
+        # WCA branch (r <= sigma and wcaflag)
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        lj12e = eps * sig**12
+        lj6e = 2.0 * eps * sig**6
+        lj12f = 12.0 * eps * sig**12
+        lj6f = 12.0 * eps * sig**6
+        f_wca = r6inv * (lj12f * r6inv - lj6f) * r2inv
+        e_wca = r6inv * (lj12e * r6inv - lj6e) \
+            + jnp.where(rc == sig, eps, 0.0)
+        # cosine tail branch (r > sigma)
+        arg = jnp.pi * (r - sig) / w
+        f_cos = -(jnp.pi * eps / (2.0 * w)) * jnp.sin(arg) / r
+        cosone = jnp.cos(0.5 * arg)
+        e_cos = -eps * cosone * cosone
+        inside = r <= sig
+        fpair = jnp.where(inside, jnp.where(wca != 0.0, f_wca, 0.0), f_cos)
+        e = None
+        if eflag:
+            e = jnp.where(inside,
+                          jnp.where(wca != 0.0, e_wca, -eps), e_cos)
+        return fpair, e
+
+
+@_pairstyle([])
+class PairZero(_SimplePair):
+    """pair zero: neighbor-only style, no force/energy
+    (ref: src/pair_zero.cpp)."""
+
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        z = jnp.zeros_like(r2)
+        return z, (z if eflag else None)
+
+
+# -- makers ------------------------------------------------------------------
+
+
+def _mk(cls, ntypes, coeffs, ncoeff, cut_global, mixer, dtype,
+        shift=False, shift_fn=None, mix="geometric"):
+    tabs, cut = _mix_tables(ntypes, coeffs, ncoeff, cut_global, mixer,
+                            mix=mix)
+    return _finish(cls, ntypes, tabs, cut, dtype, shift_fn=shift_fn,
+                   shift=shift)
+
+
+def _sixthpower_mixer(ci, cj):
+    e1, s1 = ci[0], ci[1]
+    e2, s2 = cj[0], cj[1]
+    eps = (2.0 * math.sqrt(e1 * e2) * s1**3 * s2**3) / (s1**6 + s2**6)
+    sig = (0.5 * (s1**6 + s2**6)) ** (1.0 / 6.0)
+    return [eps, sig]
+
+
+def make_lj_class2(ntypes, coeffs, cut_global, shift=False,
+                   dtype=jnp.float64, mix="arithmetic"):
+    # epsilon/sigma always sixthpower (pair_lj_class2.cpp:509); only the
+    # cutoff follows pair_modify mix
+    def sfn(tab, rc):
+        eps, sig = tab
+        ratio = sig / rc
+        return eps * (2.0 * ratio**9 - 3.0 * ratio**6)
+
+    return _mk(PairLJClass2, ntypes, coeffs, 2, cut_global,
+               _sixthpower_mixer, dtype, shift=shift, shift_fn=sfn,
+               mix=mix)
+
+
+def make_lj96(ntypes, coeffs, cut_global, shift=False, dtype=jnp.float64,
+              mix="geometric"):
+    def sfn(tab, rc):
+        eps, sig = tab
+        ratio = sig / rc
+        return 4.0 * eps * (ratio**9 - ratio**6)
+
+    return _mk(PairLJ96, ntypes, coeffs, 2, cut_global,
+               _std_mixer(mix), dtype, shift=shift, shift_fn=sfn, mix=mix)
+
+
+def make_mie(ntypes, coeffs, cut_global, shift=False, dtype=jnp.float64,
+             mix="geometric"):
+    mixer = _std_mixer(mix)
+
+    def sfn(tab, rc):
+        eps, sig, gr, ga = tab
+        cmie = gr / (gr - ga) * (gr / ga) ** (ga / (gr - ga))
+        ratio = sig / rc
+        return cmie * eps * (ratio**gr - ratio**ga)
+
+    return _mk(PairMie, ntypes, coeffs, 4, cut_global, mixer, dtype,
+               shift=shift, shift_fn=sfn, mix=mix)
+
+
+def make_nm_cut(ntypes, coeffs, cut_global, shift=False, dtype=jnp.float64,
+                mix="geometric"):
+    def sfn(tab, rc):
+        e0, r0, nn, mm = tab
+        return e0 / (nn - mm) * (mm * (r0 / rc) ** nn - nn * (r0 / rc) ** mm)
+
+    def mixer(ci, cj):
+        raise ValueError("pair nm/cut does not mix; set all pairs")
+
+    return _mk(PairNMCut, ntypes, coeffs, 4, cut_global, mixer, dtype,
+               shift=shift, shift_fn=sfn)
+
+
+def make_lj_gromacs(ntypes, coeffs, cut_inner, cut_global,
+                    dtype=jnp.float64, mix="geometric"):
+    full = {k: (c[0], c[1],
+                c[2] if len(c) > 2 else cut_inner,
+                c[3] if len(c) > 3 else cut_global)
+            for k, c in coeffs.items()}
+    tabs, cut = _mix_tables(ntypes, full, 3, cut_global,
+                            _std_mixer(mix), mix=mix)
+    return _finish(PairLJGromacs, ntypes, tabs, cut, dtype)
+
+
+def make_lj_smooth_linear(ntypes, coeffs, cut_global, dtype=jnp.float64,
+                          mix="geometric"):
+    return _mk(PairLJSmoothLinear, ntypes, coeffs, 2, cut_global,
+               _std_mixer(mix), dtype, mix=mix)
+
+
+def make_soft(ntypes, coeffs, cut_global, dtype=jnp.float64,
+              mix="geometric"):
+    def mixer(ci, cj):
+        return [math.sqrt(ci[0] * cj[0])]
+
+    return _mk(PairSoft, ntypes, coeffs, 1, cut_global, mixer, dtype,
+               mix=mix)
+
+
+def make_gauss_cut(ntypes, coeffs, cut_global, shift=False,
+                   dtype=jnp.float64, mix="geometric"):
+    def dist(a, b):
+        return (math.sqrt(a * b) if mix == "geometric" else 0.5 * (a + b))
+
+    def mixer(ci, cj):
+        return [math.sqrt(abs(ci[0]) * abs(cj[0])),
+                dist(ci[1], cj[1]), dist(ci[2], cj[2])]
+
+    def sfn(tab, rc):
+        h, rmh, sh = tab
+        pg = h / (sh * math.sqrt(2.0 * math.pi))
+        rexp = (rc - rmh) / sh
+        return pg * math.exp(-0.5 * rexp * rexp)
+
+    return _mk(PairGaussCut, ntypes, coeffs, 3, cut_global, mixer, dtype,
+               shift=shift, shift_fn=sfn, mix=mix)
+
+
+def make_lj_cubic(ntypes, coeffs, dtype=jnp.float64, mix="geometric"):
+    # cut = rmin*SM per pair, no global cutoff argument; cut mixes like
+    # sigma (it IS sigma * const)
+    full = {}
+    for k, c in coeffs.items():
+        rmin = c[1] * _RT6TWO
+        full[k] = (c[0], c[1], rmin * _SM)
+    tabs, cut = _mix_tables(ntypes, full, 2, 0.0, _std_mixer(mix),
+                            mix=mix)
+    return _finish(PairLJCubic, ntypes, tabs, cut, dtype)
+
+
+def make_ufm(ntypes, coeffs, cut_global, shift=False, dtype=jnp.float64,
+             mix="geometric"):
+    def sfn(tab, rc):
+        eps, sig = tab
+        ratio = (rc / sig) ** 2
+        return -eps * math.log(1.0 - math.exp(-ratio))
+
+    return _mk(PairUFM, ntypes, coeffs, 2, cut_global,
+               _std_mixer(mix), dtype, shift=shift, shift_fn=sfn, mix=mix)
+
+
+def make_wf_cut(ntypes, coeffs, cut_global, dtype=jnp.float64):
+    def mixer(ci, cj):
+        raise ValueError("pair wf/cut does not mix; set all pairs")
+
+    return _mk(PairWFCut, ntypes, coeffs, 4, cut_global, mixer, dtype)
+
+
+def make_cosine_squared(ntypes, coeffs, cut_global, dtype=jnp.float64):
+    # coeffs[(i,j)] = (eps, sigma[, cut]['wca' handled by caller: wca flag
+    # appended as 0/1 third coeff])
+    def mixer(ci, cj):
+        raise ValueError("pair cosine/squared does not mix; set all pairs")
+
+    return _mk(PairCosineSquared, ntypes, coeffs, 3, cut_global, mixer,
+               dtype)
+
+
+def make_pair_zero(ntypes, cut_global, dtype=jnp.float64):
+    z = np.zeros((ntypes + 1, ntypes + 1))
+    return PairZero(cutsq=jnp.asarray(
+        np.full_like(z, cut_global**2), dtype=dtype),
+        offset=jnp.asarray(z, dtype=dtype), ntypes=ntypes,
+        cut_max=float(cut_global))

@@ -1999,6 +1999,38 @@ class LammpsScript:
                 pair = make_yukawa(self.ntypes, float(args[0]),
                                    self._pair_coeff_dict(), float(args[1]),
                                    shift=shift, dtype=dt)
+            elif name in ("lj/class2", "lj96/cut", "mie/cut", "nm/cut",
+                          "lj/smooth/linear", "soft", "gauss/cut", "ufm",
+                          "wf/cut", "lj/cubic", "lj/gromacs"):
+                from .models import pair_extra as px
+
+                mx = mix or "geometric"
+                cd = self._pair_coeff_dict()
+                if name == "lj/gromacs":
+                    pair = px.make_lj_gromacs(self.ntypes, cd,
+                                              float(args[0]), float(args[1]),
+                                              mix=mx, dtype=dt)
+                elif name == "lj/cubic":
+                    pair = px.make_lj_cubic(self.ntypes, cd, mix=mx,
+                                            dtype=dt)
+                else:
+                    maker = {"lj/class2": px.make_lj_class2,
+                             "lj96/cut": px.make_lj96,
+                             "mie/cut": px.make_mie,
+                             "nm/cut": px.make_nm_cut,
+                             "lj/smooth/linear": px.make_lj_smooth_linear,
+                             "soft": px.make_soft,
+                             "gauss/cut": px.make_gauss_cut,
+                             "ufm": px.make_ufm,
+                             "wf/cut": px.make_wf_cut}[name]
+                    import inspect
+
+                    kw = {"dtype": dt, "mix": mx}
+                    if "shift" in inspect.signature(maker).parameters:
+                        kw["shift"] = shift
+                    if "mix" not in inspect.signature(maker).parameters:
+                        kw.pop("mix")
+                    pair = maker(self.ntypes, cd, float(args[0]), **kw)
             elif name == "zero":
                 pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
             elif name in ("gran/hooke", "gran/hooke/history"):

@@ -49,9 +49,18 @@ def _potfile(name: str) -> str:
 FOURMOL_SPECIAL = (0.10, 0.25, 0.50)
 
 
+class _FixtureLoader(yaml.SafeLoader):
+    """SafeLoader + catch-all scalar constructor: a few fixtures tag odd
+    scalars (e.g. dihedral-zero.yaml's literal `*` coeff block) in ways
+    SafeLoader has no constructor for — treat them as plain strings."""
+
+
+_FixtureLoader.add_constructor(None, lambda ld, node: str(node.value))
+
+
 def load_fixture(name: str) -> dict:
     with open(f"{TESTS_DIR}/{name}") as f:
-        return yaml.safe_load(f)
+        return yaml.load(f, Loader=_FixtureLoader)
 
 
 def parse_rows(block: str) -> list[list[str]]:
@@ -123,7 +132,13 @@ def _parse_pair_coeffs(fix: dict, ntypes: int) -> dict:
     for toks in parse_rows(fix.get("pair_coeff", "")):
         ii = range(1, ntypes + 1) if toks[0] == "*" else [int(toks[0])]
         jj = range(1, ntypes + 1) if toks[1] == "*" else [int(toks[1])]
-        vals = tuple(float(t) for t in toks[2:])
+        nums = []
+        for t in toks[2:]:
+            try:
+                nums.append(float(t))
+            except ValueError:
+                break  # trailing keyword args (e.g. 'wca') parsed per-style
+        vals = tuple(nums)
         for i in ii:
             for j in jj:
                 if j >= i:
@@ -284,7 +299,133 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
     if name == "gauss":
         return make_gauss(ntypes, coeffs, args[0], shift=opts["shift"],
                           mix=opts["mix"] or "geometric", dtype=dtype)
+
+    from lammps_kokkos_port_tpu.models import pair_extra as px
+
+    if name == "lj/class2":
+        return px.make_lj_class2(ntypes, coeffs, args[0],
+                                 shift=opts["shift"], dtype=dtype, mix=opts["mix"] or "geometric")
+    if name in ("lj/class2/coul/cut", "lj/class2/coul/long"):
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import PairVdwCoul
+
+        mode = name.split("/")[-1]
+        cutc = args[1] if len(args) > 1 else args[0]
+        vdw = px.make_lj_class2(ntypes, coeffs, args[0],
+                                shift=opts["shift"], dtype=dtype, mix=opts["mix"] or "geometric")
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode=mode,
+                           alpha=0.0, cut_coul=cutc,
+                           g_ewald=gewald if mode == "long" else 0.0)
+    if name == "lj96/cut":
+        return px.make_lj96(ntypes, coeffs, args[0], shift=opts["shift"],
+                            dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "mie/cut":
+        return px.make_mie(ntypes, coeffs, args[0], shift=opts["shift"],
+                           dtype=dtype, mix=opts["mix"] or "geometric")
+    if name in ("nm/cut", "nm/cut/coul/cut", "nm/cut/coul/long"):
+        vdw = px.make_nm_cut(ntypes, coeffs, args[0], shift=opts["shift"],
+                             dtype=dtype, mix=opts["mix"] or "geometric")
+        if name == "nm/cut":
+            return vdw
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import PairVdwCoul
+
+        mode = name.split("/")[-1]
+        cutc = args[1] if len(args) > 1 else args[0]
+        cctab = None
+        if mode == "cut":
+            # the optional 7th coeff arg sets cut_coul = cut_lj per pair,
+            # an 8th overrides cut_coul (pair_nm_cut_coul_cut.cpp coeff())
+            cc = np.full((ntypes + 1, ntypes + 1), cutc)
+            for (i, j), c in coeffs.items():
+                v = cutc
+                if len(c) >= 5:
+                    v = c[4]
+                if len(c) >= 6:
+                    v = c[5]
+                cc[i, j] = cc[j, i] = v
+            cctab = jnp.asarray(cc * cc, dtype=dtype)
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode=mode,
+                           alpha=0.0, cut_coul=cutc,
+                           g_ewald=gewald if mode == "long" else 0.0,
+                           cut_coulsq_tab=cctab)
+    if name == "lj/gromacs":
+        return px.make_lj_gromacs(ntypes, coeffs, args[0], args[1],
+                                  dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "lj/smooth/linear":
+        return px.make_lj_smooth_linear(ntypes, coeffs, args[0],
+                                        dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "lj/cubic":
+        return px.make_lj_cubic(ntypes, coeffs, dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "soft":
+        return px.make_soft(ntypes, coeffs, args[0], dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "gauss/cut":
+        return px.make_gauss_cut(ntypes, coeffs, args[0],
+                                 shift=opts["shift"], dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "ufm":
+        return px.make_ufm(ntypes, coeffs, args[0], shift=opts["shift"],
+                           dtype=dtype, mix=opts["mix"] or "geometric")
+    if name == "wf/cut":
+        return px.make_wf_cut(ntypes, coeffs, args[0], dtype=dtype)
+    if name == "cosine/squared":
+        # rows: eps sigma [cut] ['wca'] -> (eps, sigma, wcaflag, cut)
+        cs = {}
+        for k, row in _parse_raw_pair_rows(fix, ntypes).items():
+            eps, sig = float(row[0]), float(row[1])
+            wca = 1.0 if (row and row[-1] == "wca") else 0.0
+            nums = [float(x) for x in row[2:] if x != "wca"]
+            cut = nums[0] if nums else args[0]
+            cs[k] = (eps, sig, wca, cut)
+        return px.make_cosine_squared(ntypes, cs, args[0], dtype=dtype)
+    if name in ("lj/cut/coul/dsf", "lj/cut/coul/wolf", "lj/cut/coul/debye"):
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import (
+            PairVdwCoul, self_energy_const)
+
+        mode = name.split("/")[-1]
+        alpha = args[0]
+        cutv = args[1]
+        cutc = args[2] if len(args) > 2 else cutv
+        vdw = make_lj_cut(ntypes, coeffs, cut_global=cutv,
+                          shift=opts["shift"],
+                          mix=opts["mix"] or "geometric", dtype=dtype)
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode=mode,
+                           alpha=alpha, cut_coul=cutc,
+                           self_energy=self_energy_const(mode, alpha, cutc),
+                           dsf_poly=True)
+    if name in ("lj/expand/coul/long",):
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import PairVdwCoul
+        from lammps_kokkos_port_tpu.models.pair_simple import make_lj_expand
+
+        cutc = args[1] if len(args) > 1 else args[0]
+        vdw = make_lj_expand(ntypes, coeffs, cut_global=args[0],
+                             shift=opts["shift"],
+                             mix=opts["mix"] or "geometric", dtype=dtype)
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode="long",
+                           alpha=0.0, cut_coul=cutc, g_ewald=gewald)
+    if name == "born/coul/long":
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import PairVdwCoul
+        from lammps_kokkos_port_tpu.models.pair_simple import make_born
+
+        cutv = args[0]
+        cutc = args[1] if len(args) > 1 else cutv
+        vdw = make_born(ntypes, coeffs, cut_global=cutv,
+                        shift=opts["shift"], dtype=dtype)
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode="long",
+                           alpha=0.0, cut_coul=cutc, g_ewald=gewald)
     raise NotImplementedError(name)
+
+
+def _parse_raw_pair_rows(fix: dict, ntypes: int) -> dict:
+    """Like _parse_pair_coeffs but keeps raw string tokens (for styles
+    with keyword coeff arguments like cosine/squared's 'wca')."""
+    rows = parse_rows(fix.get("pair_coeff", ""))
+    out = {}
+    for toks in rows:
+        ii = range(1, ntypes + 1) if toks[0] == "*" else [int(toks[0])]
+        jj = range(1, ntypes + 1) if toks[1] == "*" else [int(toks[1])]
+        for i in ii:
+            for j in jj:
+                if j >= i:
+                    out[(i, j)] = toks[2:]
+    return out
 
 
 from lammps_kokkos_port_tpu.models import bonded_extra as bx  # noqa: E402
@@ -321,12 +462,59 @@ _BONDED_BUILDERS = {
     ("improper", "cvff"): (bx.make_improper_cvff, 3),
     ("improper", "cossq"): (bx.make_improper_cossq, 2),
     ("improper", "umbrella"): (bx.make_improper_umbrella, 2),
+    ("bond", "gaussian"): (bx.make_bond_gaussian, 0),
+    ("bond", "mm3"): (bx.make_bond_mm3, 2),
+    ("bond", "fene/nm"): (bx.make_bond_fene_nm, 6),
+    ("bond", "zero"): (lambda *a, **k: bx.BondZero(), 0),
+    ("angle", "mm3"): (bx.make_angle_mm3, 2),
+    ("angle", "gaussian"): (bx.make_angle_gaussian, 0),
+    ("angle", "zero"): (lambda *a, **k: bx.AngleZero(), 0),
+    ("dihedral", "fourier"): (bx.make_dihedral_fourier, 0),
+    ("dihedral", "cosine/shift/exp"):
+        (bx.make_dihedral_cosine_shift_exp, 3),
+    ("dihedral", "zero"): (lambda *a, **k: bx.DihedralZero(), 0),
+    ("improper", "distance"): (bx.make_improper_distance, 2),
+    ("improper", "distharm"): (bx.make_improper_distharm, 2),
+    ("improper", "sqdistharm"): (bx.make_improper_sqdistharm, 2),
+    ("improper", "ring"): (bx.make_improper_ring, 2),
+    ("improper", "fourier"): (bx.make_improper_fourier, 0),
+    ("improper", "inversion/harmonic"):
+        (bx.make_improper_inversion_harmonic, 2),
+    ("improper", "zero"): (lambda *a, **k: bx.ImproperZero(), 0),
 }
 
 
+def _parse_class2_angle(rows, ntypes, dtype, p6):
+    """angle class2 coeff rows come in three flavours
+    (ref: angle_class2.cpp coeff()): `type theta0 k2 k3 k4 [k5 k6]`,
+    `type bb M r1 r2`, `type ba N1 N2 r1 r2`; type may be `*`."""
+    main, bb, ba = {}, {}, {}
+    for r in rows:
+        tspec = r[0]
+        types = (range(1, ntypes + 1) if tspec == "*"
+                 else [int(tspec)])
+        if len(r) > 1 and r[1] in ("bb", "ba"):
+            dst = bb if r[1] == "bb" else ba
+            vals = tuple(float(x) for x in r[2:])
+        else:
+            dst = main
+            vals = tuple(float(x) for x in r[1:])
+        for t in types:
+            dst[t] = vals
+    return bx.make_angle_class2(ntypes, main, bb, ba, dtype=dtype, p6=p6)
+
+
 def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64):
-    style_name = fix[f"{kind}_style"]
+    style_name = fix[f"{kind}_style"].split()[0]
     rows = parse_rows(fix.get(f"{kind}_coeff", ""))
+    if style_name == "zero":
+        return {"bond": bx.BondZero, "angle": bx.AngleZero,
+                "dihedral": bx.DihedralZero,
+                "improper": bx.ImproperZero}[kind]()
+    if (kind, style_name) == ("angle", "class2"):
+        return _parse_class2_angle(rows, ntypes, dtype, p6=False)
+    if (kind, style_name) == ("angle", "class2/p6"):
+        return _parse_class2_angle(rows, ntypes, dtype, p6=True)
     coeffs = {int(r[0]): tuple(float(t) for t in r[1:]) for r in rows}
     if (kind, style_name) == ("dihedral", "charmm"):
         return bonded.make_dihedral_charmm(

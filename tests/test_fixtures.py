@@ -50,6 +50,28 @@ PAIR_FIXTURES = [
     "mol-pair-buck_coul_long.yaml",
     "mol-pair-lj_expand.yaml",
     "mol-pair-harmonic_cut.yaml",
+    "mol-pair-lj_class2.yaml",
+    "mol-pair-lj_class2_coul_cut.yaml",
+    "mol-pair-lj_class2_coul_long.yaml",
+    "mol-pair-lj96_cut.yaml",
+    "mol-pair-mie_cut.yaml",
+    "mol-pair-nm_cut.yaml",
+    "mol-pair-nm_cut_coul_cut.yaml",
+    "mol-pair-nm_cut_coul_long.yaml",
+    "mol-pair-lj_gromacs.yaml",
+    "mol-pair-lj_smooth_linear.yaml",
+    "mol-pair-lj_cubic.yaml",
+    "mol-pair-soft.yaml",
+    "mol-pair-gauss_cut.yaml",
+    "mol-pair-ufm.yaml",
+    "mol-pair-wf_cut.yaml",
+    "mol-pair-cosine_squared.yaml",
+    "mol-pair-lj_cut_coul_dsf.yaml",
+    "mol-pair-lj_cut_coul_wolf.yaml",
+    "mol-pair-lj_cut_coul_debye.yaml",
+    "mol-pair-lj_expand_coul_long.yaml",
+    "mol-pair-born_coul_long.yaml",
+    "mol-pair-zero.yaml",
     # mol-pair-coul_msm.yaml: our coul/msm matches the CURRENT reference
     # source formula (pair_coul_msm.cpp egamma/fgamma, order-10 gamma)
     # but the committed yaml values differ by ~0.5% systematically —
@@ -106,6 +128,25 @@ BONDED_FIXTURES = [
     ("improper", "improper-cvff.yaml"),
     ("improper", "improper-cossq.yaml"),
     ("improper", "improper-umbrella.yaml"),
+    ("bond", "bond-gaussian.yaml"),
+    ("bond", "bond-mm3.yaml"),
+    ("bond", "bond-fene_nm.yaml"),
+    ("bond", "bond-zero.yaml"),
+    ("angle", "angle-mm3.yaml"),
+    ("angle", "angle-gaussian.yaml"),
+    ("angle", "angle-class2.yaml"),
+    ("angle", "angle-class2_p6.yaml"),
+    ("angle", "angle-zero.yaml"),
+    ("dihedral", "dihedral-fourier.yaml"),
+    ("dihedral", "dihedral-cosine_shift_exp.yaml"),
+    ("dihedral", "dihedral-zero.yaml"),
+    ("improper", "improper-distance.yaml"),
+    ("improper", "improper-distharm.yaml"),
+    ("improper", "improper-sqdistharm.yaml"),
+    ("improper", "improper-ring.yaml"),
+    ("improper", "improper-fourier.yaml"),
+    ("improper", "improper-inversion_harmonic.yaml"),
+    ("improper", "improper-zero.yaml"),
 ]
 
 
