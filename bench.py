@@ -167,15 +167,23 @@ def main():
         n = int(jax.device_get(sim.state.nlocal))
         runner = sim._get_segment_runner()
 
-        def timed(k):
-            st, l = runner(sim.state, sim.nl, k)
+        # segments longer than ~20 steps trip a TPU compiler fault on this
+        # program (k=60 faults even as the first compile in a fresh
+        # process; k=20 is stable) — so time 1x vs 3x CHAINED k=20
+        # segments and subtract to cancel per-call overhead
+        def timed(nseg, k=20):
+            st, l = sim.state, sim.nl
+            for _ in range(nseg):
+                st, l = runner(st, l, k)
             jax.block_until_ready(st.x)
             t0 = time.perf_counter()
-            st, l = runner(sim.state, sim.nl, k)
+            st, l = sim.state, sim.nl
+            for _ in range(nseg):
+                st, l = runner(st, l, k)
             jax.block_until_ready(st.x)
             return time.perf_counter() - t0
 
-        t1, t2 = timed(20), timed(60)
+        t1, t2 = timed(1), timed(3)
         per = (t2 - t1) / 40
         r = n / per
         log(f"rhodo-32k [charmm+pppm+shake+npt]: {r/1e6:.3f} M "

@@ -862,6 +862,7 @@ def run_kspace_fixture(name: str, dtype=jnp.float64):
     qqrd2e = get_units("real").qqr2e
     slabflag, volfactor = 0, 1.0
     tilt = None
+    tric = False
     for ln in fix["post_commands"].splitlines():
         t = ln.split()
         if len(t) >= 3 and t[:2] == ["kspace_modify", "slab"]:
@@ -869,6 +870,8 @@ def run_kspace_fixture(name: str, dtype=jnp.float64):
                 slabflag = 2
             else:
                 slabflag, volfactor = 1, float(t[2])
+        if t[:3] == ["change_box", "all", "triclinic"]:
+            tric = True
         if t[:2] == ["change_box", "none"] and "xy" in t:
             # "change_box none xy final X xz final Y yz final Z"
             vals = {}
@@ -890,6 +893,47 @@ def run_kspace_fixture(name: str, dtype=jnp.float64):
             state.box, g_ewald=gewald, accuracy_rel=accuracy_rel,
             natoms=df.natoms, qsqsum=qsqsum, qqrd2e=qqrd2e, dtype=dtype,
             slabflag=slabflag, slab_volfactor=volfactor)
+    elif kname in ("pppm", "pppm/cg"):
+        # pppm/cg only compresses zero-charge grid work — same values
+        from lammps_kokkos_port_tpu.models.pppm import PPPMReference
+
+        diff = "ik"
+        for ln in fix["post_commands"].splitlines():
+            t = ln.split()
+            if t[:2] == ["kspace_modify", "diff"]:
+                diff = t[2]
+        ks = PPPMReference.create(
+            state.box, g_ewald=gewald, natoms=df.natoms, qsqsum=qsqsum,
+            qqrd2e=qqrd2e, accuracy_rel=accuracy_rel, diff=diff,
+            slabflag=slabflag, slab_volfactor=volfactor,
+            triclinic=tric or None, dtype=dtype)
+    elif kname == "pppm/tip4p":
+        from lammps_kokkos_port_tpu.models.pair_tip4p import water_h_map
+        from lammps_kokkos_port_tpu.models.pppm import (
+            PPPMReference, PPPMReferenceTIP4P)
+
+        diff = "ik"
+        for ln in fix["post_commands"].splitlines():
+            t = ln.split()
+            if t[:2] == ["kspace_modify", "diff"]:
+                diff = t[2]
+        pw = fix["pair_style"].split()
+        otype, htype, btype, atype = (int(w) for w in pw[1:5])
+        qdist = float(pw[5])
+        blen = float(df.coeffs["Bond Coeffs"][btype - 1][1])
+        theta = float(df.coeffs["Angle Coeffs"][atype - 1][1])
+        alpha = float(qdist / (np.cos(0.5 * np.deg2rad(theta)) * blen))
+        bonds = np.concatenate([df.bonds[:, :1], df.bonds[:, 1:] - 1],
+                               axis=1)
+        h1, h2 = water_h_map(state.capacity, bonds,
+                             np.asarray(jax.device_get(state.type)),
+                             otype, htype)
+        inner = PPPMReference.create(
+            state.box, g_ewald=gewald, natoms=df.natoms, qsqsum=qsqsum,
+            qqrd2e=qqrd2e, accuracy_rel=accuracy_rel, diff=diff,
+            slabflag=slabflag, slab_volfactor=volfactor, dtype=dtype)
+        ks = PPPMReferenceTIP4P(pppm=inner, qO_h1=jnp.asarray(h1),
+                                qO_h2=jnp.asarray(h2), alpha=alpha)
     elif kname in ("msm", "msm/cg"):
         # msm/cg only compresses away zero-charge grid work
         # (ref: msm_cg.cpp) — identical values

@@ -158,6 +158,20 @@ KSPACE_FIXTURES = [
     "kspace-ewald_tilted.yaml",
     "kspace-msm.yaml",
     "kspace-msm_cg.yaml",
+    "kspace-pppm.yaml",
+    "kspace-pppm_ad.yaml",
+    "kspace-pppm_cg.yaml",
+    "kspace-pppm_cg_ad.yaml",
+    "kspace-pppm_tiled.yaml",
+    "kspace-pppm_cg_tiled.yaml",
+    "kspace-pppm_nozforce.yaml",
+    "kspace-pppm_slab.yaml",
+    "kspace-pppm_tilted.yaml",
+    "kspace-pppm_tri.yaml",
+    "kspace-pppm_tip4p.yaml",
+    "kspace-pppm_tip4p_ad.yaml",
+    "kspace-pppm_tip4p_nozforce.yaml",
+    "kspace-pppm_tip4p_slab.yaml",
 ]
 
 
