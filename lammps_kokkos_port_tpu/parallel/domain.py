@@ -138,10 +138,17 @@ class ShardedMD:
 
         prd = np.asarray(jax.device_get(state.box.prd))
         min_slab = float(np.min(np.diff(self.cuts))) * prd[0]
-        if min_slab <= self.cutghost:
+        # slabs thinner than the ghost cutoff need ghosts from ranks
+        # beyond the immediate neighbor: nhop direct ppermutes per side
+        # (the ICI-native form of CommBrick's multi-swap forwarding,
+        # ref: src/comm_brick.cpp:307-310 maxneed)
+        self.nhop = max(1, int(np.ceil(self.cutghost / min_slab - 1e-12)))
+        if self.nhop > 1 and self.ndev < 2 * self.nhop + 1:
             raise ValueError(
-                f"slab width {min_slab:.3f} <= ghost cutoff "
-                f"{self.cutghost:.3f}: too many shards for this box"
+                f"slab width {min_slab:.3f} needs {self.nhop} ghost hops "
+                f"per side but only {self.ndev} shards exist (need >= "
+                f"{2 * self.nhop + 1}: left/right ghost sources must be "
+                "distinct devices)"
             )
         if self.ndev == 2 and min_slab <= 2.0 * self.cutghost:
             # with 2 shards the left and right neighbor are the SAME device:
@@ -311,8 +318,8 @@ class ShardedMD:
         K = int(np.ceil(est * self.k_mult / 8) * 8)
         self.nparams = nbr.NeighborParams(
             cutneigh=cutneigh, skin=self.skin, every=1, delay=0, check=False,
-            K=min(K, capS + 2 * self.G),
-            cell_cap=capS + 2 * self.G, ncells=(0, 0, 0),
+            K=min(K, capS + 2 * self.nhop * self.G),
+            cell_cap=capS + 2 * self.nhop * self.G, ncells=(0, 0, 0),
         )
 
     # -- device-side step ------------------------------------------------------
@@ -327,8 +334,15 @@ class ShardedMD:
         dtv = self.dt
         dtf = 0.5 * self.dt * units.ftm2v
         p = self.nparams
-        perm_l = [(i, (i - 1) % nd) for i in range(nd)]  # send to left
-        perm_r = [(i, (i + 1) % nd) for i in range(nd)]  # send to right
+        nhop = self.nhop
+        # hop-k permutations: data moves k slabs left/right in ONE
+        # ppermute (ICI is point-to-point; no store-and-forward needed)
+        perms_l = [[(i, (i - k) % nd) for i in range(nd)]
+                   for k in range(1, nhop + 1)]
+        perms_r = [[(i, (i + k) % nd) for i in range(nd)]
+                   for k in range(1, nhop + 1)]
+        perm_l = perms_l[0]  # send to left
+        perm_r = perms_r[0]  # send to right
         cuts_j = jnp.asarray(self.cuts, dtype=np.dtype(
             self.global_state.dtype))
         has_q = self.qs is not None
@@ -379,15 +393,13 @@ class ShardedMD:
                 my_hi_b = cuts_j[me + 1]
                 dist_l = jnp.mod(my_lo_b - lam, 1.0)  # how far below my slab
                 dist_r = jnp.mod(lam - my_hi_b, 1.0)
-                go_l = exists & ~stay & (dist_l <= dist_r)
-                go_r = exists & ~stay & (dist_r < dist_l)
-                # atoms that hopped beyond the adjacent slab: flagged (the
-                # rebuild cadence must keep moves within one slab)
-                neigh_l = jnp.mod(me - 1, nd)
-                neigh_r = jnp.mod(me + 1, nd)
-                lost = exists & ~stay & ~(
-                    (owner == neigh_l) | (owner == neigh_r)
-                )
+                # atoms that hopped beyond nhop slabs: flagged (the
+                # rebuild cadence must keep moves within nhop slabs)
+                is_neigh = jnp.zeros_like(exists)
+                for k in range(1, nhop + 1):
+                    is_neigh = is_neigh | (owner == jnp.mod(me - k, nd)) \
+                        | (owner == jnp.mod(me + k, nd))
+                lost = exists & ~stay & ~is_neigh
                 overflow = overflow | jnp.any(lost)
 
                 def keysort(sel):
@@ -398,16 +410,24 @@ class ShardedMD:
                 n_new = jnp.sum(stay).astype(jnp.int32)
 
                 out_bufs = {}
-                for dname, sel, perm in (("l", go_l, perm_l),
-                                         ("r", go_r, perm_r)):
-                    send, svalid = _pack(keysort(sel), M, *arrays)
-                    cnt = jnp.sum(sel).astype(jnp.int32)
-                    overflow = overflow | (cnt > M)
-                    recv = [jax.lax.ppermute(b, "x", perm) for b in send]
-                    rvalid = jax.lax.ppermute(
-                        svalid.astype(jnp.int32), "x", perm
-                    )
-                    out_bufs[dname] = (recv, rvalid)
+                for k in range(1, nhop + 1):
+                    go_l = exists & ~stay & (owner == jnp.mod(me - k, nd))
+                    go_r = exists & ~stay & (owner == jnp.mod(me + k, nd))
+                    sides = [(f"l{k}", go_l, perms_l[k - 1])]
+                    if (2 * k) % nd != 0:
+                        # when me-k == me+k (mod nd) both selections match
+                        # the same owner — send once (the nd==2 case)
+                        sides.append((f"r{k}", go_r, perms_r[k - 1]))
+                    for dname, sel, perm in sides:
+                        send, svalid = _pack(keysort(sel), M, *arrays)
+                        cnt = jnp.sum(sel).astype(jnp.int32)
+                        overflow = overflow | (cnt > M)
+                        recv = [jax.lax.ppermute(b, "x", perm)
+                                for b in send]
+                        rvalid = jax.lax.ppermute(
+                            svalid.astype(jnp.int32), "x", perm
+                        )
+                        out_bufs[dname] = (recv, rvalid)
 
                 x2, v2, t2, g2 = packed[0], packed[1], packed[2], packed[3]
                 q2 = packed[4] if has_q else None
@@ -429,7 +449,7 @@ class ShardedMD:
                     msk2 = msk2.at[slot].set(1, mode="drop")
                     return x2, v2, t2, g2, q2, msk2, n_new + cnt, overflow
 
-                for dname in ("l", "r"):
+                for dname in out_bufs:
                     bufs, rvalid = out_bufs[dname]
                     x2, v2, t2, g2, q2, msk2, n_new, overflow = append(
                         bufs, rvalid, x2, v2, t2, g2, q2, msk2, n_new,
@@ -437,18 +457,17 @@ class ShardedMD:
                 return x2, v2, t2, g2, q2, msk2, n_new, overflow
 
             def borders(x, typ, tag, q, msk, n, overflow):
-                """Build ghost send lists + first exchange.
+                """Build per-hop ghost send lists.
 
-                Returns (send_idx_l/r [G], shift_l/r scalars, ghost arrays).
+                Returns (sidx_l/r [nhop, G], shift_l/r [nhop], overflow).
+                Hop k sends the band within cutghost of the k-th left/right
+                neighbor's facing edge directly to that rank (one ppermute
+                per hop — the ICI form of CommBrick multi-swap forwarding).
                 """
                 lam = box.to_lamda(x)[:, 0]
                 lam = lam - jnp.floor(lam)
                 exists = msk != 0
-                my_lo = cuts_j[me]
-                my_hi = cuts_j[me + 1]
                 gf = self.cutghost / prd_x
-                near_lo = exists & (lam < my_lo + gf)
-                near_hi = exists & (lam > my_hi - gf)
 
                 def mk(sel):
                     key = jnp.where(sel, arange, capS)
@@ -459,18 +478,32 @@ class ShardedMD:
                     cnt = jnp.sum(sel).astype(jnp.int32)
                     return idx, cnt
 
-                sidx_l, cl = mk(near_lo)
-                sidx_r, cr = mk(near_hi)
-                overflow = overflow | (cl > G) | (cr > G)
-                shift_l = jnp.where(me == 0, prd_x, 0.0).astype(x.dtype)
-                shift_r = jnp.where(me == nd - 1, -prd_x, 0.0).astype(x.dtype)
-                return sidx_l, sidx_r, shift_l, shift_r, overflow
+                sls, srs, shls, shrs = [], [], [], []
+                cuts_lo = cuts_j[:nd]  # lower edge of each slab
+                for k in range(1, nhop + 1):
+                    edge_l = cuts_lo[jnp.mod(me - k + 1, nd)]  # top of L-k
+                    edge_r = cuts_lo[jnp.mod(me + k, nd)]      # bottom, R-k
+                    d_l = jnp.mod(lam - edge_l, 1.0)
+                    d_r = jnp.mod(edge_r - lam, 1.0)
+                    sel_l = exists & (d_l < gf)
+                    sel_r = exists & (d_r < gf)
+                    idx_l, cl = mk(sel_l)
+                    idx_r, cr = mk(sel_r)
+                    overflow = overflow | (cl > G) | (cr > G)
+                    sls.append(idx_l)
+                    srs.append(idx_r)
+                    shls.append(jnp.where(me < k, prd_x, 0.0)
+                                .astype(x.dtype))
+                    shrs.append(jnp.where(me >= nd - k, -prd_x, 0.0)
+                                .astype(x.dtype))
+                return (jnp.stack(sls), jnp.stack(srs), jnp.stack(shls),
+                        jnp.stack(shrs), overflow)
 
             def ghost_exchange(x, typ, tag, q, msk, sidx_l, sidx_r,
                                shift_l, shift_r):
-                """Pack + ppermute ghosts both ways; returns extended arrays
-                (positions refresh every step; types/tags only used at
-                rebuild but cheap to resend)."""
+                """Pack + ppermute each hop's ghosts both ways; returns
+                per-hop receive buffers (positions refresh every step;
+                types/tags only used at rebuild but cheap to resend)."""
 
                 def pack(sidx, shift):
                     valid = sidx < capS
@@ -486,29 +519,33 @@ class ShardedMD:
                     gm = valid.astype(jnp.int32)
                     return gx, gt, gg, gq, gm
 
-                # near-lo ghosts go LEFT; near-hi go RIGHT
-                gl = pack(sidx_l, shift_l)
-                gr = pack(sidx_r, shift_r)
-                recv_from_r = [jax.lax.ppermute(b, "x", perm_l)
-                               for b in gl if b is not None]
-                recv_from_l = [jax.lax.ppermute(b, "x", perm_r)
-                               for b in gr if b is not None]
-                return recv_from_l, recv_from_r
+                rls, rrs = [], []
+                for k in range(nhop):
+                    gl = pack(sidx_l[k], shift_l[k])
+                    gr = pack(sidx_r[k], shift_r[k])
+                    rls.append([jax.lax.ppermute(b, "x", perms_l[k])
+                                for b in gl if b is not None])
+                    rrs.append([jax.lax.ppermute(b, "x", perms_r[k])
+                                for b in gr if b is not None])
+                return rls, rrs
 
-            def extend(x, typ, tag, q, msk, rl, rr):
-                def cat(local, a, b):
-                    return jnp.concatenate([local, a, b], axis=0)
-
+            def extend(x, typ, tag, q, msk, rls, rrs):
+                bufs = rls + rrs
+                x_ext = jnp.concatenate([x] + [b[0] for b in bufs], axis=0)
+                t_ext = jnp.concatenate([typ] + [b[1] for b in bufs],
+                                        axis=0)
+                g_ext = jnp.concatenate([tag] + [b[2] for b in bufs],
+                                        axis=0)
                 if has_q:
-                    lx, lt, lg, lq, lm = rl
-                    rx, rt, rg, rq, rm = rr
-                    q_ext = cat(q, lq, rq)
+                    q_ext = jnp.concatenate([q] + [b[3] for b in bufs],
+                                            axis=0)
+                    m_ext = jnp.concatenate([msk] + [b[4] for b in bufs],
+                                            axis=0)
                 else:
-                    lx, lt, lg, lm = rl
-                    rx, rt, rg, rm = rr
                     q_ext = None
-                return (cat(x, lx, rx), cat(typ, lt, rt), cat(tag, lg, rg),
-                        q_ext, cat(msk, lm, rm))
+                    m_ext = jnp.concatenate([msk] + [b[3] for b in bufs],
+                                            axis=0)
+                return x_ext, t_ext, g_ext, q_ext, m_ext
 
             def rebuild(carry):
                 (x, v, f, typ, tag, q, msk, n, nh,
@@ -604,8 +641,8 @@ class ShardedMD:
                 carry = force_eval(carry)
                 return carry, None
 
-            dummy_idx = jnp.full(G, capS, dtype=jnp.int32)
-            zero = jnp.zeros((), x.dtype)
+            dummy_idx = jnp.full((nhop, G), capS, dtype=jnp.int32)
+            zero = jnp.zeros((nhop,), x.dtype)
             nh0 = (etas[0], etads[0])
             carry = (x, v, f, typ, tag, q, msk, nl_count, nh0,
                      dummy_idx, dummy_idx, zero, zero, None, overflow)
@@ -781,27 +818,22 @@ class ShardedMD:
         capS, G, nd = self.capS, self.G, self.ndev
         me = jax.lax.axis_index("x")
         prd_x = box.prd[0]
+        nhop = self.nhop
         arange = jnp.arange(capS, dtype=jnp.int32)
         lam = box.to_lamda(x)[:, 0]
         lam = lam - jnp.floor(lam)
         exists = msk != 0
         cuts_j = jnp.asarray(self.cuts, dtype=x.dtype)
-        my_lo = cuts_j[me]
-        my_hi = cuts_j[me + 1]
+        cuts_lo = cuts_j[:nd]
         gf = self.cutghost / prd_x
-        near_lo = exists & (lam < my_lo + gf)
-        near_hi = exists & (lam > my_hi - gf)
+        has_q = q is not None
 
         def mk(sel):
             key = jnp.where(sel, arange, capS)
+            if G > capS:
+                key = jnp.concatenate(
+                    [key, jnp.full((G - capS,), capS, jnp.int32)])
             return jnp.sort(key)[:G]
-
-        sidx_l, sidx_r = mk(near_lo), mk(near_hi)
-        shift_l = jnp.where(me == 0, prd_x, 0.0).astype(x.dtype)
-        shift_r = jnp.where(me == nd - 1, -prd_x, 0.0).astype(x.dtype)
-        perm_l = [(i, (i - 1) % nd) for i in range(nd)]
-        perm_r = [(i, (i + 1) % nd) for i in range(nd)]
-        has_q = q is not None
 
         def pack(sidx, shift):
             valid = sidx < capS
@@ -816,25 +848,29 @@ class ShardedMD:
             gm = valid.astype(jnp.int32)
             return [b for b in (gx, gt, gg, gq, gm) if b is not None]
 
-        gl = pack(sidx_l, shift_l)
-        gr = pack(sidx_r, shift_r)
-        rl = [jax.lax.ppermute(b, "x", perm_l) for b in gl]
-        rr = [jax.lax.ppermute(b, "x", perm_r) for b in gr]
+        bufs = []
+        for k in range(1, nhop + 1):
+            edge_l = cuts_lo[jnp.mod(me - k + 1, nd)]
+            edge_r = cuts_lo[jnp.mod(me + k, nd)]
+            sel_l = exists & (jnp.mod(lam - edge_l, 1.0) < gf)
+            sel_r = exists & (jnp.mod(edge_r - lam, 1.0) < gf)
+            sh_l = jnp.where(me < k, prd_x, 0.0).astype(x.dtype)
+            sh_r = jnp.where(me >= nd - k, -prd_x, 0.0).astype(x.dtype)
+            perm_lk = [(i, (i - k) % nd) for i in range(nd)]
+            perm_rk = [(i, (i + k) % nd) for i in range(nd)]
+            gl = pack(mk(sel_l), sh_l)
+            gr = pack(mk(sel_r), sh_r)
+            bufs.append([jax.lax.ppermute(b, "x", perm_lk) for b in gl])
+            bufs.append([jax.lax.ppermute(b, "x", perm_rk) for b in gr])
 
-        def cat(a, b, c):
-            return jnp.concatenate([a, b, c], axis=0)
-
+        x_ext = jnp.concatenate([x] + [b[0] for b in bufs], axis=0)
+        t_ext = jnp.concatenate([typ] + [b[1] for b in bufs], axis=0)
         if has_q:
-            lx, lt, lg, lq, lm = rl
-            rx, rt, rg, rq, rm = rr
-            q_ext = cat(q, lq, rq)
+            q_ext = jnp.concatenate([q] + [b[3] for b in bufs], axis=0)
+            m_ext = jnp.concatenate([msk] + [b[4] for b in bufs], axis=0)
         else:
-            lx, lt, lg, lm = rl
-            rx, rt, rg, rm = rr
             q_ext = None
-        x_ext = cat(x, lx, rx)
-        t_ext = cat(typ, lt, rt)
-        m_ext = cat(msk, lm, rm)
+            m_ext = jnp.concatenate([msk] + [b[3] for b in bufs], axis=0)
         ps_ext = State(
             x=x_ext, v=jnp.zeros_like(x_ext), f=jnp.zeros_like(x_ext),
             type=t_ext, tag=jnp.zeros_like(t_ext),

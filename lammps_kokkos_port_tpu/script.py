@@ -1256,7 +1256,82 @@ class LammpsScript:
         # cpuremain): rates since the previous thermo line of this run
         "spcpu": ("S/CPU", "{:>12.6g}"), "tpcpu": ("T/CPU", "{:>12.6g}"),
         "cpuremain": ("CPULeft", "{:>12.6g}"),
+        # per-component energies (ref: src/thermo.cpp compute_ebond etc.)
+        "ebond": ("E_bond", "{:>14.8g}"), "eangle": ("E_angle", "{:>14.8g}"),
+        "edihed": ("E_dihed", "{:>14.8g}"), "eimp": ("E_impro", "{:>14.8g}"),
+        "evdwl": ("E_vdwl", "{:>14.8g}"), "ecoul": ("E_coul", "{:>14.8g}"),
+        "elong": ("E_long", "{:>14.8g}"), "etail": ("E_tail", "{:>14.8g}"),
     }
+
+    _ECOMP_KEYS = ("ebond", "eangle", "edihed", "eimp", "evdwl", "ecoul",
+                   "elong", "etail")
+
+    def _component_energies(self, sim) -> dict:
+        """Per-style energy breakdown for the ebond/.../elong thermo
+        keywords (off the hot path: evaluated only when a custom
+        thermo_style requests them)."""
+        from .models import bonded as bonded_mod
+
+        ff = sim.forcefield
+        st, nl = sim.state, sim.nl
+        out = dict.fromkeys(self._ECOMP_KEYS, 0.0)
+        top = ff.topology
+        norm = (self.thermo_norm if self.thermo_norm is not None
+                else self.units_name == "lj")
+        nloc = float(jax.device_get(st.nlocal)) if norm else 1.0
+
+        def val(e):
+            return float(jax.device_get(e)) / (nloc if norm else 1.0)
+
+        if ff.bond is not None and top is not None and top.bonds.shape[0]:
+            if hasattr(ff.bond, "compute"):
+                _, e, _ = ff.bond.compute(st, top, True, False)
+            else:
+                _, e, _ = bonded_mod.compute_bonds(ff.bond, st, top, True,
+                                                   False)
+            out["ebond"] = val(e)
+        if ff.angle is not None and top is not None and top.angles.shape[0]:
+            if hasattr(ff.angle, "compute"):
+                _, e, _ = ff.angle.compute(st, top, True, False)
+            else:
+                _, e, _ = bonded_mod.compute_angles(ff.angle, st, top, True,
+                                                    False)
+            out["eangle"] = val(e)
+        if (ff.dihedral is not None and top is not None
+                and top.dihedrals.shape[0]):
+            if hasattr(ff.dihedral, "compute"):
+                _, e, _ = ff.dihedral.compute(st, top, True, False)
+            else:
+                _, e, _, _ = bonded_mod.compute_dihedrals(
+                    ff.dihedral, st, top, True, False)
+            out["edihed"] = val(e)
+        if (ff.improper is not None and top is not None
+                and top.impropers.shape[0]):
+            _, e, _, _ = bonded_mod.compute_dihedrals(
+                ff.improper, st, top, True, False, which="impropers")
+            out["eimp"] = val(e)
+        if ff.pair is not None:
+            slj = (ff.special.weights_lj if ff.special is not None
+                   else None)
+            scl = (ff.special.weights_coul if ff.special is not None
+                   else None)
+            if hasattr(ff.pair, "compute_detailed"):
+                _, ev, ec, _ = ff.pair.compute_detailed(
+                    st, nl, True, False, special_lj=slj, special_coul=scl)
+                out["evdwl"] = val(ev)
+                out["ecoul"] = val(ec)
+            else:
+                try:
+                    _, e, _ = ff.pair.compute(st, nl, True, False,
+                                              special_lj=slj,
+                                              special_coul=scl)
+                except TypeError:
+                    _, e, _ = ff.pair.compute(st, nl, True, False)
+                out["evdwl"] = val(e) if e is not None else 0.0
+        if ff.kspace is not None:
+            _, e, _ = ff.kspace.compute(st, True, False)
+            out["elong"] = val(e)
+        return out
 
     def _thermo_columns(self):
         return self.thermo_style or ["step", "temp", "epair", "emol",
@@ -1287,6 +1362,9 @@ class LammpsScript:
         if "density" in self._thermo_columns():
             row["density"] = self._density(row)
         import math
+
+        if any(c in self._ECOMP_KEYS for c in self._thermo_columns()):
+            row.update(self._component_energies(sim))
 
         parts = []
         for c in self._thermo_columns():

@@ -182,3 +182,36 @@ class TestShardedThermo:
         assert got["temp"] == pytest.approx(ref["temp"], rel=1e-10)
         assert got["epair"] == pytest.approx(ref["epair"], rel=1e-10)
         assert got["etotal"] == pytest.approx(ref["etotal"], rel=1e-10)
+
+
+class TestMultiHopHalo:
+    def test_thin_slabs_multihop_matches_single_chip(self):
+        """8 shards on a SHORT box: slab width < ghost cutoff, so ghosts
+        come from ranks 2-3 hops away via per-hop ppermutes (the ICI form
+        of CommBrick multi-swap forwarding, ref comm_brick.cpp:307-310
+        maxneed). Trajectory must still equal single-chip to roundoff."""
+        state = lj_melt_state(cells=(6, 3, 3), t_init=1.44,
+                              dtype=jnp.float64)
+        pair = lj_melt_pair(dtype=jnp.float64)
+        n = int(state.nlocal)
+
+        sim = Simulation(state, pair, skin=0.3, neigh_every=5,
+                         neigh_delay=0, neigh_check=False)
+        sim.setup()
+        sim.run(20)
+        rows = atom_order(sim.state)
+        tags = np.asarray(sim.state.tag)[rows]
+        ref = wrap_lamda(sim.state.box, np.asarray(sim.state.x)[rows])
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        smd = ShardedMD(state, from_pair(pair), mesh=mesh, skin=0.3,
+                        rebuild_every=5)
+        assert smd.nhop >= 2  # the thin-slab case actually multi-hops
+        smd.run(20)
+        g = smd.gather()
+        assert len(g["tag"]) == n
+        np.testing.assert_array_equal(g["tag"], tags)
+        got = wrap_lamda(state.box, g["x"])
+        d = np.abs(ref - got)
+        d = np.minimum(d, 1.0 - d)
+        assert d.max() < 1e-12
