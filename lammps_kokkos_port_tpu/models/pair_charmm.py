@@ -74,7 +74,7 @@ def coul_cut_terms(r2, qiqj, qqrd2e, factor_coul, eflag):
 _CHARMM_FIELDS = ["lj1", "lj2", "lj3", "lj4", "lj14_1", "lj14_2", "lj14_3",
                   "lj14_4", "eps", "sigma"]
 _CHARMM_META = ["ntypes", "cut_lj_inner", "cut_lj", "cut_coul", "g_ewald",
-                "coul_mode", "lj_switch", "cut_coul_inner"]
+                "coul_mode", "lj_switch", "cut_coul_inner", "mix_kind"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -109,6 +109,12 @@ class PairLJCharmmCoulLong:
     coul_mode: str
     lj_switch: bool
     cut_coul_inner: float = 0.0
+    # nonempty ("arithmetic"/"geometric") when EVERY pair coefficient is
+    # exactly the mix of the per-type diagonals: enables the packed
+    # single-gather fast path (eps/sigma reconstructed per pair on the
+    # VPU instead of 4 table gathers per pair per step — TPU gathers are
+    # the molecular bottleneck, see bench rhodo notes)
+    mix_kind: str = ""
 
     def cutsq_table(self) -> Array:
         cut = max(self.cut_lj, self.cut_coul if self.coul_mode != "none" else 0.0)
@@ -157,8 +163,25 @@ class PairLJCharmmCoulLong:
         ti_rows_in = None if self.ntypes == 1 else state.type
         q_rows_in = None if state.q is None else state.q
 
+        packed = None
+        if (self.mix_kind and self.ntypes > 1 and state.q is not None
+                and nl.shift is None):
+            # pack every per-atom quantity the kernel reads into ONE
+            # 8-lane row: a single [B, K, 8] gather replaces the x/q/
+            # eps/sigma (and 4 lj-table) gathers
+            epsd = jnp.sqrt(jnp.diagonal(self.eps))[state.type]
+            sigd = jnp.diagonal(self.sigma)[state.type]
+            zeros = jnp.zeros_like(sigd)
+            packed = jnp.stack(
+                [x_all[:, 0], x_all[:, 1], x_all[:, 2], q_all,
+                 epsd, sigd, zeros, zeros], axis=1)
+
         def block(xi_rows, ti_rows, qi_rows, owned_rows, j_rows, sb_rows,
-                  sh_rows):
+                  sh_rows, pk_rows):
+            if packed is not None:
+                return self._block_packed(
+                    state, pk_rows, owned_rows, j_rows, sb_rows, packed,
+                    qqrd2e, eflag, vflag, special_lj, special_coul)
             return self._block(
                 state, xi_rows, ti_rows, qi_rows, owned_rows, j_rows,
                 sb_rows, sh_rows, x_all, t_all, q_all, vecs, qqrd2e,
@@ -167,8 +190,119 @@ class PairLJCharmmCoulLong:
         f, evdwl, ecoul, virial = map_row_blocks(
             cap, K, block,
             [state.x, ti_rows_in, q_rows_in, state.owned_mask,
-             nl.idx, nl.sb, nl.shift],
+             nl.idx, nl.sb, nl.shift, packed],
             concat_outs=1)
+        return f, evdwl, ecoul, virial
+
+    def _block_packed(self, state, pk_rows, owned_rows, j_rows, sb_rows,
+                      packed, qqrd2e, eflag, vflag, special_lj,
+                      special_coul):
+        """Single-gather row block: per-pair eps/sigma from the mixing
+        rule on the VPU (valid only when mix_kind is set — every coeff is
+        the mix of the diagonals). Physics identical to _block."""
+        cap = state.capacity
+        dt = state.dtype
+        jc = jnp.clip(j_rows, 0, cap - 1)
+        pair_valid = j_rows < cap
+        pj = packed[jc]                       # the ONE gather [B, K, 8]
+        xi = pk_rows[:, None, :3]
+        xj = pj[..., :3]
+        dx = state.box.min_image(xi - xj)
+        r2 = jnp.sum(dx * dx, axis=-1)
+
+        seps = pk_rows[:, None, 4] * pj[..., 4]     # sqrt(ei)*sqrt(ej)
+        if self.mix_kind == "geometric":
+            sij = jnp.sqrt(pk_rows[:, None, 5] * pj[..., 5])
+        else:
+            sij = 0.5 * (pk_rows[:, None, 5] + pj[..., 5])
+        s2 = sij * sij
+        s6 = s2 * s2 * s2
+        lj2 = 24.0 * seps * s6
+        lj1 = 2.0 * lj2 * s6        # 48 eps s12
+        lj4 = lj2 / 6.0             # 4 eps s6
+        lj3 = lj1 / 12.0            # 4 eps s12
+
+        cut_ljsq = self.cut_lj * self.cut_lj
+        cut_coulsq = self.cut_coul * self.cut_coul
+        cut_bothsq = max(cut_ljsq,
+                         cut_coulsq if self.coul_mode != "none" else 0.0)
+        valid = pair_valid & (r2 < cut_bothsq)
+        r2s = jnp.where(valid, r2, jnp.ones((), dt))
+        r2inv = 1.0 / r2s
+
+        # special factors as select chains (a 4-entry table gather per
+        # pair would cost as much as the big gather)
+        def sel(ws):
+            w = jnp.asarray(ws, dt)
+            out = jnp.full(sb_rows.shape, w[0], dt)
+            for k in (1, 2, 3):
+                out = jnp.where(sb_rows == k, w[k], out)
+            return out
+
+        flj = sel(special_lj) if (sb_rows is not None
+                                  and special_lj is not None) else None
+        fcoul = sel(special_coul) if (sb_rows is not None
+                                      and special_coul is not None) else None
+
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = r6inv * (lj1 * r6inv - lj2)
+        philj = r6inv * (lj3 * r6inv - lj4)
+        if self.lj_switch:
+            inner_sq = self.cut_lj_inner * self.cut_lj_inner
+            denom_lj = (cut_ljsq - inner_sq) ** 3
+            switch1 = ((cut_ljsq - r2s) ** 2
+                       * (cut_ljsq + 2.0 * r2s - 3.0 * inner_sq) / denom_lj)
+            switch2 = (12.0 * r2s * (cut_ljsq - r2s) * (r2s - inner_sq)
+                       / denom_lj)
+            in_switch = r2s > inner_sq
+            forcelj = jnp.where(
+                in_switch, forcelj * switch1 + philj * switch2, forcelj)
+            if eflag:
+                philj = jnp.where(in_switch, philj * switch1, philj)
+        lj_on = valid & (r2 < cut_ljsq)
+        if flj is not None:
+            forcelj = forcelj * flj
+            philj = philj * flj
+        forcelj = jnp.where(lj_on, forcelj, 0.0)
+
+        if self.coul_mode != "none":
+            qiqj = pk_rows[:, None, 3] * pj[..., 3]
+            if self.coul_mode == "long":
+                forcecoul, ec = coul_long_terms(
+                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, eflag)
+            elif self.coul_mode == "charmm":
+                pref = qqrd2e * qiqj * jnp.sqrt(r2inv)
+                in_sq = self.cut_coul_inner * self.cut_coul_inner
+                denom_coul = (cut_coulsq - in_sq) ** 3
+                sw1 = ((cut_coulsq - r2s) ** 2
+                       * (cut_coulsq + 2.0 * r2s - 3.0 * in_sq)
+                       / denom_coul)
+                pref = jnp.where(r2s > in_sq, pref * sw1, pref)
+                fc = fcoul if fcoul is not None else 1.0
+                forcecoul = pref * fc
+                ec = forcecoul if eflag else None
+            else:
+                forcecoul, ec = coul_cut_terms(r2s, qiqj, qqrd2e, fcoul,
+                                               eflag)
+            coul_on = valid & (r2 < cut_coulsq)
+            forcecoul = jnp.where(coul_on, forcecoul, 0.0)
+        else:
+            forcecoul = jnp.zeros_like(r2s)
+            ec = jnp.zeros_like(r2s) if eflag else None
+            coul_on = jnp.zeros_like(valid)
+
+        fpair = (forcecoul + forcelj) * r2inv
+        fpair = jnp.where(valid, fpair, 0.0)
+        f = jnp.sum(dx * fpair[..., None], axis=1)
+
+        owned = owned_rows[:, None]
+        evdwl = ecoul = None
+        if eflag:
+            evdwl = 0.5 * jnp.sum(jnp.where(lj_on & owned, philj, 0.0))
+            ecoul = 0.5 * jnp.sum(jnp.where(coul_on & owned, ec, 0.0))
+
+        virial = (tally_virial(jnp.where(owned, fpair, 0.0), dx)
+                  if vflag else None)
         return f, evdwl, ecoul, virial
 
     def _block(self, state, xi_rows, ti_rows, qi_rows, owned_rows, j_rows,
@@ -324,6 +458,26 @@ def _build_lj_tables(ntypes, coeffs, mix, lj14=False):
     return eps, sig, eps14, sig14
 
 
+def _factorable_mix(eps, sig, ntypes, mix) -> str:
+    """mix kind when every off-diagonal coeff equals the mix of the
+    diagonals (bit-exact in the sqrt(ei)*sqrt(ej) factorization) — the
+    packed fast path reconstructs eps/sigma per pair from per-atom values.
+    Note sqrt(ei*ej) != sqrt(ei)*sqrt(ej) in fp; require agreement to 1
+    ulp-ish and recompute the diagonal contribution the same way."""
+    if mix not in ("arithmetic", "geometric"):
+        return ""
+    se = np.sqrt(eps)
+    for i in range(1, ntypes + 1):
+        for j in range(1, ntypes + 1):
+            e_mix = se[i, i] * se[j, j]
+            s_mix = (np.sqrt(sig[i, i] * sig[j, j]) if mix == "geometric"
+                     else 0.5 * (sig[i, i] + sig[j, j]))
+            if not (np.isclose(eps[i, j], e_mix, rtol=1e-15, atol=0.0)
+                    and np.isclose(sig[i, j], s_mix, rtol=1e-15, atol=0.0)):
+                return ""
+    return mix
+
+
 def make_lj_charmm_coul_long(
     ntypes: int,
     coeffs: dict,
@@ -357,6 +511,7 @@ def make_lj_charmm_coul_long(
         ntypes=ntypes, cut_lj_inner=float(cut_lj_inner), cut_lj=float(cut_lj),
         cut_coul=float(cut_coul), g_ewald=float(g_ewald),
         coul_mode=coul_mode, lj_switch=True,
+        mix_kind=_factorable_mix(eps, sig, ntypes, mix),
     )
 
 

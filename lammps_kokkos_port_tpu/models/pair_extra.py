@@ -693,3 +693,337 @@ def make_pair_zero(ntypes, cut_global, dtype=jnp.float64):
         np.full_like(z, cut_global**2), dtype=dtype),
         offset=jnp.asarray(z, dtype=dtype), ntypes=ntypes,
         cut_max=float(cut_global))
+
+
+@_pairstyle(["aa_", "bb_", "a_", "alpha", "beta"])
+class PairBeck(_SimplePair):
+    """Beck He-He: E = AA e^{-r(alpha + beta r^5)} - BB/(a^2+r^2)^3
+    (1 + (2.709 + 3 a^2)/(a^2+r^2)) (ref: src/EXTRA-PAIR/pair_beck.cpp
+    compute():100-135)."""
+
+    aa_: Array
+    bb_: Array
+    a_: Array
+    alpha: Array
+    beta: Array
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        AA = self._p(self.aa_, ti, tj)
+        BB = self._p(self.bb_, ti, tj)
+        aa = self._p(self.a_, ti, tj)
+        al = self._p(self.alpha, ti, tj)
+        be = self._p(self.beta, ti, tj)
+        r = jnp.sqrt(r2)
+        r5 = r2 * r2 * r
+        term1 = aa * aa + r2
+        term2 = term1**-5
+        term3 = 21.672 + 30.0 * aa * aa + 6.0 * r2
+        term4 = al + r5 * be
+        term5 = al + 6.0 * r5 * be
+        force = AA * jnp.exp(-r * term4) * term5 - BB * r * term2 * term3
+        e = None
+        if eflag:
+            term6 = term1**-3
+            e = (AA * jnp.exp(-r * term4)
+                 - BB * term6 * (1.0 + (2.709 + 3.0 * aa * aa) / term1))
+        return force / r, e
+
+
+@_pairstyle(["biga0", "alpha0", "biga1", "beta1", "r0"])
+class PairBornGauss(_SimplePair):
+    """E = A0 e^{-alpha r} - A1 e^{-beta (r-r0)^2}
+    (ref: src/EXTRA-PAIR/pair_born_gauss.cpp:100-130)."""
+
+    biga0: Array
+    alpha0: Array
+    biga1: Array
+    beta1: Array
+    r0: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        a0 = self._p(self.biga0, ti, tj)
+        al = self._p(self.alpha0, ti, tj)
+        a1 = self._p(self.biga1, ti, tj)
+        be = self._p(self.beta1, ti, tj)
+        r0 = self._p(self.r0, ti, tj)
+        off = self._p(self.offset, ti, tj)
+        r = jnp.sqrt(r2)
+        dr = r - r0
+        aexp = a0 * jnp.exp(-al * r)
+        bexp = a1 * jnp.exp(-be * dr * dr)
+        fpair = (al * aexp - 2.0 * be * dr * bexp) / r
+        e = (aexp - bexp - off) if eflag else None
+        return fpair, e
+
+
+def make_beck(ntypes, coeffs, cut_global, dtype=jnp.float64):
+    def mixer(ci, cj):
+        return [math.sqrt(a * b) for a, b in zip(ci, cj)]  # mix_energy-ish
+
+    return _mk(PairBeck, ntypes, coeffs, 5, cut_global, mixer, dtype)
+
+
+def make_born_gauss(ntypes, coeffs, cut_global, shift=False,
+                    dtype=jnp.float64):
+    def mixer(ci, cj):
+        raise ValueError("pair born/gauss does not mix; set all pairs")
+
+    def sfn(tab, rc):
+        a0, al, a1, be, r0 = tab
+        dr = rc - r0
+        return a0 * math.exp(-al * rc) - a1 * math.exp(-be * dr * dr)
+
+    return _mk(PairBornGauss, ntypes, coeffs, 5, cut_global, mixer, dtype,
+               shift=shift, shift_fn=sfn)
+
+
+# -- pair_style table ---------------------------------------------------------
+
+
+def _nr_spline(x, y, yp1, ypn):
+    """Numerical-Recipes cubic spline second derivatives
+    (ref: pair_table.cpp spline())."""
+    n = len(x)
+    y2 = np.zeros(n)
+    u = np.zeros(n)
+    if yp1 > 0.99e30:
+        y2[0] = u[0] = 0.0
+    else:
+        y2[0] = -0.5
+        u[0] = (3.0 / (x[1] - x[0])) * ((y[1] - y[0]) / (x[1] - x[0]) - yp1)
+    for i in range(1, n - 1):
+        sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1])
+        p = sig * y2[i - 1] + 2.0
+        y2[i] = (sig - 1.0) / p
+        u[i] = ((y[i + 1] - y[i]) / (x[i + 1] - x[i])
+                - (y[i] - y[i - 1]) / (x[i] - x[i - 1]))
+        u[i] = (6.0 * u[i] / (x[i + 1] - x[i - 1]) - sig * u[i - 1]) / p
+    if ypn > 0.99e30:
+        qn = un = 0.0
+    else:
+        qn = 0.5
+        un = (3.0 / (x[n - 1] - x[n - 2])) * (
+            ypn - (y[n - 1] - y[n - 2]) / (x[n - 1] - x[n - 2]))
+    y2[n - 1] = (un - qn * u[n - 2]) / (qn * y2[n - 2] + 1.0)
+    for k in range(n - 2, -1, -1):
+        y2[k] = y2[k] * y2[k + 1] + u[k]
+    return y2
+
+
+def _nr_splint(xa, ya, y2a, x):
+    """Cubic-spline evaluation (ref: pair_table.cpp splint())."""
+    khi = np.searchsorted(xa, x)
+    khi = np.clip(khi, 1, len(xa) - 1)
+    klo = khi - 1
+    h = xa[khi] - xa[klo]
+    a = (xa[khi] - x) / h
+    b = (x - xa[klo]) / h
+    return (a * ya[klo] + b * ya[khi]
+            + ((a**3 - a) * y2a[klo] + (b**3 - b) * y2a[khi])
+            * (h * h) / 6.0)
+
+
+def read_pair_table(path: str, keyword: str):
+    """One section of a LAMMPS pair table file: (r, e, f, params dict)
+    (ref: pair_table.cpp read_table/param_extract)."""
+    lines = open(path).read().splitlines()
+    i = 0
+    while i < len(lines):
+        s = lines[i].split("#")[0].strip()
+        if s == keyword or s.split() and s.split()[0] == keyword:
+            break
+        i += 1
+    else:
+        raise ValueError(f"table keyword {keyword} not found in {path}")
+    i += 1
+    params = {"rflag": None, "fpflag": False}
+    toks = lines[i].split()
+    k = 0
+    while k < len(toks):
+        if toks[k] == "N":
+            params["n"] = int(toks[k + 1]); k += 2
+        elif toks[k] in ("R", "RSQ"):
+            params["rflag"] = toks[k]
+            params["rlo"] = float(toks[k + 1])
+            params["rhi"] = float(toks[k + 2]); k += 3
+        elif toks[k] == "FPRIME":
+            params["fpflag"] = True
+            params["fplo"] = float(toks[k + 1])
+            params["fphi"] = float(toks[k + 2]); k += 3
+        else:
+            k += 1
+    i += 1
+    r, e, f = [], [], []
+    while i < len(lines) and len(r) < params["n"]:
+        s = lines[i].split("#")[0].strip()
+        i += 1
+        if not s:
+            continue
+        w = s.split()
+        r.append(float(w[1]))
+        e.append(float(w[2]))
+        f.append(float(w[3]))
+    return (np.asarray(r), np.asarray(e), np.asarray(f), params)
+
+
+@_pairstyle(["innersq", "delta", "invdelta", "rsqt", "et", "ft", "det",
+             "dft", "e2t", "f2t", "tabidx"],
+            meta=("ntypes", "cut_max", "tabstyle", "tablength"))
+class PairTableStyle(_SimplePair):
+    """pair_style table linear|spline|lookup N: file-tabulated pair
+    interactions resampled onto an rsq-uniform internal grid with the
+    reference's NR splines (ref: src/pair_table.cpp compute_table,
+    compute: LOOKUP/LINEAR/SPLINE branches)."""
+
+    innersq: Array  # [ntab]
+    delta: Array
+    invdelta: Array
+    rsqt: Array     # [ntab, tablength]
+    et: Array
+    ft: Array
+    det: Array      # [ntab, tablength-1] (linear)
+    dft: Array
+    e2t: Array      # [ntab, tablength] (spline)
+    f2t: Array
+    tabidx: Array   # [T+1, T+1] int32
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+    tabstyle: str
+    tablength: int
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        tb = self.tabidx[1, 1] if self.ntypes == 1 else self.tabidx[ti, tj]
+        innersq = self.innersq[tb]
+        invd = self.invdelta[tb]
+        tlm1 = self.tablength - 1
+        it = jnp.clip(((r2 - innersq) * invd).astype(jnp.int32), 0, tlm1 - 1)
+        if self.tabstyle == "lookup":
+            fpair = self.ft[tb, it]
+            e = self.et[tb, it] if eflag else None
+            return fpair, e
+        rsq_i = self.rsqt[tb, it]
+        if self.tabstyle == "linear":
+            frac = (r2 - rsq_i) * invd
+            fpair = self.ft[tb, it] + frac * self.dft[tb, it]
+            e = (self.et[tb, it] + frac * self.det[tb, it]) if eflag \
+                else None
+            return fpair, e
+        # spline
+        b = (r2 - rsq_i) * invd
+        a = 1.0 - b
+        d6 = (self.delta[tb] ** 2) / 6.0
+        fpair = (a * self.ft[tb, it] + b * self.ft[tb, it + 1]
+                 + ((a**3 - a) * self.f2t[tb, it]
+                    + (b**3 - b) * self.f2t[tb, it + 1]) * d6)
+        e = None
+        if eflag:
+            e = (a * self.et[tb, it] + b * self.et[tb, it + 1]
+                 + ((a**3 - a) * self.e2t[tb, it]
+                    + (b**3 - b) * self.e2t[tb, it + 1]) * d6)
+        return fpair, e
+
+
+def make_pair_table(ntypes, rows, tabstyle, tablength, dtype=jnp.float64):
+    """rows[(i,j)] = (file, keyword[, cut]). Replicates read_table +
+    spline_table + compute_table exactly."""
+    tables = []
+    tabidx = np.zeros((ntypes + 1, ntypes + 1), dtype=np.int32)
+    cut_tab = np.zeros((ntypes + 1, ntypes + 1))
+    for (i, j), row in rows.items():
+        rfile, efile, ffile, params = read_pair_table(row[0], row[1])
+        cut = float(row[2]) if len(row) > 2 else (
+            params["rhi"] if params["rflag"] else rfile[-1])
+        n = len(rfile)
+        if params["rflag"]:  # resample onto uniform r/rsq from rlo..rhi
+            # (ref: read_table: for rflag, rfile entries are checked, not
+            # rebuilt — the file already carries the uniform grid)
+            pass
+        # spline_table
+        ep0 = -ffile[0]
+        epn = -ffile[n - 1]
+        e2file = _nr_spline(rfile, efile, ep0, epn)
+        if params["fpflag"]:
+            fplo, fphi = params["fplo"], params["fphi"]
+        else:
+            fplo = (ffile[1] - ffile[0]) / (rfile[1] - rfile[0])
+            fphi = (ffile[n - 1] - ffile[n - 2]) / (rfile[n - 1]
+                                                    - rfile[n - 2])
+        f2file = _nr_spline(rfile, ffile, fplo, fphi)
+
+        tlm1 = tablength - 1
+        inner = params["rlo"] if params["rflag"] else rfile[0]
+        innersq = inner * inner
+        delta = (cut * cut - innersq) / tlm1
+        rsq = innersq + np.arange(tablength) * delta
+        r = np.sqrt(rsq)
+        match = (tabstyle == "linear" and n == tablength
+                 and params["rflag"] == "RSQ" and params["rhi"] == cut)
+        if match:
+            e = efile.copy()
+            f = ffile / r
+        else:
+            e = _nr_splint(rfile, efile, e2file, r)
+            f = _nr_splint(rfile, ffile, f2file, r) / r
+        de = np.diff(e)
+        df = np.diff(f)
+        e2 = np.zeros(tablength)
+        f2 = np.zeros(tablength)
+        if tabstyle == "spline":
+            ep0 = -f[0] / (2.0 * np.sqrt(innersq))
+            epn = -f[tlm1] / (2.0 * cut)
+            e2 = _nr_spline(rsq, e, ep0, epn)
+            if params["fpflag"]:
+                fp0 = (params["fplo"] / np.sqrt(innersq)
+                       - f[0] / innersq) / (2.0 * np.sqrt(innersq))
+                fpn = (params["fphi"] / cut - f[tlm1] / (cut * cut)) \
+                    / (2.0 * cut)
+            else:
+                secant = 0.1
+                rsq1 = innersq
+                rsq2 = rsq1 + secant * delta
+                fp0 = (_nr_splint(rfile, ffile, f2file, np.sqrt(rsq2))
+                       / np.sqrt(rsq2) - f[0] / np.sqrt(rsq1)) \
+                    / (secant * delta)
+                rsq2 = cut * cut
+                rsq1 = rsq2 - secant * delta
+                fpn = (f[tlm1] / np.sqrt(rsq2)
+                       - _nr_splint(rfile, ffile, f2file, np.sqrt(rsq1))
+                       / np.sqrt(rsq1)) / (secant * delta)
+            f2 = _nr_spline(rsq, f, fp0, fpn)
+        if tabstyle == "lookup":
+            rsq_mid = innersq + (np.arange(tlm1) + 0.5) * delta
+            rmid = np.sqrt(rsq_mid)
+            e_l = _nr_splint(rfile, efile, e2file, rmid)
+            f_l = _nr_splint(rfile, ffile, f2file, rmid) / rmid
+            e = np.concatenate([e_l, [0.0]])
+            f = np.concatenate([f_l, [0.0]])
+            de = np.diff(e)
+            df = np.diff(f)
+        tables.append((innersq, delta, 1.0 / delta, rsq, e, f,
+                       np.concatenate([de, [0.0]]),
+                       np.concatenate([df, [0.0]]), e2, f2))
+        ti_, tj_ = min(i, j), max(i, j)
+        tabidx[ti_, tj_] = tabidx[tj_, ti_] = len(tables) - 1
+        cut_tab[ti_, tj_] = cut_tab[tj_, ti_] = cut
+
+    stackf = lambda k: jnp.asarray(np.stack([t[k] for t in tables]),
+                                   dtype=dtype)
+    return PairTableStyle(
+        innersq=stackf(0), delta=stackf(1), invdelta=stackf(2),
+        rsqt=stackf(3), et=stackf(4), ft=stackf(5), det=stackf(6),
+        dft=stackf(7), e2t=stackf(8), f2t=stackf(9),
+        tabidx=jnp.asarray(tabidx),
+        cutsq=jnp.asarray(cut_tab * cut_tab, dtype=dtype),
+        offset=jnp.asarray(np.zeros_like(cut_tab), dtype=dtype),
+        ntypes=ntypes, cut_max=float(cut_tab.max()), tabstyle=tabstyle,
+        tablength=tablength)

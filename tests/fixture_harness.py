@@ -785,6 +785,39 @@ def build_atomic_pair(fix: dict, ntypes: int, dtype=jnp.float64):
             masses[t] = st.mass[st.elements.index(el)]
         return make_eam_setfl(ntypes, st, type_elements=r[3:3 + ntypes],
                               fs=(name == "eam/fs"), dtype=dtype), masses
+    # non-EAM atomic styles: masses stay from the data file
+    args = [w for w in fix["pair_style"].split()[1:]]
+    opts = _post_command_opts(fix)
+    coeffs = _parse_pair_coeffs(fix, ntypes)
+    from lammps_kokkos_port_tpu.models import pair_extra as px
+
+    if name == "born":
+        from lammps_kokkos_port_tpu.models.pair_simple import make_born
+
+        return make_born(ntypes, coeffs, cut_global=float(args[0]),
+                         shift=opts["shift"], dtype=dtype), None
+    if name == "gauss":
+        from lammps_kokkos_port_tpu.models.pair_simple import make_gauss
+
+        return make_gauss(ntypes, coeffs, float(args[0]),
+                          shift=opts["shift"],
+                          mix=opts["mix"] or "geometric", dtype=dtype), None
+    if name == "beck":
+        return px.make_beck(ntypes, coeffs, float(args[0]),
+                            dtype=dtype), None
+    if name == "born/gauss":
+        return px.make_born_gauss(ntypes, coeffs, float(args[0]),
+                                  shift=opts["shift"], dtype=dtype), None
+    if name == "table":
+        raw = _parse_raw_pair_rows(fix, ntypes)
+        rows_t = {}
+        for k, row in raw.items():
+            fpath = _potfile(row[0].replace("${input_dir}/", ""))
+            rows_t[k] = ((fpath, row[1]) + tuple(float(x)
+                                                 for x in row[2:]))
+        return px.make_pair_table(ntypes, rows_t, tabstyle=args[0],
+                                  tablength=int(args[1]),
+                                  dtype=dtype), None
     raise NotImplementedError(name)
 
 
@@ -793,7 +826,9 @@ def run_atomic_fixture(name: str, dtype=jnp.float64, skin=0.5):
     fix = load_fixture(name)
     df, state = build_metal(dtype=dtype)
     pair, masses = build_atomic_pair(fix, df.natomtypes, dtype=dtype)
-    state = state.replace(mass=jnp.asarray(masses, dtype=state.mass.dtype))
+    if masses is not None:
+        state = state.replace(
+            mass=jnp.asarray(masses, dtype=state.mass.dtype))
     p = nbr.size_for_system(state, cutneigh=pair.max_cutoff() + skin,
                             skin=skin)
     nl = nbr.build(state, p)

@@ -228,6 +228,13 @@ ATOMIC_FIXTURES = [
     "atomic-pair-eam.yaml",          # funcfl, 2 elements mixed
     "atomic-pair-eam_alloy.yaml",    # setfl CuNi
     "atomic-pair-eam_fs.yaml",       # Finnis-Sinclair AlFe
+    "atomic-pair-born.yaml",
+    "atomic-pair-gauss.yaml",
+    "atomic-pair-beck.yaml",
+    "atomic-pair-born_gauss.yaml",
+    "atomic-pair-table_linear.yaml",
+    "atomic-pair-table_spline.yaml",
+    "atomic-pair-table_lookup.yaml",
 ]
 
 
