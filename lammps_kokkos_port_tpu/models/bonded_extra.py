@@ -1132,3 +1132,226 @@ def make_improper_inversion_harmonic(ntypes, coeffs, dtype=jnp.float64):
     kw, w0 = table(ntypes, coeffs, 2, dtype)
     # K/3: threefold branch averaging (improper_inversion_harmonic.cpp:293)
     return ImproperInversionHarmonic(kw=kw / 3.0, w0=w0 * _D2R)
+
+
+# -- tabulated bond/angle styles ----------------------------------------------
+
+
+def _bonded_table_arrays(rfile, efile, ffile, params, tablength,
+                         tabstyle, lo=None, hi=None):
+    """BondTable/AngleTable compute_table: resample the file data onto
+    tablength uniform points in r (or theta) with NR splines
+    (ref: src/MOLECULE/bond_table.cpp:360-420, angle_table.cpp:455-500)."""
+    from .pair_extra import _nr_spline, _nr_splint
+
+    n = len(rfile)
+    ep0, epn = -ffile[0], -ffile[n - 1]
+    e2file = _nr_spline(rfile, efile, ep0, epn)
+    if params.get("fpflag"):
+        fplo, fphi = params["fplo"], params["fphi"]
+    else:
+        fplo = (ffile[1] - ffile[0]) / (rfile[1] - rfile[0])
+        fphi = (ffile[n - 1] - ffile[n - 2]) / (rfile[n - 1] - rfile[n - 2])
+    f2file = _nr_spline(rfile, ffile, fplo, fphi)
+    lo = rfile[0] if lo is None else lo
+    hi = rfile[-1] if hi is None else hi
+    tlm1 = tablength - 1
+    delta = (hi - lo) / tlm1
+    r = lo + np.arange(tablength) * delta
+    e = _nr_splint(rfile, efile, e2file, r)
+    f = _nr_splint(rfile, ffile, f2file, r)
+    de = np.empty(tablength)
+    df = np.empty(tablength)
+    de[:-1] = np.diff(e)
+    df[:-1] = np.diff(f)
+    de[-1] = 2.0 * de[-2] - de[-3]
+    df[-1] = 2.0 * df[-2] - df[-3]
+    e2 = _nr_spline(r, e, -f[0], -f[tlm1])
+    f2 = _nr_spline(r, f, fplo, fphi)
+    return dict(lo=lo, delta=delta, invdelta=1.0 / delta,
+                deltasq6=delta * delta / 6.0, r=r, e=e, f=f, de=de,
+                df=df, e2=e2, f2=f2)
+
+
+def _uf_lookup(tabs, tabstyle, t, x):
+    """uf_lookup over stacked per-type tables (jnp; ref:
+    bond_table.cpp uf_lookup / angle_table.cpp uf_lookup)."""
+    lo = tabs["lo"][t]
+    invd = tabs["invdelta"][t]
+    n = tabs["r"].shape[1]
+    it = jnp.clip(((x - lo) * invd).astype(jnp.int32), 0, n - 2)
+    ri = tabs["r"][t, it]
+    if tabstyle == "linear":
+        frac = (x - ri) * invd
+        u = tabs["e"][t, it] + frac * tabs["de"][t, it]
+        f = tabs["f"][t, it] + frac * tabs["df"][t, it]
+    else:  # spline
+        b = (x - ri) * invd
+        a = 1.0 - b
+        d6 = tabs["deltasq6"][t]
+        u = (a * tabs["e"][t, it] + b * tabs["e"][t, it + 1]
+             + ((a**3 - a) * tabs["e2"][t, it]
+                + (b**3 - b) * tabs["e2"][t, it + 1]) * d6)
+        f = (a * tabs["f"][t, it] + b * tabs["f"][t, it + 1]
+             + ((a**3 - a) * tabs["f2"][t, it]
+                + (b**3 - b) * tabs["f2"][t, it + 1]) * d6)
+    return u, f
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["tabs"],
+         meta_fields=["tabstyle"])
+@dataclasses.dataclass(frozen=True)
+class BondTableStyle:
+    """bond_style table linear|spline N (ref: src/MOLECULE/bond_table.cpp:
+    force from the tabulated -dE/dr, fbond = f/r)."""
+
+    tabs: dict  # stacked [ntypes+1, tablength] arrays
+    tabstyle: str
+
+    def compute(self, state, top, eflag, vflag):
+        arr = top.bonds
+        t = arr[:, 0]
+        i, j = arr[:, 1], arr[:, 2]
+        cap = state.capacity
+        valid = t > 0
+        ii = jnp.clip(i, 0, cap - 1)
+        jj = jnp.clip(j, 0, cap - 1)
+        dx = state.box.min_image(state.x[ii] - state.x[jj])
+        r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+        r = jnp.where(valid, r, self.tabs["lo"][1] + 1e-3)
+        u, fr = _uf_lookup(self.tabs, self.tabstyle, t, r)
+        fbond = jnp.where(valid, fr / r, 0.0)
+        fi = dx * fbond[:, None]
+        f = jnp.zeros_like(state.x)
+        f = f.at[i].add(fi, mode="drop")
+        f = f.at[j].add(-fi, mode="drop")
+        energy = jnp.sum(jnp.where(valid, u, 0.0)) if eflag else None
+        virial = None
+        if vflag:
+            m = jnp.einsum("na,nb->ab", dx, fi)
+            virial = jnp.array([m[0, 0], m[1, 1], m[2, 2],
+                                m[0, 1], m[0, 2], m[1, 2]])
+        return f, energy, virial
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["tabs"],
+         meta_fields=["tabstyle"])
+@dataclasses.dataclass(frozen=True)
+class AngleTableStyle:
+    """angle_style table linear|spline N (ref: src/MOLECULE/
+    angle_table.cpp: mdu = -dE/dtheta lookup, a = mdu/sin(theta))."""
+
+    tabs: dict
+    tabstyle: str
+
+    def compute(self, state, top, eflag, vflag):
+        def fpair(d1, d2, t):
+            rsq1 = jnp.sum(d1 * d1)
+            rsq2 = jnp.sum(d2 * d2)
+            r1r2 = jnp.sqrt(rsq1 * rsq2)
+            c = jnp.clip(d1 @ d2 / r1r2, -1.0, 1.0)
+            sinv = 1.0 / jnp.maximum(jnp.sqrt(1.0 - c * c), 0.001)
+            theta = _acos_safe(c)
+            u, mdu = _uf_lookup(self.tabs, self.tabstyle, t, theta)
+            a = mdu * sinv
+            a11 = a * c / rsq1
+            a12 = -a / r1r2
+            a22 = a * c / rsq2
+            f1 = a11 * d1 + a12 * d2
+            f3 = a22 * d2 + a12 * d1
+            return f1, f3, u
+
+        return _angle_explicit(fpair, state, top, eflag, vflag)
+
+
+def _stack_tables(per_type: dict, ntypes: int, dtype):
+    keys = ("lo", "delta", "invdelta", "deltasq6", "r", "e", "f", "de",
+            "df", "e2", "f2")
+    some = next(iter(per_type.values()))
+    out = {}
+    for k in keys:
+        val = np.asarray(some[k])
+        shape = (ntypes + 1,) + val.shape
+        arr = np.zeros(shape)
+        if val.ndim == 0:
+            arr[:] = 1.0 if k in ("invdelta", "delta", "deltasq6") else 0.0
+        for t, tb in per_type.items():
+            arr[t] = tb[k]
+        out[k] = jnp.asarray(arr, dtype=dtype)
+    return out
+
+
+def make_bond_table(ntypes, rows, tabstyle, tablength, dtype=jnp.float64):
+    """rows[type] = (file, keyword)."""
+    from .pair_extra import read_pair_table
+
+    per = {}
+    for t, (fpath, key) in rows.items():
+        rfile, efile, ffile, params = read_pair_table(fpath, key)
+        per[t] = _bonded_table_arrays(rfile, efile, ffile, params,
+                                      tablength, tabstyle)
+    return BondTableStyle(tabs=_stack_tables(per, ntypes, dtype),
+                          tabstyle=tabstyle)
+
+
+def make_angle_table(ntypes, rows, tabstyle, tablength, dtype=jnp.float64):
+    from .pair_extra import read_pair_table
+
+    per = {}
+    for t, (fpath, key) in rows.items():
+        afile, efile, ffile, params = read_pair_table(fpath, key)
+        afile = np.deg2rad(afile)
+        ffile = ffile * (180.0 / np.pi)  # energy/deg -> energy/rad
+        params = dict(params)
+        if params.get("fpflag"):
+            params["fplo"] *= (180.0 / np.pi) ** 2
+            params["fphi"] *= (180.0 / np.pi) ** 2
+        per[t] = _bonded_table_arrays(afile, efile, ffile, params,
+                                      tablength, tabstyle,
+                                      lo=0.0, hi=np.pi)
+    return AngleTableStyle(tabs=_stack_tables(per, ntypes, dtype),
+                           tabstyle=tabstyle)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["styles", "masks"],
+         meta_fields=["kind"])
+@dataclasses.dataclass(frozen=True)
+class HybridBonded:
+    """bond/angle/dihedral/improper hybrid: route each interaction type to
+    its sub-style (ref: src/bond_hybrid.cpp et al. — per-style bondlists;
+    here each sub-style sees the topology with foreign types zeroed)."""
+
+    styles: tuple   # sub-style objects
+    masks: tuple    # per-style [ntypes+1] bool arrays (type -> belongs)
+    kind: str       # "bonds" | "angles" | "dihedrals" | "impropers"
+
+    def compute(self, state, top, eflag, vflag):
+        from . import bonded as bonded_mod
+
+        arr = getattr(top, self.kind)
+        f_tot = jnp.zeros_like(state.x)
+        e_tot = jnp.zeros((), state.dtype) if eflag else None
+        v_tot = jnp.zeros(6, dtype=state.dtype) if vflag else None
+        for style, mask in zip(self.styles, self.masks):
+            t = arr[:, 0]
+            keep = mask[jnp.clip(t, 0, mask.shape[0] - 1)]
+            arr2 = arr.at[:, 0].set(jnp.where(keep, t, 0))
+            top2 = dataclasses.replace(top, **{self.kind: arr2})
+            if self.kind == "bonds":
+                out = bonded_mod.compute_bonds(style, state, top2, eflag,
+                                               vflag)
+            elif self.kind == "angles":
+                out = bonded_mod.compute_angles(style, state, top2, eflag,
+                                                vflag)
+            else:
+                out = bonded_mod.compute_dihedrals(
+                    style, state, top2, eflag, vflag, which=self.kind)[:3]
+            if out is None:
+                continue
+            fs, es, vs = out[0], out[1], out[2]
+            f_tot = f_tot + fs
+            if eflag and es is not None:
+                e_tot = e_tot + es
+            if vflag and vs is not None:
+                v_tot = v_tot + vs
+        return f_tot, e_tot, v_tot

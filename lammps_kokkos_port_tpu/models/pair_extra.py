@@ -854,10 +854,12 @@ def read_pair_table(path: str, keyword: str):
             params["rflag"] = toks[k]
             params["rlo"] = float(toks[k + 1])
             params["rhi"] = float(toks[k + 2]); k += 3
-        elif toks[k] == "FPRIME":
+        elif toks[k] in ("FPRIME", "FP"):
             params["fpflag"] = True
             params["fplo"] = float(toks[k + 1])
             params["fphi"] = float(toks[k + 2]); k += 3
+        elif toks[k] == "EQ":
+            params["r0"] = float(toks[k + 1]); k += 2
         else:
             k += 1
     i += 1

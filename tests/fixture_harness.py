@@ -511,6 +511,39 @@ def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64):
         return {"bond": bx.BondZero, "angle": bx.AngleZero,
                 "dihedral": bx.DihedralZero,
                 "improper": bx.ImproperZero}[kind]()
+    if style_name == "hybrid":
+        # rows: type sub-style coeffs... (ref: bond_hybrid.cpp coeff())
+        sub_names = fix[f"{kind}_style"].split()[1:]
+        per = {sn: {} for sn in sub_names}
+        ntypes_arr = np.zeros((len(sub_names), ntypes + 1), dtype=bool)
+        for r in rows:
+            t = int(r[0])
+            sn = r[1]
+            per[sn][t] = tuple(float(x) for x in r[2:])
+            ntypes_arr[sub_names.index(sn), t] = True
+        styles = []
+        for sn in sub_names:
+            sub_fix = {f"{kind}_style": sn,
+                       f"{kind}_coeff": "\n".join(
+                           f"{t} " + " ".join(str(v) for v in c)
+                           for t, c in per[sn].items())}
+            styles.append(build_bonded_style(kind, sub_fix, ntypes,
+                                             dtype=dtype))
+        kindmap = {"bond": "bonds", "angle": "angles",
+                   "dihedral": "dihedrals", "improper": "impropers"}
+        return bx.HybridBonded(
+            styles=tuple(styles),
+            masks=tuple(jnp.asarray(m) for m in ntypes_arr),
+            kind=kindmap[kind])
+    if style_name == "table" and kind in ("bond", "angle"):
+        words = fix[f"{kind}_style"].split()
+        tabstyle, tl = words[1], int(words[2])
+        rows_t = {int(r[0]): (_potfile(r[1].replace("${input_dir}/", "")),
+                              r[2]) for r in rows}
+        maker = (bx.make_bond_table if kind == "bond"
+                 else bx.make_angle_table)
+        return maker(ntypes, rows_t, tabstyle=tabstyle, tablength=tl,
+                     dtype=dtype)
     if (kind, style_name) == ("angle", "class2"):
         return _parse_class2_angle(rows, ntypes, dtype, p6=False)
     if (kind, style_name) == ("angle", "class2/p6"):

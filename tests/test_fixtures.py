@@ -147,6 +147,14 @@ BONDED_FIXTURES = [
     ("improper", "improper-fourier.yaml"),
     ("improper", "improper-inversion_harmonic.yaml"),
     ("improper", "improper-zero.yaml"),
+    ("bond", "bond-table_linear.yaml"),
+    ("bond", "bond-table_spline.yaml"),
+    ("angle", "angle-table_linear.yaml"),
+    ("angle", "angle-table_spline.yaml"),
+    ("bond", "bond-hybrid.yaml"),
+    ("angle", "angle-hybrid.yaml"),
+    ("dihedral", "dihedral-hybrid.yaml"),
+    ("improper", "improper-hybrid.yaml"),
 ]
 
 
