@@ -341,26 +341,12 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
             key = jnp.sort(key, axis=-1)[:, : p.K]
             idx_c = jnp.minimum(key // nsh, cap)
             shift_c = jnp.where(idx_c < cap, key % nsh, 0)
-        elif p.all_pairs:
+        else:
+            # (a cumsum+scatter compaction was tried here: TPU scatters
+            # are 2.4x SLOWER than the sort network at this width)
             key = jnp.where(valid, cand, cap)
             key = jnp.sort(key, axis=-1)
             idx_c = key[:, : p.K]
-            shift_c = jnp.zeros((chunk, 1), dtype=jnp.int32)  # placeholder
-        else:
-            # cell mode: fixed-width compaction by cumsum + scatter —
-            # a full sort of the [chunk, 27*cell_cap] candidate rows is
-            # O(C log^2 C) compare-exchange passes on TPU and dominated
-            # the molecular rebuild (rhodo-32k: 1.7 s); slot assignment
-            # is one cumsum + one scatter. Neighbor ORDER becomes cell-
-            # stencil order instead of ascending id — full lists make
-            # the force sum order-independent up to fp addition order.
-            slot = jnp.cumsum(valid, axis=-1, dtype=jnp.int32) - 1
-            slot = jnp.where(valid & (slot < p.K), slot, p.K)
-            rows = jnp.broadcast_to(
-                jnp.arange(chunk, dtype=jnp.int32)[:, None], slot.shape)
-            idx_c = jnp.full((chunk, p.K + 1), cap, dtype=jnp.int32)
-            idx_c = idx_c.at[rows, slot].set(
-                jnp.where(valid, cand, cap), mode="drop")[:, : p.K]
             shift_c = jnp.zeros((chunk, 1), dtype=jnp.int32)  # placeholder
         if need_sb:
             sb_c = _pair_classes(idx_c, ai, special)
