@@ -160,7 +160,7 @@ def main():
             deck = deck.replace("read_data       data.rhodo-water",
                                 f"read_data       {data}")
             deck = deck.replace("run             100", "run 0")
-            s = LammpsScript(dtype=jnp.float32)
+            s = LammpsScript(dtype=jnp.float32, list_mode="molcell")
             for ln in deck.strip().splitlines():
                 s.one(ln)
         sim = s.sim
@@ -186,7 +186,7 @@ def main():
         t1, t2 = timed(1), timed(3)
         per = (t2 - t1) / 40
         r = n / per
-        log(f"rhodo-32k [charmm+pppm+shake+npt]: {r/1e6:.3f} M "
+        log(f"rhodo-32k [molcell charmm+pppm+shake+npt]: {r/1e6:.3f} M "
             f"atom-steps/s ({per*1e3:.2f} ms/step), vs CPU baseline "
             f"{r/0.341e6:.1f}x")
         extra["rhodo_32k_atom_steps_per_sec"] = round(r)

@@ -206,8 +206,11 @@ def make_step(
         getattr(fx, "needs_virial", False) for fx in fixes)
 
     def list_ops(nl):
-        from ..ops import cellforce, gridforce, sortedforce, zcolforce
+        from ..ops import cellforce, gridforce, molcell, sortedforce, \
+            zcolforce
 
+        if isinstance(nl, molcell.MolCells):
+            return molcell
         if isinstance(nl, zcolforce.ZColCells):
             return zcolforce
         if isinstance(nl, sortedforce.SortedCells):

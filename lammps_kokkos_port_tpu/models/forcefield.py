@@ -22,6 +22,10 @@ from . import bonded as bonded_mod
 
 Array = jax.Array
 
+# sentinel list for category passes that do not touch the pair (bonded +
+# kspace read only the state)
+_EMPTY_NL = None
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -60,7 +64,39 @@ class ForceField:
         """Evaluate only the listed force categories — the rRESPA level
         slicing hook (ref: src/respa.cpp level_bond/level_pair assignment;
         each level's force pass runs a subset of the styles)."""
-        from ..ops import cellforce, gridforce, sortedforce, zcolforce
+        from ..ops import cellforce, gridforce, molcell, sortedforce, \
+            zcolforce
+
+        if isinstance(nl, molcell.MolCells):
+            # dense molecular cell path: pair (with charges + special
+            # masking) via ops/molcell; bonded + kspace as usual
+            z = jnp.zeros((), dtype=state.dtype)
+            f = jnp.zeros_like(state.x)
+            epair = z if eflag else None
+            emol = z if eflag else None
+            virial = jnp.zeros(6, dtype=state.dtype) if vflag else None
+
+            def acc(tot, val):
+                return tot + val if val is not None and tot is not None \
+                    else tot
+
+            if "pair" in cats and self.pair is not None:
+                pf, pv_, pc_, pvir = molcell.compute(
+                    self.pair, state, nl, eflag, vflag,
+                    special=self.special)
+                f = f + pf
+                epair = acc(acc(epair, pv_), pc_)
+                virial = acc(virial, pvir)
+            mol_cats = tuple(c for c in cats
+                             if c not in ("pair",))
+            if mol_cats:
+                mf, me, mm, mv = self.compute_categories(
+                    state, _EMPTY_NL, mol_cats, eflag, vflag)
+                f = f + mf
+                epair = acc(epair, me)
+                emol = acc(emol, mm)
+                virial = acc(virial, mv)
+            return f, epair, emol, virial
 
         if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells,
                            sortedforce.SortedCells, zcolforce.ZColCells)):

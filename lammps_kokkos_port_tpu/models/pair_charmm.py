@@ -194,6 +194,90 @@ class PairLJCharmmCoulLong:
             concat_outs=1)
         return f, evdwl, ecoul, virial
 
+    # -- packed protocol for the dense molecular cell engine ---------------
+    # (ops/molcell: one [cap, 8] per-atom payload gathered once per step)
+
+    def make_packed(self, state):
+        """[cap, 8]: x, y, z, q, sqrt(eps_type), sigma_type, 0, 0 — valid
+        only when mix_kind is set (every coeff is the diagonal mix)."""
+        epsd = jnp.sqrt(jnp.diagonal(self.eps))[state.type]
+        sigd = jnp.diagonal(self.sigma)[state.type]
+        q = state.q if state.q is not None else jnp.zeros_like(sigd)
+        z = jnp.zeros_like(sigd)
+        return jnp.stack([state.x[:, 0], state.x[:, 1], state.x[:, 2],
+                          q, epsd, sigd, z, z], axis=1)
+
+    def packed_pair_terms(self, r2s, pki, pkj, flj, fcoul, qqrd2e, eflag):
+        """(fpair=F/r, evdwl, ecoul) from packed payloads, cutoffs applied.
+        pki [.., 1, 8] broadcastable against pkj [.., C, 8]."""
+        dt = r2s.dtype
+        if pki.ndim == pkj.ndim:  # [B, cc, L] own vs [B, Scc, L] cand
+            pki = pki[:, :, None, :]
+            pkj = pkj[:, None, :, :]
+        seps = pki[..., 4] * pkj[..., 4]
+        if self.mix_kind == "geometric":
+            sij = jnp.sqrt(pki[..., 5] * pkj[..., 5])
+        else:
+            sij = 0.5 * (pki[..., 5] + pkj[..., 5])
+        s2 = sij * sij
+        s6 = s2 * s2 * s2
+        lj2 = 24.0 * seps * s6
+        lj1 = 2.0 * lj2 * s6
+        lj4 = lj2 / 6.0
+        lj3 = lj1 / 12.0
+
+        cut_ljsq = self.cut_lj * self.cut_lj
+        cut_coulsq = self.cut_coul * self.cut_coul
+        r2inv = 1.0 / r2s
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = r6inv * (lj1 * r6inv - lj2)
+        philj = r6inv * (lj3 * r6inv - lj4)
+        if self.lj_switch:
+            inner_sq = self.cut_lj_inner * self.cut_lj_inner
+            denom_lj = (cut_ljsq - inner_sq) ** 3
+            sw1 = ((cut_ljsq - r2s) ** 2
+                   * (cut_ljsq + 2.0 * r2s - 3.0 * inner_sq) / denom_lj)
+            sw2 = (12.0 * r2s * (cut_ljsq - r2s) * (r2s - inner_sq)
+                   / denom_lj)
+            in_sw = r2s > inner_sq
+            forcelj = jnp.where(in_sw, forcelj * sw1 + philj * sw2,
+                                forcelj)
+            philj = jnp.where(in_sw, philj * sw1, philj)
+        lj_on = r2s < cut_ljsq
+        if flj is not None:
+            forcelj = forcelj * flj
+            philj = philj * flj
+        forcelj = jnp.where(lj_on, forcelj, 0.0)
+
+        if self.coul_mode != "none":
+            qiqj = pki[..., 3] * pkj[..., 3]
+            if self.coul_mode == "long":
+                forcecoul, ec = coul_long_terms(
+                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, True)
+            elif self.coul_mode == "charmm":
+                pref = qqrd2e * qiqj * jnp.sqrt(r2inv)
+                in_sq = self.cut_coul_inner * self.cut_coul_inner
+                denom_coul = (cut_coulsq - in_sq) ** 3
+                sw1c = ((cut_coulsq - r2s) ** 2
+                        * (cut_coulsq + 2.0 * r2s - 3.0 * in_sq)
+                        / denom_coul)
+                pref = jnp.where(r2s > in_sq, pref * sw1c, pref)
+                fc = fcoul if fcoul is not None else 1.0
+                forcecoul = pref * fc
+                ec = forcecoul
+            else:
+                forcecoul, ec = coul_cut_terms(r2s, qiqj, qqrd2e, fcoul,
+                                               True)
+            coul_on = r2s < cut_coulsq
+            forcecoul = jnp.where(coul_on, forcecoul, 0.0)
+            ec = jnp.where(coul_on, ec, 0.0)
+        else:
+            forcecoul = jnp.zeros_like(r2s)
+            ec = jnp.zeros_like(r2s)
+        philj = jnp.where(lj_on, philj, 0.0)
+        fpair = (forcecoul + forcelj) * r2inv
+        return fpair, philj, ec
+
     def _block_packed(self, state, pk_rows, owned_rows, j_rows, sb_rows,
                       packed, qqrd2e, eflag, vflag, special_lj,
                       special_coul):

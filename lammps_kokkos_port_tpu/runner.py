@@ -222,6 +222,15 @@ class Simulation:
             return
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
+            if self.list_mode == "molcell":
+                from .ops import molcell
+
+                mp = molcell.size_for_system(
+                    self.state, params.cutneigh, params.skin,
+                    params.every, params.delay, params.check)
+                if mp is None:
+                    raise ValueError("system too small for molcell bins")
+                self._molcell_params = mp
             if self.list_mode == "zcol":
                 from .ops import zcolforce
 
@@ -297,6 +306,13 @@ class Simulation:
             from .ops import cellforce
 
             return cellforce.build_cell(state, params)
+        if self.list_mode == "molcell":
+            from .ops import molcell
+
+            if not isinstance(params, molcell.MolCellParams):
+                params = self._molcell_params
+            return molcell.build_cell(state, params,
+                                      special=self.forcefield.special)
         return nbr.build(state, params, special=self.forcefield.special)
 
     def _optimize_sorted_grid(self, params, cutneigh):
