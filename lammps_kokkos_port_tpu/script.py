@@ -1531,10 +1531,22 @@ class LammpsScript:
         cid, group, style = a[0], a[1], a[2]
         known = ("temp", "pressure", "pe", "ke", "msd", "com", "rdf",
                  "ke/atom", "pe/atom", "stress/atom", "chunk/atom",
-                 "com/chunk", "erotate/sphere")
+                 "com/chunk", "erotate/sphere", "gyration",
+                 "displace/atom", "vacf", "temp/com", "coord/atom",
+                 "property/atom", "reduce", "dipole", "angmom")
         if style not in known:
             raise ScriptError(f"compute style {style} unsupported")
         self.computes[cid] = (group, style, a[3:])
+        # reference-origin computes snapshot their baseline at DEFINITION
+        # (ref: compute_msd.cpp/compute_displace_atom.cpp store x0 in ctor)
+        if style in ("msd", "displace/atom", "vacf") and self.sim is not None:
+            from .compute import observables as obs
+
+            st = self.sim.state
+            if style == "vacf":
+                self._msd_x0[cid + "/v0"] = st.v
+            else:
+                self._msd_x0[cid] = obs.unwrapped(st)
 
     def cmd_uncompute(self, a):
         self.computes.pop(a[0], None)
@@ -1579,6 +1591,158 @@ class LammpsScript:
         if style == "msd":
             x0 = self._msd_x0.setdefault(cid, obs.unwrapped(st))
             return np.asarray(obs.msd(st, x0, groupbit=gbit))
+        if style == "gyration":
+            # Rg = sqrt(sum m |x-com|^2 / M), unwrapped coordinates
+            # (ref: src/compute_gyration.cpp)
+            import jax.numpy as _jnp
+
+            g = st.valid_mask & st.group_mask(gbit)
+            xu = obs.unwrapped(st)
+            m = _jnp.where(g, st.per_atom_mass, 0.0)
+            M = _jnp.sum(m)
+            c = _jnp.sum(m[:, None] * xu, axis=0) / M
+            rg2 = _jnp.sum(m * _jnp.sum((xu - c) ** 2, axis=-1)) / M
+            return float(_jnp.sqrt(rg2))
+        if style == "displace/atom":
+            # per-atom displacement since the compute was defined
+            # (ref: src/compute_displace_atom.cpp)
+            x0 = self._msd_x0.setdefault(cid, obs.unwrapped(st))
+            d = np.asarray(obs.unwrapped(st) - x0)
+            return np.concatenate(
+                [d, np.linalg.norm(d, axis=-1, keepdims=True)], axis=-1)
+        if style == "vacf":
+            # <v(0).v(t)> components + total (ref: src/compute_vacf.cpp)
+            import jax.numpy as _jnp
+
+            v0 = self._msd_x0.setdefault(cid + "/v0", st.v)
+            g = st.valid_mask & st.group_mask(gbit)
+            n = _jnp.maximum(_jnp.sum(g), 1)
+            comp = _jnp.sum(_jnp.where(g[:, None], st.v * v0, 0.0),
+                            axis=0) / n
+            return np.concatenate([np.asarray(comp),
+                                   [float(comp.sum())]])
+        if style == "temp/com":
+            # temperature with the group COM velocity removed
+            # (ref: src/compute_temp_com.cpp)
+            import jax.numpy as _jnp
+
+            g = st.valid_mask & st.group_mask(gbit)
+            m = _jnp.where(g, st.per_atom_mass, 0.0)
+            M = _jnp.maximum(_jnp.sum(m), 1e-300)
+            vcom = _jnp.sum(m[:, None] * st.v, axis=0) / M
+            dv = st.v - vcom
+            ke2 = _jnp.sum(_jnp.where(g, st.per_atom_mass
+                                      * _jnp.sum(dv * dv, axis=-1), 0.0))
+            dof = 3.0 * float(_jnp.sum(g)) - 3.0
+            return float(ke2 * u.mvv2e / (dof * u.boltz))
+        if style == "coord/atom":
+            # neighbor count within cutoff (ref:
+            # src/compute_coord_atom.cpp cutoff style)
+            import jax.numpy as _jnp
+
+            from .ops import neighbor as _nbr
+
+            rc = float(args[1]) if len(args) > 1 else float(args[0])
+            p = _nbr.size_for_system(st, cutneigh=rc, skin=0.0)
+            nl2 = _nbr.build(st, p)
+            while bool(nl2.overflow):
+                p = _nbr.grow(p)
+                nl2 = _nbr.build(st, p)
+            jc = _jnp.clip(nl2.idx, 0, st.capacity - 1)
+            dx = st.box.min_image(st.x[:, None, :] - st.x[jc])
+            r2 = _jnp.sum(dx * dx, axis=-1)
+            ok = (nl2.idx < st.capacity) & (r2 < rc * rc)
+            return np.asarray(_jnp.sum(ok, axis=-1))[
+                np.asarray(st.valid_mask)]
+        if style == "property/atom":
+            # per-atom fields by name (ref: src/compute_property_atom.cpp)
+            valid = np.asarray(st.valid_mask)
+            cols = []
+            fieldmap = {
+                "id": lambda: np.asarray(st.tag),
+                "type": lambda: np.asarray(st.type),
+                "mass": lambda: np.asarray(st.per_atom_mass),
+                "q": lambda: np.asarray(st.q) if st.q is not None
+                else np.zeros(st.capacity),
+                "x": lambda: np.asarray(st.x[:, 0]),
+                "y": lambda: np.asarray(st.x[:, 1]),
+                "z": lambda: np.asarray(st.x[:, 2]),
+                "vx": lambda: np.asarray(st.v[:, 0]),
+                "vy": lambda: np.asarray(st.v[:, 1]),
+                "vz": lambda: np.asarray(st.v[:, 2]),
+                "fx": lambda: np.asarray(st.f[:, 0]),
+                "fy": lambda: np.asarray(st.f[:, 1]),
+                "fz": lambda: np.asarray(st.f[:, 2]),
+                "mol": lambda: np.asarray(st.molecule)
+                if st.molecule is not None else np.zeros(st.capacity),
+            }
+            for w in args:
+                if w not in fieldmap:
+                    raise ScriptError(f"property/atom field {w}")
+                cols.append(fieldmap[w]()[valid])
+            out = np.stack(cols, axis=-1)
+            return out[:, 0] if out.shape[1] == 1 else out
+        if style == "reduce":
+            # reduce sum|min|max|ave over per-atom inputs: x/y/z, vx..,
+            # fx.., or c_ID[/col] (ref: src/compute_reduce.cpp)
+            mode = args[0]
+            vals = []
+            valid = np.asarray(st.valid_mask
+                               & np.asarray(st.group_mask(gbit)))
+            for w in args[1:]:
+                if w.startswith("c_"):
+                    ref = w[2:]
+                    col = None
+                    if "[" in ref:
+                        ref, rest = ref.split("[")
+                        col = int(rest.rstrip("]")) - 1
+                    arr = np.asarray(self.get_compute(ref))
+                    if arr.ndim == 2 and col is not None:
+                        arr = arr[:, col]
+                    if arr.shape[0] == int(valid.sum()):
+                        vals.append(arr)
+                    else:
+                        vals.append(arr[valid])
+                else:
+                    comp = {"x": ("x", 0), "y": ("x", 1), "z": ("x", 2),
+                            "vx": ("v", 0), "vy": ("v", 1), "vz": ("v", 2),
+                            "fx": ("f", 0), "fy": ("f", 1),
+                            "fz": ("f", 2)}[w]
+                    vals.append(np.asarray(
+                        getattr(st, comp[0]))[valid][:, comp[1]])
+            red = {"sum": np.sum, "min": np.min, "max": np.max,
+                   "ave": np.mean}[mode]
+            out = [float(red(v)) for v in vals]
+            return out[0] if len(out) == 1 else np.asarray(out)
+        if style == "dipole":
+            # group dipole moment magnitude + vector about the group
+            # charge-weighted... reference uses COM (compute_dipole.cpp)
+            import jax.numpy as _jnp
+
+            g = st.valid_mask & st.group_mask(gbit)
+            q = st.q if st.q is not None else _jnp.zeros(st.capacity)
+            xu = obs.unwrapped(st)
+            m = _jnp.where(g, st.per_atom_mass, 0.0)
+            c = _jnp.sum(m[:, None] * xu, axis=0) / _jnp.maximum(
+                _jnp.sum(m), 1e-300)
+            mu = _jnp.sum(_jnp.where(g[:, None], q[:, None] * (xu - c),
+                                     0.0), axis=0)
+            return np.concatenate([np.asarray(mu),
+                                   [float(_jnp.linalg.norm(mu))]])
+        if style == "angmom":
+            # group angular momentum about its COM
+            # (ref: src/compute_angmom_chunk.cpp group analog)
+            import jax.numpy as _jnp
+
+            g = st.valid_mask & st.group_mask(gbit)
+            xu = obs.unwrapped(st)
+            m = _jnp.where(g, st.per_atom_mass, 0.0)
+            c = _jnp.sum(m[:, None] * xu, axis=0) / _jnp.maximum(
+                _jnp.sum(m), 1e-300)
+            L = _jnp.sum(_jnp.where(
+                g[:, None], m[:, None] * _jnp.cross(xu - c, st.v), 0.0),
+                axis=0)
+            return np.asarray(L)
         if style == "com":
             return np.asarray(obs.com(st, groupbit=gbit))
         if style == "rdf":
@@ -1891,7 +2055,8 @@ class LammpsScript:
                 kspace = PPPM.create(self.box, g_ewald,
                                      accuracy_rel=accuracy,
                                      dtype=jnp.float64,
-                                     dynamic=dynamic_box)
+                                     dynamic=dynamic_box,
+                                     natoms=len(self.positions))
                 kspace_tip4p = kname == "pppm/tip4p"
             elif kname == "ewald":
                 from .models.ewald import Ewald
