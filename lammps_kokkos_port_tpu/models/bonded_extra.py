@@ -1355,3 +1355,441 @@ class HybridBonded:
             if vflag and vs is not None:
                 v_tot = v_tot + vs
         return f_tot, e_tot, v_tot
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave: quartic / restrain / cross / class2 torsions / spherical /
+# Lepton expression styles. Same autodiff-energy design: each class states
+# the reference's energy expression only; forces and virial come from the
+# generic engines in bonded.py.
+# ---------------------------------------------------------------------------
+
+
+@_style(["k", "b1", "b2", "rc", "u0"])
+class BondQuartic:
+    """E = K dr^2 (dr-B1)(dr-B2) + U0 (+ shifted WCA at eps=sigma=1 inside
+    2^(1/6)); dr = r - Rc. Bonds stretched past Rc are broken and
+    contribute nothing (ref: src/MOLECULE/bond_quartic.cpp:86-116; the
+    pair->single subtraction there vanishes under the fixture's pair
+    zero)."""
+
+    k: Array
+    b1: Array
+    b2: Array
+    rc: Array
+    u0: Array
+
+    def energy_one(self, dx, t):
+        rsq = jnp.sum(dx * dx)
+        r = jnp.sqrt(jnp.maximum(rsq, 1e-30))
+        dr = r - self.rc[t]
+        e = (self.k[t] * dr * dr * (dr - self.b1[t]) * (dr - self.b2[t])
+             + self.u0[t])
+        sr2 = 1.0 / jnp.maximum(rsq, 1e-12)
+        sr6 = sr2 * sr2 * sr2
+        e_wca = 4.0 * sr6 * (sr6 - 1.0) + 1.0
+        e = e + jnp.where(rsq < 2.0 ** (1.0 / 3.0), e_wca, 0.0)
+        return jnp.where(r <= self.rc[t], e, 0.0)
+
+
+@_style(["k", "r0"])
+class BondHarmonicRestrain:
+    """E = K (r - r0)^2 with r0 the PER-BOND length at setup time
+    (ref: src/EXTRA-MOLECULE/bond_harmonic_restrain.cpp:68-97 reads x0
+    from a stored snapshot of the setup coordinates)."""
+
+    k: Array   # [ntypes+1]
+    r0: Array  # [nbonds] per-row initial bond length
+
+    def compute(self, state, top, eflag, vflag):
+        arr = top.bonds
+        t = arr[:, 0]
+        i, j = arr[:, 1], arr[:, 2]
+        cap = state.capacity
+        valid = t > 0
+        dx = state.box.min_image(state.x[jnp.clip(i, 0, cap - 1)]
+                                 - state.x[jnp.clip(j, 0, cap - 1)])
+        r = jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-30))
+        dr = r - self.r0
+        rk = self.k[t] * dr
+        fbond = jnp.where(valid, -2.0 * rk / r, 0.0)
+        fi = dx * fbond[:, None]
+        f = jnp.zeros_like(state.x)
+        f = f.at[i].add(fi, mode="drop")
+        f = f.at[j].add(-fi, mode="drop")
+        energy = jnp.sum(jnp.where(valid, rk * dr, 0.0)) if eflag else None
+        virial = None
+        if vflag:
+            m = jnp.einsum("na,nb->ab", dx, fi)
+            virial = jnp.array([m[0, 0], m[1, 1], m[2, 2],
+                                m[0, 1], m[0, 2], m[1, 2]])
+        return f, energy, virial
+
+
+@_style(["kss", "kbs0", "kbs1", "r00", "r01", "theta0"])
+class AngleCross:
+    """YAFF cross term: E = Kss dr1 dr2 + Kbs0 dr1 dtheta + Kbs1 dr2
+    dtheta (ref: src/YAFF/angle_cross.cpp:115-170)."""
+
+    kss: Array
+    kbs0: Array
+    kbs1: Array
+    r00: Array
+    r01: Array
+    theta0: Array  # radians
+
+    def energy_one(self, d1, d2, t):
+        r1 = _r(d1)
+        r2 = _r(d2)
+        dr1 = r1 - self.r00[t]
+        dr2 = r2 - self.r01[t]
+        dt = _acos_safe(_costheta(d1, d2)) - self.theta0[t]
+        return (self.kss[t] * dr1 * dr2
+                + self.kbs0[t] * dr1 * dt + self.kbs1[t] * dr2 * dt)
+
+
+def _phi_class2(vb1, vb2, vb3):
+    """CLASS2 dihedral angle: phi = acos((c0 + c12 c23)/(s12 s23)),
+    negated when (vb1 x vb2) . vb3 > 0
+    (ref: src/CLASS2/dihedral_class2.cpp:177-231)."""
+    r1 = _r(vb1)
+    r2 = _r(vb2)
+    r3 = _r(vb3)
+    c0 = jnp.dot(vb1, vb3) / (r1 * r3)
+    c12 = jnp.clip(jnp.dot(vb1, vb2) / (r1 * r2), -1.0, 1.0)
+    c23 = jnp.clip(-jnp.dot(vb2, vb3) / (r2 * r3), -1.0, 1.0)
+    sc1 = jnp.sqrt(jnp.maximum(1.0 - c12 * c12, 1e-16))
+    sc2 = jnp.sqrt(jnp.maximum(1.0 - c23 * c23, 1e-16))
+    c = (c0 + c12 * c23) / (sc1 * sc2)
+    phi = _acos_safe(c)
+    flip = jnp.dot(jnp.cross(vb1, vb2), vb3) > 0.0
+    return jnp.where(flip, -phi, phi), c12, c23, r1, r2, r3
+
+
+@_style(["main", "mbt", "ebt", "at", "aat", "bb13"])
+class DihedralClass2:
+    """CLASS2 torsion with all five cross couplings
+    (ref: src/CLASS2/dihedral_class2.cpp:269-505):
+      E = sum_i K_i (1 - cos(i phi - phi_i))
+        + (r2-r2_0) sum_i A_i cos(i phi)              [mbt]
+        + (r1-r1_0) sum_i B_i cos(i phi)
+          + (r3-r3_0) sum_i C_i cos(i phi)            [ebt]
+        + (th1-th1_0) sum_i D_i cos(i phi)
+          + (th2-th2_0) sum_i E_i cos(i phi)          [at]
+        + M (th1-th1_0')(th2-th2_0') cos phi          [aat]
+        + N (r1-r1_0'')(r3-r3_0'')                    [bb13]"""
+
+    main: Array  # [nt+1, 6]: K1 phi1 K2 phi2 K3 phi3 (rad)
+    mbt: Array   # [nt+1, 4]: A1 A2 A3 r2_0
+    ebt: Array   # [nt+1, 8]: B1 B2 B3 C1 C2 C3 r1_0 r3_0
+    at: Array    # [nt+1, 8]: D1 D2 D3 E1 E2 E3 th1_0 th2_0 (rad)
+    aat: Array   # [nt+1, 3]: M th1_0 th2_0 (rad)
+    bb13: Array  # [nt+1, 3]: N r1_0 r3_0
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        phi, c12, c23, r1, r2, r3 = _phi_class2(vb1, vb2, vb3)
+        th1 = _acos_safe(c12)
+        th2 = _acos_safe(c23)
+        m = self.main[t]
+        e = (m[0] * (1.0 - jnp.cos(phi - m[1]))
+             + m[2] * (1.0 - jnp.cos(2.0 * phi - m[3]))
+             + m[4] * (1.0 - jnp.cos(3.0 * phi - m[5])))
+        cphi = jnp.cos(phi)
+        c2phi = jnp.cos(2.0 * phi)
+        c3phi = jnp.cos(3.0 * phi)
+        mb = self.mbt[t]
+        e = e + (r2 - mb[3]) * (mb[0] * cphi + mb[1] * c2phi
+                                + mb[2] * c3phi)
+        eb = self.ebt[t]
+        e = e + (r1 - eb[6]) * (eb[0] * cphi + eb[1] * c2phi
+                                + eb[2] * c3phi)
+        e = e + (r3 - eb[7]) * (eb[3] * cphi + eb[4] * c2phi
+                                + eb[5] * c3phi)
+        a = self.at[t]
+        e = e + (th1 - a[6]) * (a[0] * cphi + a[1] * c2phi + a[2] * c3phi)
+        e = e + (th2 - a[7]) * (a[3] * cphi + a[4] * c2phi + a[5] * c3phi)
+        aa = self.aat[t]
+        e = e + aa[0] * (th1 - aa[1]) * (th2 - aa[2]) * cphi
+        bb = self.bb13[t]
+        e = e + bb[0] * (r1 - bb[1]) * (r3 - bb[2])
+        return e
+
+
+@_style(["k0", "chi0", "aa_k1", "aa_k2", "aa_k3",
+         "aa_t1", "aa_t2", "aa_t3"])
+class ImproperClass2:
+    """CLASS2 Wilson out-of-plane improper: chi is the average of the
+    three asin'd out-of-plane projections, E = K (chi - chi0)^2, plus the
+    angle-angle coupling E_aa = M2 dthABC dthABD + M1 dthABC dthCBD +
+    M3 dthABD dthCBD (ref: src/CLASS2/improper_class2.cpp:139-210 and
+    angleangle() at :620-680)."""
+
+    k0: Array
+    chi0: Array  # radians
+    aa_k1: Array
+    aa_k2: Array
+    aa_k3: Array
+    aa_t1: Array  # theta0 ABC (rad)
+    aa_t2: Array  # theta0 ABD (rad)
+    aa_t3: Array  # theta0 CBD (rad)
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        # delr0 = x1-x2 (AB), delr1 = x3-x2 (CB), delr2 = x4-x2 (DB)
+        d0, d1, d2 = vb1, vb2, vb2 + vb3
+        r0 = _r(d0)
+        r1 = _r(d1)
+        r2 = _r(d2)
+        ctABC = jnp.clip(jnp.dot(d0, d1) / (r0 * r1), -1.0, 1.0)
+        ctCBD = jnp.clip(jnp.dot(d1, d2) / (r1 * r2), -1.0, 1.0)
+        ctABD = jnp.clip(jnp.dot(d0, d2) / (r0 * r2), -1.0, 1.0)
+        thABC = _acos_safe(ctABC)
+        thCBD = _acos_safe(ctCBD)
+        thABD = _acos_safe(ctABD)
+        inv3r = 1.0 / jnp.maximum(r0 * r1 * r2, 1e-30)
+        s_lim = 1.0 - 1e-12
+        sABCD = jnp.clip(jnp.dot(jnp.cross(d1, d2), d0) * inv3r
+                         / jnp.maximum(jnp.sin(thCBD), 1e-12),
+                         -s_lim, s_lim)
+        sCBDA = jnp.clip(jnp.dot(jnp.cross(d2, d0), d1) * inv3r
+                         / jnp.maximum(jnp.sin(thABD), 1e-12),
+                         -s_lim, s_lim)
+        sDBAC = jnp.clip(jnp.dot(jnp.cross(d0, d1), d2) * inv3r
+                         / jnp.maximum(jnp.sin(thABC), 1e-12),
+                         -s_lim, s_lim)
+        chi = (jnp.arcsin(sABCD) + jnp.arcsin(sCBDA)
+               + jnp.arcsin(sDBAC)) / 3.0
+        dchi = chi - self.chi0[t]
+        e = self.k0[t] * dchi * dchi
+        dABC = thABC - self.aa_t1[t]
+        dABD = thABD - self.aa_t2[t]
+        dCBD = thCBD - self.aa_t3[t]
+        return (e + self.aa_k2[t] * dABC * dABD
+                + self.aa_k1[t] * dABC * dCBD
+                + self.aa_k3[t] * dABD * dCBD)
+
+
+def _phi_02pi(vb1, vb2, vb3):
+    """Dihedral angle in [0, 2pi): phi = acos(-n123.n234), negated and
+    shifted by 2pi when n123.vb34 > 0, with n123 = vb23 x vb12 and
+    n234 = vb23 x vb34 (ref: dihedral_spherical.cpp Phi() /
+    dihedral_lepton.cpp get_phi(); here vb12 = -vb1, vb23 = vb2,
+    vb34 = vb3)."""
+    n123 = jnp.cross(vb2, -vb1)
+    n234 = jnp.cross(vb2, vb3)
+    denom = jnp.sqrt(jnp.maximum(
+        jnp.sum(n123 * n123) * jnp.sum(n234 * n234), 1e-30))
+    c = -jnp.dot(n123, n234) / denom
+    phi = _acos_safe(c)
+    flip = jnp.dot(n123, vb3) > 0.0
+    return jnp.where(flip, 2.0 * jnp.pi - phi, phi)
+
+
+@_style(["c", "pm", "ps", "po", "t1m", "t1s", "t1o", "t2m", "t2s", "t2o"])
+class DihedralSpherical:
+    """E = sum_j C_j (po_j - cos(pm_j (phi - ps_j)))
+                  (t1o_j - cos(t1m_j (th1 - t1s_j)))
+                  (t2o_j - cos(t2m_j (th2 - t2s_j)))
+    with phi in [0, 2pi), th1 = angle(1-2-3), th2 = angle(2-3-4)
+    (ref: src/EXTRA-MOLECULE/dihedral_spherical.cpp:545-584). Padded
+    terms have C_j = 0."""
+
+    c: Array    # [nt+1, m]
+    pm: Array
+    ps: Array   # rad
+    po: Array
+    t1m: Array
+    t1s: Array  # rad
+    t1o: Array
+    t2m: Array
+    t2s: Array  # rad
+    t2o: Array
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        r1 = _r(vb1)
+        r2 = _r(vb2)
+        r3 = _r(vb3)
+        th1 = _acos_safe(jnp.dot(vb1, vb2) / (r1 * r2))
+        th2 = _acos_safe(-jnp.dot(vb2, vb3) / (r2 * r3))
+        phi = _phi_02pi(vb1, vb2, vb3)
+        fp = self.po[t] - jnp.cos(self.pm[t] * (phi - self.ps[t]))
+        f1 = self.t1o[t] - jnp.cos(self.t1m[t] * (th1 - self.t1s[t]))
+        f2 = self.t2o[t] - jnp.cos(self.t2m[t] * (th2 - self.t2s[t]))
+        return jnp.sum(self.c[t] * fp * f1 * f2)
+
+
+# -- Lepton expression styles (ref: src/LEPTON/{bond,angle,dihedral}_lepton
+# .cpp): per-type algebraic strings compiled by utils/lepton.py; the
+# reference evaluates a symbolic derivative, autodiff gives the same
+# values. E is offset so that E(0) = 0 (auto_offset default). -------------
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["r0"],
+         meta_fields=["fns"])
+@dataclasses.dataclass(frozen=True)
+class BondLepton:
+    """bond_coeff t r0 "expr(r)" with r the deviation from r0
+    (ref: src/LEPTON/bond_lepton.cpp:112-140)."""
+
+    r0: Array
+    fns: tuple  # fns[t] = (callable, offset) or None
+
+    def energy_one(self, dx, t):
+        dr = _r(dx) - self.r0[t]
+        e = jnp.zeros((), dr.dtype)
+        for tt in range(1, len(self.fns)):
+            if self.fns[tt] is None:
+                continue
+            fn, off = self.fns[tt]
+            e = e + jnp.where(t == tt, fn(r=dr) - off, 0.0)
+        return e
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["theta0"],
+         meta_fields=["fns"])
+@dataclasses.dataclass(frozen=True)
+class AngleLepton:
+    """angle_coeff t theta0_deg "expr(theta)" with theta the deviation in
+    radians (ref: src/LEPTON/angle_lepton.cpp:143-183)."""
+
+    theta0: Array  # radians
+    fns: tuple
+
+    def energy_one(self, d1, d2, t):
+        dth = _acos_safe(_costheta(d1, d2)) - self.theta0[t]
+        e = jnp.zeros((), dth.dtype)
+        for tt in range(1, len(self.fns)):
+            if self.fns[tt] is None:
+                continue
+            fn, off = self.fns[tt]
+            e = e + jnp.where(t == tt, fn(theta=dth) - off, 0.0)
+        return e
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=[],
+         meta_fields=["fns"])
+@dataclasses.dataclass(frozen=True)
+class DihedralLepton:
+    """dihedral_coeff t "expr(phi)", phi in [0, 2pi)
+    (ref: src/LEPTON/dihedral_lepton.cpp:174-230)."""
+
+    fns: tuple
+
+    def energy_one(self, vb1, vb2, vb3, t):
+        phi = _phi_02pi(vb1, vb2, vb3)
+        e = jnp.zeros((), phi.dtype)
+        for tt in range(1, len(self.fns)):
+            if self.fns[tt] is None:
+                continue
+            fn, _off = self.fns[tt]
+            e = e + jnp.where(t == tt, fn(phi=phi), 0.0)
+        return e
+
+
+def make_bond_quartic(ntypes, coeffs, dtype=jnp.float64):
+    k, b1, b2, rc, u0 = table(ntypes, coeffs, 5, dtype)
+    return BondQuartic(k=k, b1=b1, b2=b2, rc=rc, u0=u0)
+
+
+def make_bond_harmonic_restrain(ntypes, coeffs, state, top,
+                                dtype=jnp.float64):
+    """r0 snapshot from the CURRENT coordinates (setup time)."""
+    (k,) = table(ntypes, coeffs, 1, dtype)
+    arr = top.bonds
+    cap = state.capacity
+    dx = state.box.min_image(
+        state.x[jnp.clip(arr[:, 1], 0, cap - 1)]
+        - state.x[jnp.clip(arr[:, 2], 0, cap - 1)])
+    r0 = jnp.sqrt(jnp.maximum(jnp.sum(dx * dx, axis=-1), 1e-30))
+    return BondHarmonicRestrain(k=k, r0=jnp.asarray(r0, dtype=dtype))
+
+
+def make_angle_cross(ntypes, coeffs, dtype=jnp.float64):
+    kss, kbs0, kbs1, r00, r01, th0 = table(ntypes, coeffs, 6, dtype)
+    return AngleCross(kss=kss, kbs0=kbs0, kbs1=kbs1, r00=r00, r01=r01,
+                      theta0=th0 * _D2R)
+
+
+def make_dihedral_class2(ntypes, main, mbt, ebt, at, aat, bb13,
+                         dtype=jnp.float64):
+    """Each dict maps type -> coeff tuple in the reference's coeff()
+    order (ref: dihedral_class2.cpp coeff(): main K1 phi1 K2 phi2 K3
+    phi3 [deg]; mbt A1 A2 A3 r2; ebt B1 B2 B3 C1 C2 C3 r1 r3;
+    at D1 D2 D3 E1 E2 E3 th1 th2 [deg]; aat M th1 th2 [deg];
+    bb13 N r1 r3)."""
+    def stack(d, ncols, deg_idx=()):
+        out = np.zeros((ntypes + 1, ncols))
+        for t, c in d.items():
+            out[t, :len(c)] = c
+        for i in deg_idx:
+            out[:, i] *= _D2R
+        return jnp.asarray(out, dtype=dtype)
+
+    return DihedralClass2(
+        main=stack(main, 6, deg_idx=(1, 3, 5)),
+        mbt=stack(mbt, 4),
+        ebt=stack(ebt, 8),
+        at=stack(at, 8, deg_idx=(6, 7)),
+        aat=stack(aat, 3, deg_idx=(1, 2)),
+        bb13=stack(bb13, 3),
+    )
+
+
+def make_improper_class2(ntypes, main, aa, dtype=jnp.float64):
+    """main[t] = (K, chi0_deg); aa[t] = (M1, M2, M3, th1, th2, th3 deg)
+    (ref: improper_class2.cpp coeff())."""
+    k0 = np.zeros(ntypes + 1)
+    chi0 = np.zeros(ntypes + 1)
+    for t, c in main.items():
+        k0[t], chi0[t] = c[0], c[1] * _D2R
+    aak = np.zeros((ntypes + 1, 6))
+    for t, c in aa.items():
+        aak[t] = c
+    aak[:, 3:] *= _D2R
+    asj = lambda a: jnp.asarray(a, dtype=dtype)
+    return ImproperClass2(k0=asj(k0), chi0=asj(chi0),
+                          aa_k1=asj(aak[:, 0]), aa_k2=asj(aak[:, 1]),
+                          aa_k3=asj(aak[:, 2]), aa_t1=asj(aak[:, 3]),
+                          aa_t2=asj(aak[:, 4]), aa_t3=asj(aak[:, 5]))
+
+
+def make_dihedral_spherical(ntypes, coeffs, dtype=jnp.float64):
+    """coeffs[t] = (nterms, then per term: C pm ps po t1m t1s t1o t2m
+    t2s t2o), shifts in degrees (ref: dihedral_spherical.cpp coeff())."""
+    _, groups = _vartable(ntypes, coeffs, 10, dtype, lead=0)
+    c, pm, ps, po, t1m, t1s, t1o, t2m, t2s, t2o = groups
+    return DihedralSpherical(c=c, pm=pm, ps=ps * _D2R, po=po,
+                             t1m=t1m, t1s=t1s * _D2R, t1o=t1o,
+                             t2m=t2m, t2s=t2s * _D2R, t2o=t2o)
+
+
+def _lepton_fns(rows, ntypes, extra_lead=0, var="r"):
+    """rows: list of shlex-split coeff tokens [type, (lead...), expr].
+    Returns (lead float array [nt+1], fns tuple with offsets)."""
+    from ..utils.lepton import lepton_fn
+
+    lead = np.zeros(ntypes + 1)
+    fns: list = [None] * (ntypes + 1)
+    for toks in rows:
+        t = int(toks[0])
+        if extra_lead:
+            lead[t] = float(toks[1])
+        fn = lepton_fn(toks[1 + extra_lead])
+        off = float(fn(**{var: 0.0}))
+        fns[t] = (fn, off)
+    return lead, tuple(fns)
+
+
+def make_bond_lepton(ntypes, rows, dtype=jnp.float64):
+    lead, fns = _lepton_fns(rows, ntypes, extra_lead=1, var="r")
+    return BondLepton(r0=jnp.asarray(lead, dtype=dtype), fns=fns)
+
+
+def make_angle_lepton(ntypes, rows, dtype=jnp.float64):
+    lead, fns = _lepton_fns(rows, ntypes, extra_lead=1, var="theta")
+    return AngleLepton(theta0=jnp.asarray(lead * _D2R, dtype=dtype),
+                       fns=fns)
+
+
+def make_dihedral_lepton(ntypes, rows, dtype=jnp.float64):
+    _, fns = _lepton_fns(rows, ntypes, extra_lead=0, var="phi")
+    return DihedralLepton(fns=fns)

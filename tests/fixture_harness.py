@@ -481,6 +481,9 @@ _BONDED_BUILDERS = {
     ("improper", "inversion/harmonic"):
         (bx.make_improper_inversion_harmonic, 2),
     ("improper", "zero"): (lambda *a, **k: bx.ImproperZero(), 0),
+    ("bond", "quartic"): (bx.make_bond_quartic, 5),
+    ("angle", "cross"): (bx.make_angle_cross, 6),
+    ("dihedral", "spherical"): (bx.make_dihedral_spherical, 0),
 }
 
 
@@ -504,9 +507,53 @@ def _parse_class2_angle(rows, ntypes, dtype, p6):
     return bx.make_angle_class2(ntypes, main, bb, ba, dtype=dtype, p6=p6)
 
 
-def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64):
+def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64,
+                       state=None, top=None):
     style_name = fix[f"{kind}_style"].split()[0]
     rows = parse_rows(fix.get(f"{kind}_coeff", ""))
+    if style_name == "lepton":
+        import shlex
+
+        srows = [shlex.split(ln)
+                 for ln in fix[f"{kind}_coeff"].strip().splitlines()]
+        maker = {"bond": bx.make_bond_lepton,
+                 "angle": bx.make_angle_lepton,
+                 "dihedral": bx.make_dihedral_lepton}[kind]
+        return maker(ntypes, srows, dtype=dtype)
+    if (kind, style_name) == ("bond", "harmonic/restrain"):
+        coeffs = {int(r[0]): (float(r[1]),) for r in rows}
+        return bx.make_bond_harmonic_restrain(ntypes, coeffs, state, top,
+                                              dtype=dtype)
+    if (kind, style_name) == ("dihedral", "class2"):
+        # keyword rows: mbt/ebt/at/aat/bb13 (ref: dihedral_class2.cpp
+        # coeff() 6-part form); type may be `*`
+        parts = {k: {} for k in ("main", "mbt", "ebt", "at", "aat",
+                                 "bb13")}
+        for r in rows:
+            types = (range(1, ntypes + 1) if r[0] == "*"
+                     else [int(r[0])])
+            key = r[1] if len(r) > 1 and r[1] in parts else "main"
+            vals = tuple(float(x) for x in (r[2:] if key != "main"
+                                            else r[1:]))
+            for t in types:
+                parts[key][t] = vals
+        return bx.make_dihedral_class2(
+            ntypes, parts["main"], parts["mbt"], parts["ebt"],
+            parts["at"], parts["aat"], parts["bb13"], dtype=dtype)
+    if (kind, style_name) == ("improper", "class2"):
+        main, aa = {}, {}
+        for r in rows:
+            types = (range(1, ntypes + 1) if r[0] == "*"
+                     else [int(r[0])])
+            if len(r) > 1 and r[1] == "aa":
+                vals = tuple(float(x) for x in r[2:])
+                for t in types:
+                    aa[t] = vals
+            else:
+                vals = tuple(float(x) for x in r[1:])
+                for t in types:
+                    main[t] = vals
+        return bx.make_improper_class2(ntypes, main, aa, dtype=dtype)
     if style_name == "zero":
         return {"bond": bx.BondZero, "angle": bx.AngleZero,
                 "dihedral": bx.DihedralZero,
@@ -612,7 +659,7 @@ def run_bonded_fixture(kind: str, name: str, dtype=jnp.float64):
     fix = load_fixture(name)
     df, state, top, special = build_fourmol(dtype=dtype)
     style = build_bonded_style(kind, fix, getattr(df, f"n{kind}types"),
-                               dtype=dtype)
+                               dtype=dtype, state=state, top=top)
 
     if kind == "bond":
         out = bonded.compute_bonds(style, state, top, True, True)
@@ -1109,7 +1156,7 @@ def run_bonded_fixture_traj(kind: str, name: str, dtype=jnp.float64):
     fix = load_fixture(name)
     df, state, top, special = build_fourmol(dtype=dtype)
     style = build_bonded_style(kind, fix, getattr(df, f"n{kind}types"),
-                               dtype=dtype)
+                               dtype=dtype, state=state, top=top)
 
     compute_map = {
         "bond": lambda st, e, v: bonded.compute_bonds(style, st, top, e, v),
