@@ -23,20 +23,43 @@ T_INIT = 1.44
 SEED = 87287
 
 
+def assert_healthy(nl, what):
+    """A timed segment must never have overflowed: the physics of an
+    overflowed trajectory is corrupt (clamped neighbor data). The product
+    path (Simulation.run / _run_segment_retry) heals this by grow+rerun;
+    the bench pre-grows capacities through that same path during warmup
+    and then REFUSES to publish a number measured on an overflowed run."""
+    if bool(jax.device_get(nl.overflow)):
+        raise RuntimeError(
+            f"{what}: neighbor capacity overflow during a timed segment "
+            "— the measurement would be on corrupt physics")
+
+
 def run_rate(sim, nsteps=NSTEPS):
     """Steady-state atom-steps/s, slope-measured over two segment lengths
-    so the fixed host<->device sync cost cancels."""
+    so the fixed host<->device sync cost cancels.
+
+    Measures the SAME overflow-healed path users get: warmup advances
+    through Simulation._run_segment_retry (growing capacities if the melt
+    densifies any cell past its cap), and every timed segment asserts the
+    sticky overflow flag stayed clear."""
     sim.setup()
     natoms = int(jax.device_get(sim.state.nlocal))
+    # warmup through the healing path: any capacity growth happens here
+    sim._run_segment_retry(nsteps)
+    sim._run_segment_retry(3 * nsteps)
     runner = sim._get_segment_runner()
 
     def timed(k):
         s, l = runner(sim.state, sim.nl, k)
         float(jnp.sum(s.x))  # warm compile + full sync
+        assert_healthy(l, f"warm k={k}")
         t0 = time.perf_counter()
         s, l = runner(sim.state, sim.nl, k)
         float(jnp.sum(s.x))
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        assert_healthy(l, f"timed k={k}")
+        return dt
 
     k2 = 3 * nsteps
     t1, t2 = timed(nsteps), timed(k2)
@@ -117,15 +140,19 @@ def main():
             _os.chdir(cwd)
         sim = s.sim
         n = int(jax.device_get(sim.state.nlocal))
+        sim._run_segment_retry(100)  # warmup through the healing path
         runner = sim._get_segment_runner()
 
         def timed(k):
             st, l = runner(sim.state, sim.nl, k)
             jax.block_until_ready(st.x)
+            assert_healthy(l, f"chute warm k={k}")
             t0 = time.perf_counter()
             st, l = runner(sim.state, sim.nl, k)
             jax.block_until_ready(st.x)
-            return time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            assert_healthy(l, f"chute timed k={k}")
+            return dt
 
         t1, t2 = timed(100), timed(300)
         per = (t2 - t1) / 200
@@ -165,6 +192,7 @@ def main():
                 s.one(ln)
         sim = s.sim
         n = int(jax.device_get(sim.state.nlocal))
+        sim._run_segment_retry(20)  # warmup through the healing path
         runner = sim._get_segment_runner()
 
         # segments longer than ~20 steps trip a TPU compiler fault on this
@@ -176,12 +204,15 @@ def main():
             for _ in range(nseg):
                 st, l = runner(st, l, k)
             jax.block_until_ready(st.x)
+            assert_healthy(l, f"rhodo warm nseg={nseg}")
             t0 = time.perf_counter()
             st, l = sim.state, sim.nl
             for _ in range(nseg):
                 st, l = runner(st, l, k)
             jax.block_until_ready(st.x)
-            return time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            assert_healthy(l, f"rhodo timed nseg={nseg}")
+            return dt
 
         t1, t2 = timed(1), timed(3)
         per = (t2 - t1) / 40
@@ -199,15 +230,15 @@ def main():
                           dtype=jnp.float32, every=20, delay=0, check=False)
         sim.setup()
         e0 = sim.thermo()["etotal"]
-        runner = sim._get_segment_runner()
-        s, l = sim.state, sim.nl
+        # through the overflow-healed product path (Simulation.run
+        # semantics): any cell-capacity overflow grows and re-runs the
+        # segment from its snapshot instead of timing corrupt physics
         for _ in range(100):
-            s, l = runner(s, l, 100)
-        sim.state, sim.nl = s, l
+            sim._run_segment_retry(100)
+        assert_healthy(sim.nl, "drift 10k")
         e1 = sim.thermo()["etotal"]
         log(f"lj-32k 10k-step etotal drift: {e1 - e0:+.3e} per atom "
-            f"(f32; reference deck drifts too — truncated potential + "
-            f"check-no policy, BASELINE.md)")
+            f"(f32, overflow-healed path)")
         extra["lj_32k_drift_10k"] = e1 - e0
     except Exception as e:  # noqa: BLE001
         log(f"drift measurement failed: {e}")

@@ -153,7 +153,9 @@ def make_sorted_nve_segment(integrator, style, special=None):
         st = st.replace(
             x=_stack_rows(xs), v=_stack_rows(vs), f=_stack_rows(fs),
             ntimestep=st.ntimestep + nsteps)
-        return st, nl
+        from ..ops import neighbor as _nbr
+
+        return _nbr.poison_on_overflow(st, nl), nl
 
     def runner_static(state: State, nl, nsteps: int, phase: int):
         """Cond-free variant for check=False: the rebuild schedule is
@@ -241,7 +243,9 @@ def make_sorted_nve_segment(integrator, style, special=None):
         st = st.replace(
             x=_stack_rows(xs), v=_stack_rows(vs), f=_stack_rows(fs),
             ntimestep=st.ntimestep + nsteps)
-        return st, nl
+        from ..ops import neighbor as _nbr
+
+        return _nbr.poison_on_overflow(st, nl), nl
 
     jit_cond = jax.jit(runner, static_argnums=2)
     jit_static = jax.jit(runner_static, static_argnums=(2, 3))

@@ -388,6 +388,20 @@ def build(state: State, p: NeighborParams, special=None) -> NeighborList:
     )
 
 
+def poison_on_overflow(state: State, nl):
+    """Make capacity overflow impossible to ignore: if the segment ends
+    with the sticky overflow flag set, the returned positions are NaN, so
+    a caller that bypasses the grow-retry contract gets loud non-finite
+    thermo/forces instead of silently corrupt physics. Simulation's own
+    retry loop checks nl.overflow FIRST and discards this state, so the
+    healed path never observes the poison (the Kokkos analog is the
+    resize-retry while-loop contract, ref:
+    src/KOKKOS/npair_kokkos.cpp:225-330,536-540 — results from an
+    overflowed build are never consumed)."""
+    x = jnp.where(nl.overflow, jnp.asarray(jnp.nan, state.x.dtype), state.x)
+    return state.replace(x=x)
+
+
 def rebuild_merge(state: State, old: NeighborList, special=None) -> NeighborList:
     """Rebuild, accumulating bookkeeping from the previous list."""
     new = build(state, old.params, special=special)

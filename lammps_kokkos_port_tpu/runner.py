@@ -446,7 +446,7 @@ class Simulation:
                 (state, nl), _ = jax.lax.scan(
                     body, (state, nl), None, length=nsteps
                 )
-                return state, nl
+                return nbr.poison_on_overflow(state, nl), nl
 
             runner = jax.jit(run_segment, static_argnums=2)
             self._segment_cache[key] = runner
