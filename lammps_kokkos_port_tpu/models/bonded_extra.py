@@ -1371,7 +1371,14 @@ class BondQuartic:
     2^(1/6)); dr = r - Rc. Bonds stretched past Rc are broken and
     contribute nothing (ref: src/MOLECULE/bond_quartic.cpp:86-116; the
     pair->single subtraction there vanishes under the fixture's pair
-    zero)."""
+    zero).
+
+    Single-point / pair-zero ONLY (the fixture protocol): the reference
+    breaks a bond PERMANENTLY by zeroing its type (bond_quartic.cpp:104)
+    and subtracts the overlapping pair interaction; this evaluates the
+    r<=Rc criterion per call and subtracts nothing, so it is not wired
+    into the deck interpreter — dynamic use would need broken-bond state
+    in the topology and the pair->single subtraction."""
 
     k: Array
     b1: Array
@@ -1762,9 +1769,12 @@ def make_dihedral_spherical(ntypes, coeffs, dtype=jnp.float64):
                              t2m=t2m, t2s=t2s * _D2R, t2o=t2o)
 
 
-def _lepton_fns(rows, ntypes, extra_lead=0, var="r"):
+def _lepton_fns(rows, ntypes, extra_lead=0, var="r", offset=True):
     """rows: list of shlex-split coeff tokens [type, (lead...), expr].
-    Returns (lead float array [nt+1], fns tuple with offsets)."""
+    Returns (lead float array [nt+1], fns tuple with offsets). `offset`
+    mirrors the style's auto_offset/no_offset setting (ref:
+    src/LEPTON/bond_lepton.cpp settings(): auto_offset is the default;
+    no_offset keeps the raw E(0))."""
     from ..utils.lepton import lepton_fn
 
     lead = np.zeros(ntypes + 1)
@@ -1774,22 +1784,25 @@ def _lepton_fns(rows, ntypes, extra_lead=0, var="r"):
         if extra_lead:
             lead[t] = float(toks[1])
         fn = lepton_fn(toks[1 + extra_lead])
-        off = float(fn(**{var: 0.0}))
+        off = float(fn(**{var: 0.0})) if offset else 0.0
         fns[t] = (fn, off)
     return lead, tuple(fns)
 
 
-def make_bond_lepton(ntypes, rows, dtype=jnp.float64):
-    lead, fns = _lepton_fns(rows, ntypes, extra_lead=1, var="r")
+def make_bond_lepton(ntypes, rows, dtype=jnp.float64, offset=True):
+    lead, fns = _lepton_fns(rows, ntypes, extra_lead=1, var="r",
+                            offset=offset)
     return BondLepton(r0=jnp.asarray(lead, dtype=dtype), fns=fns)
 
 
-def make_angle_lepton(ntypes, rows, dtype=jnp.float64):
-    lead, fns = _lepton_fns(rows, ntypes, extra_lead=1, var="theta")
+def make_angle_lepton(ntypes, rows, dtype=jnp.float64, offset=True):
+    lead, fns = _lepton_fns(rows, ntypes, extra_lead=1, var="theta",
+                            offset=offset)
     return AngleLepton(theta0=jnp.asarray(lead * _D2R, dtype=dtype),
                        fns=fns)
 
 
-def make_dihedral_lepton(ntypes, rows, dtype=jnp.float64):
-    _, fns = _lepton_fns(rows, ntypes, extra_lead=0, var="phi")
+def make_dihedral_lepton(ntypes, rows, dtype=jnp.float64, offset=True):
+    _, fns = _lepton_fns(rows, ntypes, extra_lead=0, var="phi",
+                         offset=offset)
     return DihedralLepton(fns=fns)

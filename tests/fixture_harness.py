@@ -560,22 +560,27 @@ def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64,
                 "improper": bx.ImproperZero}[kind]()
     if style_name == "hybrid":
         # rows: type sub-style coeffs... (ref: bond_hybrid.cpp coeff())
+        import shlex
+
         sub_names = fix[f"{kind}_style"].split()[1:]
         per = {sn: {} for sn in sub_names}
         ntypes_arr = np.zeros((len(sub_names), ntypes + 1), dtype=bool)
+        # keep coeff tokens as raw strings (shlex-quoted on rebuild) so
+        # quoted lepton expressions and non-numeric args round-trip
         for r in rows:
             t = int(r[0])
             sn = r[1]
-            per[sn][t] = tuple(float(x) for x in r[2:])
+            per[sn][t] = tuple(r[2:])
             ntypes_arr[sub_names.index(sn), t] = True
         styles = []
         for sn in sub_names:
             sub_fix = {f"{kind}_style": sn,
                        f"{kind}_coeff": "\n".join(
-                           f"{t} " + " ".join(str(v) for v in c)
+                           f"{t} " + " ".join(shlex.quote(str(v)) for v in c)
                            for t, c in per[sn].items())}
             styles.append(build_bonded_style(kind, sub_fix, ntypes,
-                                             dtype=dtype))
+                                             dtype=dtype, state=state,
+                                             top=top))
         kindmap = {"bond": "bonds", "angle": "angles",
                    "dihedral": "dihedrals", "improper": "impropers"}
         return bx.HybridBonded(
