@@ -192,28 +192,32 @@ class PairHybrid:
 
     def compute(self, state, nl, eflag, vflag, special_lj=None,
                 special_coul=None):
-        import dataclasses as _dc
+        f, ev, ec, virial = self.compute_detailed(
+            state, nl, eflag, vflag, special_lj=special_lj,
+            special_coul=special_coul)
+        pe = (ev + ec) if eflag else None
+        return f, pe, virial
 
+    def compute_detailed(self, state, nl, eflag, vflag, special_lj=None,
+                         special_coul=None):
         f = jnp.zeros_like(state.x)
-        pe = jnp.zeros((), state.dtype) if eflag else None
+        ev = jnp.zeros((), state.dtype)
+        ec = jnp.zeros((), state.dtype)
         virial = jnp.zeros(6, state.dtype) if vflag else None
         for k, s in enumerate(self.styles):
             # mask the sub-style's cutoffs to its assigned type pairs
-            masked = _dc.replace(
-                s, cutsq=s.cutsq_table() * self.pairmask[k]
-            ) if hasattr(s, "cutsq") else s
-            try:
-                fs, es, vs = masked.compute(state, nl, eflag, vflag,
-                                            special_lj=special_lj,
-                                            special_coul=special_coul)
-            except TypeError:
-                fs, es, vs = masked.compute(state, nl, eflag, vflag)
+            masked = _mask_style(s, self.pairmask[k])
+            fs, es, cs, vs = _sub_compute(masked, state, nl, eflag, vflag,
+                                          special_lj, special_coul)
             f = f + fs
-            if eflag and es is not None:
-                pe = pe + es
+            if eflag:
+                if es is not None:
+                    ev = ev + es
+                if cs is not None:
+                    ec = ec + cs
             if vflag and vs is not None:
                 virial = virial + vs
-        return f, pe, virial
+        return f, (ev if eflag else None), (ec if eflag else None), virial
 
 
 def make_hybrid(ntypes: int, assignments: list) -> PairHybrid:
@@ -234,18 +238,56 @@ def make_hybrid(ntypes: int, assignments: list) -> PairHybrid:
                       pairmask=jnp.asarray(np.stack(masks)), ntypes=ntypes)
 
 
+def _mask_style(s, mask):
+    """Restrict a sub-style to its assigned type pairs by zeroing its
+    per-pair cutoffs (the shared-list analog of pair_hybrid's sub-style
+    skip lists, ref: src/pair_hybrid.cpp:90-240). mask=None disables."""
+    import dataclasses as _dc
+
+    if mask is None:
+        return s
+    if not hasattr(s, "cutsq"):
+        raise TypeError(
+            f"pair hybrid sub-style {type(s).__name__} has no cutsq table "
+            "to mask — unsupported under hybrid")
+    return _dc.replace(s, cutsq=s.cutsq_table() * mask)
+
+
+def _sub_compute(s, state, nl, eflag, vflag, special_lj, special_coul):
+    """(f, evdwl, ecoul, virial) from a sub-style, whatever its surface."""
+    if hasattr(s, "compute_detailed"):
+        return s.compute_detailed(state, nl, eflag, vflag,
+                                  special_lj=special_lj,
+                                  special_coul=special_coul)
+    try:
+        f, pe, v = s.compute(state, nl, eflag, vflag,
+                             special_lj=special_lj,
+                             special_coul=special_coul)
+    except TypeError:
+        f, pe, v = s.compute(state, nl, eflag, vflag)
+    ecat = getattr(s, "energy_category", "vdwl")
+    if ecat == "coul":
+        return f, None, pe, v
+    return f, pe, None, v
+
+
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["styles"], meta_fields=["ntypes"])
+         data_fields=["styles", "pairmask"], meta_fields=["ntypes"])
 @dataclasses.dataclass(frozen=True)
 class PairHybridOverlay:
     """Sum of sub-style contributions over the shared neighbor list
-    (ref: pair_hybrid.cpp hybrid/overlay)."""
+    (ref: pair_hybrid.cpp hybrid/overlay). pairmask (optional
+    [nstyles, nt+1, nt+1]) carries `pair_coeff i j none` exclusions —
+    a none row removes the pair from EVERY sub-style."""
 
     styles: tuple
     ntypes: int
+    pairmask: Array | None = None
 
     def cutsq_table(self) -> Array:
-        tabs = [s.cutsq_table() for s in self.styles]
+        tabs = [s.cutsq_table() * (1.0 if self.pairmask is None
+                                   else self.pairmask[k])
+                for k, s in enumerate(self.styles)]
         out = tabs[0]
         for t in tabs[1:]:
             out = jnp.maximum(out, t)
@@ -256,19 +298,29 @@ class PairHybridOverlay:
 
     def compute(self, state, nl, eflag, vflag, special_lj=None,
                 special_coul=None):
+        f, ev, ec, virial = self.compute_detailed(
+            state, nl, eflag, vflag, special_lj=special_lj,
+            special_coul=special_coul)
+        pe = (ev + ec) if eflag else None
+        return f, pe, virial
+
+    def compute_detailed(self, state, nl, eflag, vflag, special_lj=None,
+                         special_coul=None):
         f = jnp.zeros_like(state.x)
-        pe = jnp.zeros((), state.dtype) if eflag else None
+        ev = jnp.zeros((), state.dtype)
+        ec = jnp.zeros((), state.dtype)
         virial = jnp.zeros(6, state.dtype) if vflag else None
-        for s in self.styles:
-            try:
-                fs, es, vs = s.compute(state, nl, eflag, vflag,
-                                       special_lj=special_lj,
-                                       special_coul=special_coul)
-            except TypeError:
-                fs, es, vs = s.compute(state, nl, eflag, vflag)
+        for k, s in enumerate(self.styles):
+            masked = _mask_style(
+                s, None if self.pairmask is None else self.pairmask[k])
+            fs, es, cs, vs = _sub_compute(masked, state, nl, eflag, vflag,
+                                          special_lj, special_coul)
             f = f + fs
-            if eflag and es is not None:
-                pe = pe + es
+            if eflag:
+                if es is not None:
+                    ev = ev + es
+                if cs is not None:
+                    ec = ec + cs
             if vflag and vs is not None:
                 virial = virial + vs
-        return f, pe, virial
+        return f, (ev if eflag else None), (ec if eflag else None), virial

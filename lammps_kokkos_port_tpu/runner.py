@@ -321,51 +321,71 @@ class Simulation:
         grid can land just past an occupancy boundary (e.g. 37^3 cells at
         19.7 atoms/cell where 33^3 gives 27.8 at the same aligned cap of
         32): fewer, fuller cells do the same physics with up to ~30% fewer
-        padded candidate lanes. Occupancies are exact host bincounts on
-        the setup configuration; mid-run drift is healed by the overflow
-        grow-retry loop like any other density fluctuation."""
+        padded candidate lanes. One FINER grid (d=-1) is also considered
+        when its edge shortfall is < 0.1% of cutneigh — float-grid
+        roundoff territory (the 32k bench box is 11.997 cutneighs wide:
+        12 cells shrink the capture radius by 0.015% of the SKIN, far
+        inside the every-20/check-no policy's own tolerance, and cost
+        ~20% fewer candidate lanes than 11). Occupancies are exact host
+        bincounts on the setup configuration, padded for equilibrium
+        density fluctuations; a mid-run burst past the cap is healed by
+        the overflow grow-retry loop."""
         nx, ny, nz = params.ncells
         if min(nx, ny, nz) < 4:
             return params
 
-        def aligned_cap(max_cell):
-            # the same sizing size_for_system(cell_pad=1.12, cell_round=2)
-            # + _align_cell_cap would produce for this occupancy
-            tight = -(-max(int(max_cell * 1.12) + 1, 4) // 2) * 2
-            est_max = max(1, int((tight - 1) / 1.12))
-            aligned = max(32, ((est_max + 1 + 31) // 32) * 32)
-            return aligned if aligned <= max(tight, 8) * 1.45 else tight
+        import dataclasses as _dc
 
         import numpy as np
 
-        best, best_cost = None, None
-        for d in range(0, 4):
+        heights = np.asarray(nbr.box_heights(self.state.box))
+        nvalid = int(jax.device_get(self.state.nlocal))
+
+        def aligned_cap(max_cell, avg):
+            # the setup snapshot (often a commensurate lattice with
+            # artificially uniform bins) underestimates the run-time max:
+            # equilibrium density fluctuations reach ~ avg + 2.4 sqrt(avg)
+            # (measured across grids on the 10k-step 32k LJ melt); take
+            # the larger of snapshot+1 and the fluid model
+            tight = max(max_cell, int(avg + 2.4 * avg ** 0.5 + 1), 4)
+            r32 = max(32, ((tight + 31) // 32) * 32)
+            r8 = ((tight + 7) // 8) * 8
+            # 32-lane-aligned scratch offsets store ~1.5x faster; prefer
+            # them unless the overshoot exceeds the store win
+            return r32 if r32 <= r8 * 1.3 else r8
+
+        best, best_cost, best_cc = None, None, None
+        for d in range(-1, 4):
             nc = (max(3, nx - d), max(3, ny - d), max(3, nz - d))
+            if d < 0:
+                edges = heights / np.asarray(nc)
+                if np.any(edges < cutneigh * 0.999):
+                    continue
             counts = np.bincount(
                 nbr._cell_ids_host(self.state, nc),
                 minlength=nc[0] * nc[1] * nc[2] + 1)
             max_cell = int(counts[:-1].max())
-            cc = aligned_cap(max_cell)
+            cc = aligned_cap(max_cell, nvalid / (nc[0] * nc[1] * nc[2]))
             # pair lanes = cells x ceil8(cc) own sublanes x 14*cc cand lanes
             cost = nc[0] * nc[1] * nc[2] * (-(-cc // 8) * 8) * cc
             if best_cost is None or cost < best_cost:
-                best, best_cost = nc, cost
-        if best == (nx, ny, nz):
+                best, best_cost, best_cc = nc, cost, cc
+        if best is None:
             return params
-        return nbr.size_for_system(
+        grown = nbr.size_for_system(
             self.state, cutneigh=cutneigh, skin=self.skin,
             every=self.neigh_every, delay=self.neigh_delay,
             check=self.neigh_check, cell_pad=1.12, cell_round=2,
             ncells=best)
+        return _dc.replace(grown, cell_cap=best_cc)
 
     @staticmethod
     def _align_cell_cap(params):
-        """Round cell_cap to a 128-divisor lane width (32/64/...) for the
-        sorted mode's Pallas kernels: slice offsets at multiples of 32
-        lanes store ~1.5x faster than arbitrary offsets (measured,
-        benchmarks/prof). Falls back to the tight cap when alignment
-        would overshoot it by more than ~45% (pair-math cost scales
-        linearly with cell_cap)."""
+        """Round cell_cap to a lane-friendly width for the sorted mode's
+        Pallas kernels: multiples of 32 store ~1.5x faster at scratch
+        slice offsets (measured, benchmarks/prof), but pair-math cost
+        scales linearly with cell_cap — so fall back to the next multiple
+        of 8 when the 32-multiple overshoots by more than ~30%."""
         import dataclasses as _dc
 
         cc = params.cell_cap
@@ -374,22 +394,42 @@ class Simulation:
         # (+1 atom of slack); a mid-run burst past it is healed by the
         # overflow-grow-retry loop like any other density fluctuation
         est_max = max(1, int((cc - 1) / 1.12))
-        aligned = max(32, ((est_max + 1 + 31) // 32) * 32)
-        if aligned <= max(cc, 8) * 1.45:
-            return _dc.replace(params, cell_cap=aligned)
-        return params
+        r32 = max(32, ((est_max + 1 + 31) // 32) * 32)
+        r8 = max(8, ((est_max + 1 + 7) // 8) * 8)
+        return _dc.replace(params, cell_cap=r32 if r32 <= r8 * 1.3 else r8)
 
     def _grow_params(self, params):
-        from .ops import zcolforce
+        from .ops import molcell, zcolforce
 
         if isinstance(params, zcolforce.ZColParams):
             grown = zcolforce.grow(params)
             self._zcol_params = grown
             return grown
-        grown = nbr.grow(params)
+        if isinstance(params, molcell.MolCellParams):
+            grown = molcell.grow(params)
+            self._molcell_params = grown
+            return grown
         if self.list_mode == "sorted":
-            grown = self._align_cell_cap(grown)
-        return grown
+            # occupancy-aware growth: pair-math cost scales linearly with
+            # cell_cap, so measure the ACTUAL needed capacity from the
+            # current state instead of blindly multiplying (the blind
+            # x1.3-then-align-to-32 path jumped 38 -> 64 on the 32k melt
+            # where 40 suffices — a 33% throughput tax)
+            import dataclasses as _dc
+
+            import numpy as np
+
+            counts = np.bincount(
+                nbr._cell_ids_host(self.state, params.ncells),
+                minlength=params.total_cells + 1)[:-1]
+            need = int(counts.max()) + 3  # margin for in-segment drift
+            cc = max(-(-need // 8) * 8, params.cell_cap + 8)
+            r32 = ((cc + 31) // 32) * 32
+            if r32 <= cc * 1.3:
+                cc = r32
+            return _dc.replace(params, cell_cap=cc,
+                               K=int(params.K * 1.3) + 8)
+        return nbr.grow(params)
 
     def _check_overflow_and_grow(self, max_tries: int = 8):
         for _ in range(max_tries):
@@ -545,8 +585,13 @@ class Simulation:
                 return
             # capacity overflow inside the segment: grow, rebuild from the
             # snapshot, and re-run the whole segment with the new shapes
-            params = self._grow_params(snap_nl.params)
+            # (restore the snapshot FIRST — the post-segment state is
+            # NaN-poisoned, and occupancy-aware growth reads self.state;
+            # grow from the CURRENT params so repeated retries compound
+            # instead of re-deriving the same capacity from the snapshot)
+            cur_params = self.nl.params
             self.state = snap_state
+            params = self._grow_params(cur_params)
             self.nl = dataclasses.replace(
                 self._build_list(snap_state, params),
                 nbuilds=snap_nl.nbuilds,

@@ -2098,223 +2098,10 @@ class LammpsScript:
             name = words[0]
             args = words[1:]
             if name == "hybrid" and args and not _is_num(args[0]):
-                # single-sub-style hybrid degenerates to the sub-style;
-                # strip the sub-style token from coeff rows
-                # (ref: pair_hybrid.cpp with nstyles == 1)
-                subs = [w for w in args if not _is_num(w)]
-                if len(subs) != 1:
-                    raise ScriptError(
-                        "pair hybrid with multiple sub-styles unsupported "
-                        "(hybrid/overlay has its own path)")
-                name = args[0]
-                args = args[1:]
-                self.pair_coeffs = [
-                    [t for t in row if t != name]
-                    for row in self.pair_coeffs
-                ]
-            numeric_styles = (
-                "lj/cut", "lj/charmm/coul/long", "lj/cut/coul/long",
-                "lj/cut/coul/cut", "coul/long", "coul/cut",
-                "lj/cut/tip4p/cut", "lj/cut/tip4p/long",
-                "tip4p/cut", "tip4p/long",
-            )
-            coeffs = (self._pair_coeff_dict()
-                      if name in numeric_styles else {})
-            mix = self.pair_modify.get("mix", None)
-            shift = self.pair_modify.get("shift", "no") == "yes"
-            dt = self.dtype
-            if name == "lj/cut":
-                pair = make_lj_cut(self.ntypes, coeffs, float(args[0]),
-                                   mix=mix or "geometric", shift=shift,
-                                   dtype=dt)
-            elif name in ("lj/cut/tip4p/cut", "lj/cut/tip4p/long",
-                          "tip4p/cut", "tip4p/long"):
-                # TIP4P family: needs the equilibrium bond/angle geometry
-                # and the bond topology (finalized in _build_forcefield,
-                # after read_data) -> defer via a builder closure
-                otype, htype, btype, atype = (int(w) for w in args[:4])
-                qdist = float(args[4])
-                cut = float(args[5])
-                cut2 = float(args[6]) if len(args) > 6 else cut
-                lj_on = name.startswith("lj/cut")
-                cmode = "long" if name.endswith("long") else "cut"
-                from .models.pair_tip4p import make_lj_cut_tip4p_cut
-
-                bc = self.bond_coeffs.get(btype)
-                ac = self.angle_coeffs.get(atype)
-                if bc is None or ac is None:
-                    raise ScriptError(
-                        "tip4p styles need bond/angle coeffs for the "
-                        "designated types (equilibrium geometry)")
-                blen = float(bc[1]) if len(bc) > 1 else float(bc[0])
-                theta = float(ac[1]) if len(ac) > 1 else float(ac[0])
-                braw = self.topology_raw.get("bonds")
-                if braw is None:
-                    raise ScriptError("tip4p styles need bond topology")
-                import numpy as _np
-
-                bl = _np.asarray(braw).copy()
-                bl[:, 1:] -= 1  # 1-based atom ids -> local rows
-                pair = make_lj_cut_tip4p_cut(
-                    self.ntypes, coeffs, typeO=otype, typeH=htype,
-                    qdist=qdist, blen=blen, theta_deg=theta,
-                    cut_lj=cut if lj_on else 0.0,
-                    cut_coul=cut2 if lj_on else cut,
-                    bonds=bl, types=_np.asarray(state.type), cap=cap,
-                    mix=mix or "geometric", lj_on=lj_on,
-                    coul_mode=cmode, g_ewald=g_ewald, dtype=dt)
-            elif name == "lj/charmm/coul/long":
-                cut_coul = float(args[2]) if len(args) > 2 else float(args[1])
-                pair = make_lj_charmm_coul_long(
-                    self.ntypes, coeffs, float(args[0]), float(args[1]),
-                    cut_coul, g_ewald=g_ewald, mix=mix or "arithmetic",
-                    dtype=dt)
-            elif name in ("lj/cut/coul/long", "lj/cut/coul/cut"):
-                mode = "long" if name.endswith("long") else "cut"
-                cut_coul = float(args[1]) if len(args) > 1 else float(args[0])
-                pair = make_lj_cut_coul(
-                    self.ntypes, coeffs, float(args[0]), cut_coul,
-                    g_ewald=g_ewald, coul_mode=mode,
-                    mix=mix or "geometric", dtype=dt)
-            elif name in ("coul/long", "coul/cut"):
-                mode = "long" if name.endswith("long") else "cut"
-                pair = PairCoul.create(self.ntypes, float(args[0]), coeffs,
-                                       g_ewald=g_ewald, coul_mode=mode,
-                                       mix=mix or "geometric", dtype=dt)
-            elif name == "coul/msm":
-                from .models.pair_coul_misc import PairVdwCoul
-
-                # gamma split order = kspace order/2 (default order 10,
-                # ref: msm.cpp:77, pair_coul_msm.cpp gamma calls)
-                pair = PairVdwCoul(vdw=None, ntypes=self.ntypes,
-                                   coul_mode="msm", alpha=5,
-                                   cut_coul=float(args[0]))
-            elif name == "eam":
-                files = {}
-                for c in self.pair_coeffs:
-                    t = int(c[0])
-                    files[t] = c[2]
-                pair = make_eam_funcfl(self.ntypes, files, dtype=dt)
-            elif name in ("eam/alloy", "eam/fs"):
-                c = self.pair_coeffs[0]
-                pair = make_eam_setfl(
-                    self.ntypes, c[2], type_elements=list(c[3:3 + self.ntypes]),
-                    fs=name.endswith("fs"), dtype=dt)
-            elif name == "tersoff":
-                c = self.pair_coeffs[0]
-                pair = make_tersoff(self.ntypes, c[2],
-                                    list(c[3:3 + self.ntypes]), dtype=dt)
-            elif name == "sw":
-                from .models.pair_sw import make_sw
-
-                c = self.pair_coeffs[0]
-                pair = make_sw(self.ntypes, c[2],
-                               list(c[3:3 + self.ntypes]), dtype=dt)
-            elif name == "snap":
-                from .models.pair_snap import make_snap
-
-                c = self.pair_coeffs[0]
-                pair = make_snap(self.ntypes, c[2], c[3],
-                                 list(c[4:4 + self.ntypes]), dtype=dt)
-            elif name == "zbl":
-                from .models.pair_zbl import make_zbl
-
-                zmap = {}
-                for c in self.pair_coeffs:
-                    ii = (range(1, self.ntypes + 1) if c[0] == "*"
-                          else [int(c[0])])
-                    for t in ii:
-                        zmap[t] = float(c[2])
-                pair = make_zbl(self.ntypes, float(args[0]), float(args[1]),
-                                zmap,
-                                qqr2e=get_units(self.units_name).qqr2e,
-                                dtype=dt)
-            elif name in ("morse", "buck", "gauss"):
-                from .models import pair_simple as psim
-
-                maker = {"morse": psim.make_morse, "buck": psim.make_buck,
-                         "gauss": psim.make_gauss}[name]
-                pair = maker(self.ntypes, self._pair_coeff_dict(),
-                             float(args[0]), shift=shift, dtype=dt)
-            elif name == "yukawa":
-                from .models.pair_simple import make_yukawa
-
-                pair = make_yukawa(self.ntypes, float(args[0]),
-                                   self._pair_coeff_dict(), float(args[1]),
-                                   shift=shift, dtype=dt)
-            elif name in ("lj/class2", "lj96/cut", "mie/cut", "nm/cut",
-                          "lj/smooth/linear", "soft", "gauss/cut", "ufm",
-                          "wf/cut", "lj/cubic", "lj/gromacs"):
-                from .models import pair_extra as px
-
-                mx = mix or "geometric"
-                cd = self._pair_coeff_dict()
-                if name == "lj/gromacs":
-                    pair = px.make_lj_gromacs(self.ntypes, cd,
-                                              float(args[0]), float(args[1]),
-                                              mix=mx, dtype=dt)
-                elif name == "lj/cubic":
-                    pair = px.make_lj_cubic(self.ntypes, cd, mix=mx,
-                                            dtype=dt)
-                else:
-                    maker = {"lj/class2": px.make_lj_class2,
-                             "lj96/cut": px.make_lj96,
-                             "mie/cut": px.make_mie,
-                             "nm/cut": px.make_nm_cut,
-                             "lj/smooth/linear": px.make_lj_smooth_linear,
-                             "soft": px.make_soft,
-                             "gauss/cut": px.make_gauss_cut,
-                             "ufm": px.make_ufm,
-                             "wf/cut": px.make_wf_cut}[name]
-                    import inspect
-
-                    kw = {"dtype": dt, "mix": mx}
-                    if "shift" in inspect.signature(maker).parameters:
-                        kw["shift"] = shift
-                    if "mix" not in inspect.signature(maker).parameters:
-                        kw.pop("mix")
-                    pair = maker(self.ntypes, cd, float(args[0]), **kw)
-            elif name == "zero":
-                pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
-            elif name in ("gran/hooke", "gran/hooke/history"):
-                from .models.pair_gran import PairGranHooke
-
-                def _gnum(w, default):
-                    return default if w == "NULL" else float(w)
-
-                kn = float(args[0])
-                kt = _gnum(args[1], kn * 2.0 / 7.0)
-                gamman = float(args[2])
-                gammat = _gnum(args[3], 0.5 * gamman)
-                if int(args[5]) == 0:
-                    gammat = 0.0
-                fzbit = 0
-                for fx in self.fixes:
-                    if fx.style == "freeze":
-                        fzbit = self.groups.get(fx.group, 1)
-                maxrad = (float(np.max(self.sphere_data["radius"]))
-                          if self.sphere_data else 0.5)
-                gdt = self.dt if self.dt is not None \
-                    else get_units(self.units_name).dt
-                pair = PairGranHooke(
-                    kn=kn, kt=kt, gamman=gamman, gammat=gammat,
-                    xmu=float(args[4]), dt=gdt, freeze_groupbit=fzbit,
-                    max_radius=maxrad, history=name.endswith("history"))
-            elif name == "lj/cut/dipole/cut":
-                from .models.pair_dipole import make_lj_cut_dipole_cut
-
-                pair = make_lj_cut_dipole_cut(
-                    self.ntypes, self._pair_coeff_dict(), float(args[0]),
-                    float(args[1]) if len(args) > 1 else None,
-                    qqrd2e=get_units(self.units_name).qqr2e,
-                    mix=self.pair_modify.get("mix", "geometric"), dtype=dt)
-            elif name in ("sph/taitwater", "sph/taitwater/morris",
-                          "sph/rhosum") or (
-                    name == "hybrid/overlay"
-                    and any(w.startswith("sph/") for w in args)):
-                pair = self._build_sph_pair(name, args)
+                pair = self._build_pair_hybrid(args, state, cap, g_ewald)
             else:
-                raise ScriptError(f"pair style {name} unsupported")
+                pair = self._make_pair_style(name, args, state, cap,
+                                             g_ewald)
 
         bond = angle = dihedral = improper = None
         dt = jnp.float64 if self.dtype == jnp.float64 else self.dtype
@@ -2507,6 +2294,305 @@ class LammpsScript:
                     if j >= i:
                         coeffs[(i, j)] = vals
         return coeffs
+
+    def _build_pair_hybrid(self, toks, state, cap, g_ewald):
+        """pair_style hybrid [sub1 args... sub2 args...]: route each type
+        pair to its sub-style (ref: src/pair_hybrid.cpp:90-240 — sub-style
+        neighbor skip lists become per-type-pair cutoff masks over the
+        shared list). Single-sub-style degenerates to the plain style."""
+        subs: list = []
+        for w in toks:
+            if _is_num(w) and subs:
+                subs[-1][1].append(w)
+            else:
+                subs.append([w, []])
+        names = [n for n, _ in subs]
+        if len(set(names)) != len(names):
+            raise ScriptError(
+                "pair hybrid: repeated sub-style names unsupported")
+        if len(subs) == 1:
+            name, sargs = subs[0]
+            self.pair_coeffs = [[t for t in row if t != name]
+                                for row in self.pair_coeffs]
+            return self._make_pair_style(name, sargs, state, cap, g_ewald)
+
+        nt = self.ntypes
+        rows = self.pair_coeffs
+        per: list = [[] for _ in subs]
+        assigned: dict = {}
+        for r in rows:
+            if len(r) < 3:
+                continue
+            ii = range(1, nt + 1) if r[0] == "*" else [int(r[0])]
+            jj = range(1, nt + 1) if r[1] == "*" else [int(r[1])]
+            ps = [(i, j) for i in ii for j in jj if j >= i]
+            if r[2] == "none":
+                for p_ in ps:
+                    assigned[p_] = []
+                continue
+            if r[2] not in names:
+                raise ScriptError(
+                    f"pair_coeff sub-style {r[2]} not in hybrid styles")
+            idx = names.index(r[2])
+            per[idx].append([r[0], r[1]] + list(r[3:]))
+            for p_ in ps:
+                assigned[p_] = [idx]
+        # unset (i,j): mix within a sub-style only when both diagonals map
+        # to the SAME single sub-style (ref: pair_hybrid.cpp:708-719)
+        for i in range(1, nt + 1):
+            for j in range(i, nt + 1):
+                if (i, j) in assigned:
+                    continue
+                di = assigned.get((i, i), [])
+                dj = assigned.get((j, j), [])
+                if len(di) == 1 and di == dj:
+                    assigned[(i, j)] = list(di)
+                else:
+                    raise ScriptError(
+                        f"pair hybrid: coeffs for ({i},{j}) not set and "
+                        "not mixable")
+        pairs: list = [[] for _ in subs]
+        for p_, lst in assigned.items():
+            for idx in lst:
+                pairs[idx].append(p_)
+
+        saved = self.pair_coeffs
+        styles = []
+        try:
+            for (name, sargs), rws, prs in zip(subs, per, pairs):
+                # satisfy the single-style builder's (i,i)-set check with
+                # zero rows for foreign types (masked out anyway; the
+                # reference only calls init_one for owned pairs)
+                have_diag = {i for (i, j) in prs if i == j}
+                arity = max((sum(1 for t in r[2:] if _is_num(t))
+                             for r in rws), default=0)
+                for t in range(1, nt + 1):
+                    if t not in have_diag:
+                        rws = rws + [[str(t), str(t)] + ["0"] * arity]
+                self.pair_coeffs = rws
+                styles.append(self._make_pair_style(name, sargs, state,
+                                                    cap, g_ewald))
+        finally:
+            self.pair_coeffs = saved
+
+        from .models.pair_zbl import make_hybrid
+
+        return make_hybrid(nt, list(zip(styles, pairs)))
+
+    def _make_pair_style(self, name, args, state, cap, g_ewald):
+        """Construct ONE pair style object from its name + style args,
+        reading coeff rows from self.pair_coeffs (the per-style factory
+        analog of force->create_pair, ref: src/force.cpp:83-121)."""
+        from .models.pair_charmm import (
+            PairCoul, PairZero, make_lj_charmm_coul_long, make_lj_cut_coul,
+        )
+        from .models.pair_eam import make_eam_funcfl, make_eam_setfl
+        from .models.pair_lj import make_lj_cut
+        from .models.pair_tersoff import make_tersoff
+        numeric_styles = (
+            "lj/cut", "lj/charmm/coul/long", "lj/cut/coul/long",
+            "lj/cut/coul/cut", "coul/long", "coul/cut",
+            "lj/cut/tip4p/cut", "lj/cut/tip4p/long",
+            "tip4p/cut", "tip4p/long",
+        )
+        coeffs = (self._pair_coeff_dict()
+                  if name in numeric_styles else {})
+        mix = self.pair_modify.get("mix", None)
+        shift = self.pair_modify.get("shift", "no") == "yes"
+        dt = self.dtype
+        if name == "lj/cut":
+            pair = make_lj_cut(self.ntypes, coeffs, float(args[0]),
+                               mix=mix or "geometric", shift=shift,
+                               dtype=dt)
+        elif name in ("lj/cut/tip4p/cut", "lj/cut/tip4p/long",
+                      "tip4p/cut", "tip4p/long"):
+            # TIP4P family: needs the equilibrium bond/angle geometry
+            # and the bond topology (finalized in _build_forcefield,
+            # after read_data) -> defer via a builder closure
+            otype, htype, btype, atype = (int(w) for w in args[:4])
+            qdist = float(args[4])
+            cut = float(args[5])
+            cut2 = float(args[6]) if len(args) > 6 else cut
+            lj_on = name.startswith("lj/cut")
+            cmode = "long" if name.endswith("long") else "cut"
+            from .models.pair_tip4p import make_lj_cut_tip4p_cut
+
+            bc = self.bond_coeffs.get(btype)
+            ac = self.angle_coeffs.get(atype)
+            if bc is None or ac is None:
+                raise ScriptError(
+                    "tip4p styles need bond/angle coeffs for the "
+                    "designated types (equilibrium geometry)")
+            blen = float(bc[1]) if len(bc) > 1 else float(bc[0])
+            theta = float(ac[1]) if len(ac) > 1 else float(ac[0])
+            braw = self.topology_raw.get("bonds")
+            if braw is None:
+                raise ScriptError("tip4p styles need bond topology")
+            import numpy as _np
+
+            bl = _np.asarray(braw).copy()
+            bl[:, 1:] -= 1  # 1-based atom ids -> local rows
+            pair = make_lj_cut_tip4p_cut(
+                self.ntypes, coeffs, typeO=otype, typeH=htype,
+                qdist=qdist, blen=blen, theta_deg=theta,
+                cut_lj=cut if lj_on else 0.0,
+                cut_coul=cut2 if lj_on else cut,
+                bonds=bl, types=_np.asarray(state.type), cap=cap,
+                mix=mix or "geometric", lj_on=lj_on,
+                coul_mode=cmode, g_ewald=g_ewald, dtype=dt)
+        elif name == "lj/charmm/coul/long":
+            cut_coul = float(args[2]) if len(args) > 2 else float(args[1])
+            pair = make_lj_charmm_coul_long(
+                self.ntypes, coeffs, float(args[0]), float(args[1]),
+                cut_coul, g_ewald=g_ewald, mix=mix or "arithmetic",
+                dtype=dt)
+        elif name in ("lj/cut/coul/long", "lj/cut/coul/cut"):
+            mode = "long" if name.endswith("long") else "cut"
+            cut_coul = float(args[1]) if len(args) > 1 else float(args[0])
+            pair = make_lj_cut_coul(
+                self.ntypes, coeffs, float(args[0]), cut_coul,
+                g_ewald=g_ewald, coul_mode=mode,
+                mix=mix or "geometric", dtype=dt)
+        elif name in ("coul/long", "coul/cut"):
+            mode = "long" if name.endswith("long") else "cut"
+            pair = PairCoul.create(self.ntypes, float(args[0]), coeffs,
+                                   g_ewald=g_ewald, coul_mode=mode,
+                                   mix=mix or "geometric", dtype=dt)
+        elif name == "coul/msm":
+            from .models.pair_coul_misc import PairVdwCoul
+
+            # gamma split order = kspace order/2 (default order 10,
+            # ref: msm.cpp:77, pair_coul_msm.cpp gamma calls)
+            pair = PairVdwCoul(vdw=None, ntypes=self.ntypes,
+                               coul_mode="msm", alpha=5,
+                               cut_coul=float(args[0]))
+        elif name == "eam":
+            files = {}
+            for c in self.pair_coeffs:
+                t = int(c[0])
+                files[t] = c[2]
+            pair = make_eam_funcfl(self.ntypes, files, dtype=dt)
+        elif name in ("eam/alloy", "eam/fs"):
+            c = self.pair_coeffs[0]
+            pair = make_eam_setfl(
+                self.ntypes, c[2], type_elements=list(c[3:3 + self.ntypes]),
+                fs=name.endswith("fs"), dtype=dt)
+        elif name == "tersoff":
+            c = self.pair_coeffs[0]
+            pair = make_tersoff(self.ntypes, c[2],
+                                list(c[3:3 + self.ntypes]), dtype=dt)
+        elif name == "sw":
+            from .models.pair_sw import make_sw
+
+            c = self.pair_coeffs[0]
+            pair = make_sw(self.ntypes, c[2],
+                           list(c[3:3 + self.ntypes]), dtype=dt)
+        elif name == "snap":
+            from .models.pair_snap import make_snap
+
+            c = self.pair_coeffs[0]
+            pair = make_snap(self.ntypes, c[2], c[3],
+                             list(c[4:4 + self.ntypes]), dtype=dt)
+        elif name == "zbl":
+            from .models.pair_zbl import make_zbl
+
+            zmap = {}
+            for c in self.pair_coeffs:
+                ii = (range(1, self.ntypes + 1) if c[0] == "*"
+                      else [int(c[0])])
+                for t in ii:
+                    zmap[t] = float(c[2])
+            pair = make_zbl(self.ntypes, float(args[0]), float(args[1]),
+                            zmap,
+                            qqr2e=get_units(self.units_name).qqr2e,
+                            dtype=dt)
+        elif name in ("morse", "buck", "gauss"):
+            from .models import pair_simple as psim
+
+            maker = {"morse": psim.make_morse, "buck": psim.make_buck,
+                     "gauss": psim.make_gauss}[name]
+            pair = maker(self.ntypes, self._pair_coeff_dict(),
+                         float(args[0]), shift=shift, dtype=dt)
+        elif name == "yukawa":
+            from .models.pair_simple import make_yukawa
+
+            pair = make_yukawa(self.ntypes, float(args[0]),
+                               self._pair_coeff_dict(), float(args[1]),
+                               shift=shift, dtype=dt)
+        elif name in ("lj/class2", "lj96/cut", "mie/cut", "nm/cut",
+                      "lj/smooth/linear", "soft", "gauss/cut", "ufm",
+                      "wf/cut", "lj/cubic", "lj/gromacs"):
+            from .models import pair_extra as px
+
+            mx = mix or "geometric"
+            cd = self._pair_coeff_dict()
+            if name == "lj/gromacs":
+                pair = px.make_lj_gromacs(self.ntypes, cd,
+                                          float(args[0]), float(args[1]),
+                                          mix=mx, dtype=dt)
+            elif name == "lj/cubic":
+                pair = px.make_lj_cubic(self.ntypes, cd, mix=mx,
+                                        dtype=dt)
+            else:
+                maker = {"lj/class2": px.make_lj_class2,
+                         "lj96/cut": px.make_lj96,
+                         "mie/cut": px.make_mie,
+                         "nm/cut": px.make_nm_cut,
+                         "lj/smooth/linear": px.make_lj_smooth_linear,
+                         "soft": px.make_soft,
+                         "gauss/cut": px.make_gauss_cut,
+                         "ufm": px.make_ufm,
+                         "wf/cut": px.make_wf_cut}[name]
+                import inspect
+
+                kw = {"dtype": dt, "mix": mx}
+                if "shift" in inspect.signature(maker).parameters:
+                    kw["shift"] = shift
+                if "mix" not in inspect.signature(maker).parameters:
+                    kw.pop("mix")
+                pair = maker(self.ntypes, cd, float(args[0]), **kw)
+        elif name == "zero":
+            pair = PairZero(ntypes=self.ntypes, cut=float(args[0]))
+        elif name in ("gran/hooke", "gran/hooke/history"):
+            from .models.pair_gran import PairGranHooke
+
+            def _gnum(w, default):
+                return default if w == "NULL" else float(w)
+
+            kn = float(args[0])
+            kt = _gnum(args[1], kn * 2.0 / 7.0)
+            gamman = float(args[2])
+            gammat = _gnum(args[3], 0.5 * gamman)
+            if int(args[5]) == 0:
+                gammat = 0.0
+            fzbit = 0
+            for fx in self.fixes:
+                if fx.style == "freeze":
+                    fzbit = self.groups.get(fx.group, 1)
+            maxrad = (float(np.max(self.sphere_data["radius"]))
+                      if self.sphere_data else 0.5)
+            gdt = self.dt if self.dt is not None \
+                else get_units(self.units_name).dt
+            pair = PairGranHooke(
+                kn=kn, kt=kt, gamman=gamman, gammat=gammat,
+                xmu=float(args[4]), dt=gdt, freeze_groupbit=fzbit,
+                max_radius=maxrad, history=name.endswith("history"))
+        elif name == "lj/cut/dipole/cut":
+            from .models.pair_dipole import make_lj_cut_dipole_cut
+
+            pair = make_lj_cut_dipole_cut(
+                self.ntypes, self._pair_coeff_dict(), float(args[0]),
+                float(args[1]) if len(args) > 1 else None,
+                qqrd2e=get_units(self.units_name).qqr2e,
+                mix=self.pair_modify.get("mix", "geometric"), dtype=dt)
+        elif name in ("sph/taitwater", "sph/taitwater/morris",
+                      "sph/rhosum") or (
+                name == "hybrid/overlay"
+                and any(w.startswith("sph/") for w in args)):
+            pair = self._build_sph_pair(name, args)
+        else:
+            raise ScriptError(f"pair style {name} unsupported")
+        return pair
 
     def _pair_cut_guess(self) -> float:
         if self.pair_style_words and len(self.pair_style_words) > 1:

@@ -146,10 +146,114 @@ def _parse_pair_coeffs(fix: dict, ntypes: int) -> dict:
     return coeffs
 
 
+def _is_float(t: str) -> bool:
+    try:
+        float(t)
+        return True
+    except ValueError:
+        return False
+
+
+def _build_hybrid_mol(fix, toks, ntypes, dtype, df, top, overlay):
+    """pair hybrid / hybrid/overlay over the mol-pair builder styles
+    (ref: src/pair_hybrid.cpp:90-240 sub-style routing). Repeated
+    sub-style names are disambiguated by the occurrence index token in
+    coeff rows (ref: pair_hybrid.cpp:389-404)."""
+    subs = []
+    for w in toks:
+        try:
+            float(w)
+            subs[-1][1].append(w)
+        except (ValueError, IndexError):
+            subs.append([w, []])
+    counts: dict = {}
+    occ = []
+    for n, _ in subs:
+        counts[n] = counts.get(n, 0) + 1
+        occ.append(counts[n])
+    total = dict(counts)
+
+    rows = parse_rows(fix.get("pair_coeff", ""))
+    per = [[] for _ in subs]
+    # assigned[(i,j)] = list of sub-style indices, IN ROW ORDER; a later
+    # `none` row clears the pair from every style (ref: pair_hybrid.cpp
+    # coeff() map rebuild; overlay appends, none resets)
+    assigned: dict = {}
+    for r in rows:
+        if len(r) < 3:
+            continue
+        ii = range(1, ntypes + 1) if r[0] == "*" else [int(r[0])]
+        jj = range(1, ntypes + 1) if r[1] == "*" else [int(r[1])]
+        ps = [(i, j) for i in ii for j in jj if j >= i]
+        if r[2] == "none":
+            for p_ in ps:
+                assigned[p_] = []
+            continue
+        sub, rest = r[2], list(r[3:])
+        k = 1
+        if total.get(sub, 0) > 1 and rest and rest[0].isdigit():
+            k = int(rest[0])
+            rest = rest[1:]
+        idx = next(i for i, ((n, _), o) in enumerate(zip(subs, occ))
+                   if n == sub and o == k)
+        per[idx].append(" ".join([r[0], r[1]] + rest))
+        for p_ in ps:
+            lst = assigned.setdefault(p_, [])
+            if overlay:
+                if idx not in lst:
+                    lst.append(idx)
+            else:
+                assigned[p_] = [idx]
+    # unset (i,j): mix within a sub-style only when both diagonals map to
+    # the SAME single sub-style (ref: pair_hybrid.cpp:708-719)
+    for i in range(1, ntypes + 1):
+        for j in range(i, ntypes + 1):
+            if (i, j) in assigned:
+                continue
+            di = assigned.get((i, i), [])
+            dj = assigned.get((j, j), [])
+            if len(di) == 1 and di == dj:
+                assigned[(i, j)] = list(di)
+            else:
+                raise ValueError(
+                    f"pair hybrid: coeffs for ({i},{j}) not set and not "
+                    "mixable")
+    pairs = [[] for _ in subs]
+    for (i, j), lst in assigned.items():
+        for idx in lst:
+            pairs[idx].append((i, j))
+    styles = []
+    for (n, a), rws, prs in zip(subs, per, pairs):
+        # a sub-style doesn't own every type: satisfy the single-style
+        # builder's (i,i)-set check with zero rows for foreign types —
+        # those pairs are masked out of this sub-style anyway (the
+        # reference calls each sub-style's init_one only for its own
+        # pairs, pair_hybrid.cpp:240)
+        have_diag = {i for (i, j) in prs if i == j}
+        arity = max((sum(1 for t in r.split()[2:] if _is_float(t))
+                     for r in rws), default=0)
+        for t in range(1, ntypes + 1):
+            if t not in have_diag:
+                rws = rws + [f"{t} {t} " + " ".join(["0"] * arity)]
+        sf = dict(fix)
+        sf["pair_style"] = " ".join([n] + a)
+        sf["pair_coeff"] = "\n".join(rws)
+        styles.append(build_pair_style(sf, ntypes, dtype=dtype, df=df,
+                                       top=top))
+    # overlay and plain hybrid share the mask machinery: overlay simply
+    # allows several sub-styles per pair (overlapping masks)
+    from lammps_kokkos_port_tpu.models.pair_zbl import make_hybrid
+
+    return make_hybrid(ntypes, list(zip(styles, pairs)))
+
+
 def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
                      top=None):
     words = fix["pair_style"].split()
     name = words[0]
+    if name in ("hybrid", "hybrid/overlay"):
+        return _build_hybrid_mol(fix, words[1:], ntypes, dtype, df, top,
+                                 overlay=name.endswith("overlay"))
     args = [float(w) for w in words[1:]]
     opts = _post_command_opts(fix)
     coeffs = _parse_pair_coeffs(fix, ntypes)

@@ -198,3 +198,37 @@ class TestEAMPallas:
             assert np.isfinite(rows[-1]["etotal"])
             drift[mode] = rows[-1]["etotal"] - rows[0]["etotal"]
         assert drift["sorted"] == pytest.approx(drift["matrix"], abs=1e-3)
+
+
+class TestEAMDenseAcceptance:
+    """Trajectory-level acceptance of the Chebyshev-resampled dense path —
+    the benched configuration (bench.py eam-32k runs sorted+Pallas over
+    these tables). Error budget: force err <= 2e-3 rel / energy <= 1e-5
+    rel per evaluation (pinned in TestEAMDense); this pins that the
+    TRAJECTORY stays physical over a bench/in.eam-protocol run: the
+    thermo table (temp, pe, etotal at every 50 steps) of the dense path
+    tracks the exact-spline path to thermostat-noise level, and the
+    energy-conservation quality (etotal drift) is indistinguishable."""
+
+    def test_200step_thermo_table_tracks_exact(self):
+        from lammps_kokkos_port_tpu.presets import eam_bulk_cu_sim
+
+        rows = {}
+        for mode in ("matrix", "grid"):  # exact splines vs dense tables
+            sim = eam_bulk_cu_sim(cells=8, dtype=jnp.float64)
+            sim._list_mode_req = mode
+            sim.setup()
+            rows[mode] = sim.run(200, thermo_every=50)
+        for ra, rb in zip(rows["matrix"], rows["grid"]):
+            # temp diverges chaotically from the per-eval force error;
+            # 200 steps of lyapunov growth on 2k atoms stays well under
+            # 1% in practice — this bound fails loudly if the dense path
+            # ever departs from the exact trajectory class
+            assert rb["temp"] == pytest.approx(ra["temp"], rel=2e-2)
+            assert rb["pe"] == pytest.approx(ra["pe"], rel=2e-4)
+            assert rb["etotal"] == pytest.approx(ra["etotal"], rel=2e-4)
+        da = rows["matrix"][-1]["etotal"] - rows["matrix"][0]["etotal"]
+        db = rows["grid"][-1]["etotal"] - rows["grid"][0]["etotal"]
+        n = 8 * 8 * 8 * 4
+        # conservation quality per atom must match the exact path
+        assert abs(db - da) / n < 5e-4

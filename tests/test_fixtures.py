@@ -72,6 +72,9 @@ PAIR_FIXTURES = [
     "mol-pair-lj_expand_coul_long.yaml",
     "mol-pair-born_coul_long.yaml",
     "mol-pair-zero.yaml",
+    "mol-pair-hybrid.yaml",
+    "mol-pair-hybrid-overlay.yaml",
+    "mol-pair-hybrid_multiple.yaml",
     # mol-pair-coul_msm.yaml: our coul/msm matches the CURRENT reference
     # source formula (pair_coul_msm.cpp egamma/fgamma, order-10 gamma)
     # but the committed yaml values differ by ~0.5% systematically —
