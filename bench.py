@@ -163,10 +163,12 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"chute-32k failed: {e}")
 
-    # -- secondary: rhodo-class 32k (CHARMM water + PPPM + SHAKE + NPT) -----
+    # -- secondary: rhodo-class 32k (water + CH2 chains, FULL style stack:
+    # CHARMM bond/angle/dihedral/improper + 1-4 + mass-SHAKE + PPPM + NPT,
+    # term ratios matching log.6Oct16.rhodo.fixed.icc.1) -------------------
     # baseline 0.341 M atom-steps/s = bench/log.6Oct16.rhodo.fixed.icc.4
     # (4 CPU cores, 2016); the reference data file is stripped, so the
-    # system is synthesized at the same scale (benchmarks/make_rhodo_water)
+    # system is synthesized at the same scale (benchmarks/make_rhodo_mix)
     try:
         import os as _os
         import sys as _sys
@@ -174,17 +176,17 @@ def main():
 
         _sys.path.insert(0, _os.path.join(
             _os.path.dirname(_os.path.abspath(__file__)), "benchmarks"))
-        from make_rhodo_water import write_data
+        from make_rhodo_mix import write_data
 
         from lammps_kokkos_port_tpu.script import LammpsScript
 
         with _tf.TemporaryDirectory() as td:
-            data = _os.path.join(td, "data.rhodo-water")
-            write_data(data, nside=22)  # 31,944 atoms
+            data = _os.path.join(td, "data.rhodo-mix")
+            write_data(data)  # 31,950 atoms, 51.6k dihedrals
             deck = open(_os.path.join(
                 _os.path.dirname(_os.path.abspath(__file__)),
-                "benchmarks", "in.rhodo-water")).read()
-            deck = deck.replace("read_data       data.rhodo-water",
+                "benchmarks", "in.rhodo-mix")).read()
+            deck = deck.replace("read_data       data.rhodo-mix",
                                 f"read_data       {data}")
             deck = deck.replace("run             100", "run 0")
             s = LammpsScript(dtype=jnp.float32, list_mode="molcell")
@@ -217,7 +219,7 @@ def main():
         t1, t2 = timed(1), timed(3)
         per = (t2 - t1) / 40
         r = n / per
-        log(f"rhodo-32k [molcell charmm+pppm+shake+npt]: {r/1e6:.3f} M "
+        log(f"rhodo-32k [molcell full-charmm+pppm+shake+npt]: {r/1e6:.3f} M "
             f"atom-steps/s ({per*1e3:.2f} ms/step), vs CPU baseline "
             f"{r/0.341e6:.1f}x")
         extra["rhodo_32k_atom_steps_per_sec"] = round(r)

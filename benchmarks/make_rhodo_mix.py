@@ -59,16 +59,29 @@ def water_geometry():
 
 
 def chain_geometry(nc):
-    """Zig-zag (CH2)_nc backbone along x; H pair along +/-y."""
+    """All-trans (CH2)_nc: zig-zag backbone along x in the xz plane, H
+    pairs tetrahedral — along the NEGATIVE bisector of the two C-C bonds,
+    splayed +/-y by half the H-C-H angle (107 deg). This gives standard
+    alkane geometry: gauche 1-4 H..H ~2.5 A (a naive coplanar-H layout
+    puts them at 1.3 A and the 1-4 LJ through the dihedral explodes)."""
     th = np.deg2rad(113.6) / 2.0
     dx = R_CC * np.sin(th)
     dz = R_CC * np.cos(th)
+    beta = np.deg2rad(107.0) / 2.0
+    C = np.array([[i * dx, 0.0, (i % 2) * dz] for i in range(nc)])
     xs = []
     for i in range(nc):
-        c = np.array([i * dx, 0.0, (i % 2) * dz])
-        h1 = c + np.array([0.0, R_CH * 0.94, (-1) ** (i % 2) * R_CH * 0.34])
-        h2 = c + np.array([0.0, -R_CH * 0.94, (-1) ** (i % 2) * R_CH * 0.34])
-        xs.extend([c, h1, h2])
+        d = []
+        if i > 0:
+            d.append(C[i - 1] - C[i])
+        if i < nc - 1:
+            d.append(C[i + 1] - C[i])
+        u = sum(v / np.linalg.norm(v) for v in d)
+        nu = np.linalg.norm(u)
+        u = u / nu if nu > 1e-9 else np.array([0.0, 0.0, 1.0])
+        h1 = -u * np.cos(beta) + np.array([0, 1, 0]) * np.sin(beta)
+        h2 = -u * np.cos(beta) - np.array([0, 1, 0]) * np.sin(beta)
+        xs.extend([C[i], C[i] + R_CH * h1, C[i] + R_CH * h2])
     return np.asarray(xs)  # [3*nc, 3], order C,H,H per carbon
 
 
