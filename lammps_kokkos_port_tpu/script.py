@@ -1096,13 +1096,31 @@ class LammpsScript:
     def cmd_thermo(self, a):
         self.thermo_every = int(a[0])
 
+    # fixed keyword lines of the non-custom styles
+    # (ref: src/thermo.cpp:74-85 ONE/MULTI/YAML constants)
+    _MULTI_COLS = ["etotal", "ke", "temp", "pe", "ebond", "eangle",
+                   "edihed", "eimp", "evdwl", "ecoul", "elong", "press"]
+    _YAML_COLS = ["step", "temp", "ke", "pe", "ebond", "eangle", "edihed",
+                  "eimp", "evdwl", "ecoul", "elong", "press"]
+
     def cmd_thermo_style(self, a):
-        """thermo_style one|multi|custom <cols> (ref: src/thermo.cpp set_style;
-        `multi` keeps the default table — the reference's multi format is a
-        different layout of the same keywords)."""
-        if a[0] in ("one", "multi"):
+        """thermo_style one|multi|yaml|custom <cols> (ref: src/thermo.cpp
+        Thermo::Thermo style selection + format(): `multi` renders
+        `Name     = value` fields three per line under a Step/CPU banner,
+        `yaml` a `keywords:`/`data:` document)."""
+        if a[0] == "one":
             self.thermo_style = None
+            self._thermo_lineflag = "one"
             return
+        if a[0] == "multi":
+            self.thermo_style = list(self._MULTI_COLS)
+            self._thermo_lineflag = "multi"
+            return
+        if a[0] == "yaml":
+            self.thermo_style = list(self._YAML_COLS)
+            self._thermo_lineflag = "yaml"
+            return
+        self._thermo_lineflag = "one"
         if a[0] != "custom":
             raise ScriptError(f"thermo_style {a[0]} unsupported")
         cols = []
@@ -1367,24 +1385,53 @@ class LammpsScript:
             row.update(self._component_energies(sim))
 
         parts = []
+        vals = []
         for c in self._thermo_columns():
             if c.startswith("c_"):
                 row[c] = float(self.get_compute(c[2:]))
                 parts.append("{:>14.8g}".format(row[c]))
+                vals.append((c, row[c], False))
                 continue
             if c.startswith("v_"):
                 row[c] = float(self._eval_expr(self._equal_vars[c[2:]]))
                 parts.append("{:>14.8g}".format(row[c]))
+                vals.append((c, row[c], False))
                 continue
             if c.startswith("f_"):
                 fxe = next((fx.energy(sim.state) for fx in sim.fixes), None)
                 row[c] = float(fxe) if fxe is not None else 0.0
                 parts.append("{:>14.8g}".format(row[c]))
+                vals.append((c, row[c], False))
                 continue
             fmt = self._THERMO_COLS[c][1]
             v = row[c]
             parts.append(fmt.format(int(v) if "d" in fmt else v))
-        self._emit(" ".join(parts))
+            vals.append((c, v, "d" in fmt))
+        lineflag = getattr(self, "_thermo_lineflag", "one")
+        if lineflag == "multi":
+            # banner + `Name     = value` fields, three per line
+            # (ref: src/thermo.cpp FORMAT_MULTI_HEADER + format() MULTILINE)
+            lines = ["------------ Step {:>14} ----- CPU = {:>12.7g} (sec) "
+                     "-------------".format(step_no, row["cpu"])]
+            for i, (c, v, is_int) in enumerate(vals):
+                name = (self._THERMO_COLS[c][0]
+                        if c in self._THERMO_COLS else c)
+                field = ("{:<8} = {:>14d}" if is_int
+                         else "{:<8} = {:>14.4f}").format(
+                    name, int(v) if is_int else v)
+                if i % 3 == 0:
+                    lines.append(field)
+                else:
+                    lines[-1] += " " + field
+            self._emit("\n".join(lines))
+        elif lineflag == "yaml":
+            # (ref: src/thermo.cpp format() YAMLLINE: "  - [v, v, ...]")
+            self._emit("  - [" + ", ".join(
+                ("{:d}" if is_int else "{:.15g}").format(
+                    int(v) if is_int else v)
+                for _, v, is_int in vals) + "]")
+        else:
+            self._emit(" ".join(parts))
         if not all(math.isfinite(v) for v in row.values()
                    if isinstance(v, float)):
             raise ScriptError(f"non-finite thermo at step {step_no}: {row}")
@@ -1467,9 +1514,16 @@ class LammpsScript:
             sim.state = sim.integrator.refresh_segment(sim.state)
             for fx in sim.fixes:
                 sim.state = fx.refresh_segment(sim.state)
-        self._emit(" ".join(
-            (self._THERMO_COLS[c][0] if c in self._THERMO_COLS else c)
-            for c in self._thermo_columns()))
+        lineflag = getattr(self, "_thermo_lineflag", "one")
+        if lineflag == "yaml":
+            # (ref: src/thermo.cpp Thermo::header YAMLLINE branch)
+            self._emit("---\nkeywords: [" + ", ".join(
+                f"'{self._THERMO_COLS[c][0] if c in self._THERMO_COLS else c}'"
+                for c in self._thermo_columns()) + "]\ndata:")
+        elif lineflag != "multi":  # multi prints no column header
+            self._emit(" ".join(
+                (self._THERMO_COLS[c][0] if c in self._THERMO_COLS else c)
+                for c in self._thermo_columns()))
         t0 = time.perf_counter()
         self._thermo_prev = (sim.ntimestep, 0.0)
         self._run_end = sim.ntimestep + nsteps
