@@ -322,7 +322,11 @@ class FixShakeClusters(AuxFix):
                 lam_new = Ainv @ b
                 return lam_new, lam, it + 1
 
-            lam0 = jnp.zeros(3)
+            # derive the zero init from r so the carry inherits r's
+            # varying manual axes under shard_map (parallel/molecular.py
+            # runs this solve per shard; a plain jnp.zeros carry would be
+            # unvarying and fail while_loop's carry-type check)
+            lam0 = 0.0 * r[:, 0]
             lam_it, _, _ = jax.lax.while_loop(cond, body,
                                               (lam0, lam0, 0))
             lam = jnp.where(nc == 1,

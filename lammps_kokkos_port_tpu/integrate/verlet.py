@@ -206,13 +206,10 @@ def make_step(
         getattr(fx, "needs_virial", False) for fx in fixes)
 
     def list_ops(nl):
-        from ..ops import cellforce, gridforce, molcell, sortedforce, \
-            zcolforce
+        from ..ops import cellforce, gridforce, molcell, sortedforce
 
         if isinstance(nl, molcell.MolCells):
             return molcell
-        if isinstance(nl, zcolforce.ZColCells):
-            return zcolforce
         if isinstance(nl, sortedforce.SortedCells):
             return sortedforce
         if isinstance(nl, gridforce.GridCells):

@@ -64,8 +64,7 @@ class ForceField:
         """Evaluate only the listed force categories — the rRESPA level
         slicing hook (ref: src/respa.cpp level_bond/level_pair assignment;
         each level's force pass runs a subset of the styles)."""
-        from ..ops import cellforce, gridforce, molcell, sortedforce, \
-            zcolforce
+        from ..ops import cellforce, gridforce, molcell, sortedforce
 
         if isinstance(nl, molcell.MolCells):
             # dense molecular cell path: pair (with charges + special
@@ -99,9 +98,9 @@ class ForceField:
             return f, epair, emol, virial
 
         if isinstance(nl, (cellforce.CellListDense, gridforce.GridCells,
-                           sortedforce.SortedCells, zcolforce.ZColCells)):
+                           sortedforce.SortedCells)):
             # dense fast paths: pair-only force fields (see ops/cellforce,
-            # ops/gridforce, ops/sortedforce, ops/zcolforce; two-pass styles
+            # ops/gridforce, ops/sortedforce; two-pass styles
             # like EAM take ops/eamdense)
             if getattr(self.pair, "is_granular", False):
                 # granular styles own their dense dispatch (ops/grangrid
@@ -114,8 +113,6 @@ class ForceField:
                 from ..ops import eamdense
 
                 ops = eamdense
-            elif isinstance(nl, zcolforce.ZColCells):
-                ops = zcolforce
             elif isinstance(nl, sortedforce.SortedCells):
                 ops = sortedforce
             elif isinstance(nl, gridforce.GridCells):

@@ -45,19 +45,60 @@ def erfc_ref(grij):
     return t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
 
 
-def coul_long_terms(r2, qiqj, qqrd2e, g_ewald, factor_coul, eflag):
+# CORESHELL constants (ref: src/CORESHELL/pair_coul_long_cs.cpp:27-38):
+# note the cs styles use their OWN t-parameter EWALD_P_CS, not the base
+# styles' 0.3275911
+EWALD_P_CS = 9.95473818e-1
+EPS_EWALD = 1.0e-6
+EPS_EWALD_SQR = 1.0e-12
+B0 = -0.1335096380159268
+B1 = -2.57839507e-1
+B2 = -1.37203639e-1
+B3 = -8.88822059e-3
+B4 = -5.80844129e-3
+B5 = 1.14652755e-1
+
+
+def erfc_cs(grij):
+    """The CORESHELL styles' erfc approximation — the B-polynomial in
+    u = 1-t with t = 1/(1+EWALD_P_CS*x) (ref: pair_coul_long_cs.cpp:28-34,
+    116), NOT the base styles' A-form; the two differ at ~1e-7, which the
+    cs fixtures' goldens bake in."""
+    t = 1.0 / (1.0 + EWALD_P_CS * grij)
+    u = 1.0 - t
+    return t * (1.0 + u * (B0 + u * (B1 + u * (B2 + u * (B3 + u * (
+        B4 + u * B5))))))
+
+
+def coul_long_terms(r2, qiqj, qqrd2e, g_ewald, factor_coul, eflag,
+                    cs=False):
     """Real-space Ewald coulomb: (forcecoul, ecoul), both premasked by the
-    caller's cutoff. forcecoul is F*r (divide by r2 for fpair)."""
+    caller's cutoff. forcecoul is F*r (divide by r2 for fpair).
+
+    `cs` selects the CORESHELL variant (ref: src/CORESHELL/
+    pair_coul_long_cs.cpp:99-165): the B-form erfc for every pair, and
+    special (factor_coul < 1) pairs evaluated at r + EPS_EWALD with the
+    force divided by rsq + EPS_EWALD_SQR, so coincident core/shell
+    charges (r = 0, interaction removed by the special subtraction) stay
+    finite. The caller divides by rsq, so the modified division is folded
+    in as a rsq/(rsq+EPS_EWALD_SQR) factor."""
     r = jnp.sqrt(r2)
+    sp = None
+    if cs and factor_coul is not None:
+        sp = factor_coul < 1.0
+        r = jnp.where(sp, r + EPS_EWALD, r)
     grij = g_ewald * r
     expm2 = jnp.exp(-grij * grij)
-    erfc = erfc_ref(grij) * expm2
+    erfc = (erfc_cs(grij) if cs else erfc_ref(grij)) * expm2
     prefactor = qqrd2e * qiqj / r
     forcecoul = prefactor * (erfc + EWALD_F * grij * expm2)
     ecoul = prefactor * erfc if eflag else None
     if factor_coul is not None:
         sub = (1.0 - factor_coul) * prefactor
         forcecoul = forcecoul - sub
+        if sp is not None:
+            forcecoul = jnp.where(
+                sp, forcecoul * r2 / (r2 + EPS_EWALD_SQR), forcecoul)
         if eflag:
             ecoul = ecoul - sub
     return forcecoul, ecoul
@@ -74,7 +115,8 @@ def coul_cut_terms(r2, qiqj, qqrd2e, factor_coul, eflag):
 _CHARMM_FIELDS = ["lj1", "lj2", "lj3", "lj4", "lj14_1", "lj14_2", "lj14_3",
                   "lj14_4", "eps", "sigma"]
 _CHARMM_META = ["ntypes", "cut_lj_inner", "cut_lj", "cut_coul", "g_ewald",
-                "coul_mode", "lj_switch", "cut_coul_inner", "mix_kind"]
+                "coul_mode", "lj_switch", "cut_coul_inner", "mix_kind",
+                "cs"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -115,6 +157,8 @@ class PairLJCharmmCoulLong:
     # VPU instead of 4 table gathers per pair per step — TPU gathers are
     # the molecular bottleneck, see bench rhodo notes)
     mix_kind: str = ""
+    # CORESHELL coul/long/cs variant (see coul_long_terms)
+    cs: bool = False
 
     def cutsq_table(self) -> Array:
         cut = max(self.cut_lj, self.cut_coul if self.coul_mode != "none" else 0.0)
@@ -253,7 +297,8 @@ class PairLJCharmmCoulLong:
             qiqj = pki[..., 3] * pkj[..., 3]
             if self.coul_mode == "long":
                 forcecoul, ec = coul_long_terms(
-                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, True)
+                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, True,
+                    cs=self.cs)
             elif self.coul_mode == "charmm":
                 pref = qqrd2e * qiqj * jnp.sqrt(r2inv)
                 in_sq = self.cut_coul_inner * self.cut_coul_inner
@@ -353,7 +398,8 @@ class PairLJCharmmCoulLong:
             qiqj = pk_rows[:, None, 3] * pj[..., 3]
             if self.coul_mode == "long":
                 forcecoul, ec = coul_long_terms(
-                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, eflag)
+                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, eflag,
+                    cs=self.cs)
             elif self.coul_mode == "charmm":
                 pref = qqrd2e * qiqj * jnp.sqrt(r2inv)
                 in_sq = self.cut_coul_inner * self.cut_coul_inner
@@ -463,7 +509,8 @@ class PairLJCharmmCoulLong:
             qiqj = qi * qj
             if self.coul_mode == "long":
                 forcecoul, ec = coul_long_terms(
-                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, eflag
+                    r2s, qiqj, qqrd2e, self.g_ewald, fcoul, eflag,
+                    cs=self.cs
                 )
             elif self.coul_mode == "charmm":
                 # CHARMM energy-switched plain coulomb: FORCE is scaled by
@@ -643,7 +690,7 @@ def make_lj_cut_coul(
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["cutsq"], meta_fields=["ntypes", "cut_coul", "g_ewald",
-                                             "coul_mode"])
+                                             "coul_mode", "cs"])
 @dataclasses.dataclass(frozen=True)
 class PairCoul:
     """pair_style coul/long or coul/cut (no LJ)
@@ -656,6 +703,7 @@ class PairCoul:
     cut_coul: float
     g_ewald: float = 0.0
     coul_mode: str = "long"
+    cs: bool = False  # CORESHELL coul/long/cs (see coul_long_terms)
 
     @staticmethod
     def create(ntypes, cut_coul, coeffs=None, g_ewald=0.0, coul_mode="long",
@@ -716,7 +764,8 @@ class PairCoul:
         qj = state.q[jc]
         if self.coul_mode == "long":
             forcecoul, ec = coul_long_terms(
-                r2s, qi * qj, qqrd2e, self.g_ewald, fcoul, eflag
+                r2s, qi * qj, qqrd2e, self.g_ewald, fcoul, eflag,
+                cs=self.cs
             )
         else:
             forcecoul, ec = coul_cut_terms(r2s, qi * qj, qqrd2e, fcoul, eflag)

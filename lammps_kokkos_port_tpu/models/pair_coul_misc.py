@@ -185,7 +185,7 @@ def coul_msm_terms(r2, qiqj, qqrd2e, split_order, cut_coul, factor_coul,
     jax.tree_util.register_dataclass,
     data_fields=["vdw", "cut_coulsq_tab"],
     meta_fields=["ntypes", "coul_mode", "alpha", "cut_coul", "g_ewald",
-                 "self_energy", "dsf_poly"],
+                 "self_energy", "dsf_poly", "cs"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairVdwCoul:
@@ -212,6 +212,9 @@ class PairVdwCoul:
     # erfcx (pair_born_coul_dsf.cpp:136). None = poly iff no vdw (the
     # born-style default).
     dsf_poly: bool | None = None
+    # CORESHELL variant flag for coul_mode="long" (the */cs styles,
+    # ref: src/CORESHELL/pair_*_cs.cpp — see coul_long_terms)
+    cs: bool = False
 
     def max_cutoff(self) -> float:
         vc = self.vdw.max_cutoff() if self.vdw is not None else 0.0
@@ -288,7 +291,7 @@ class PairVdwCoul:
                                        fcoul, eflag)
             elif self.coul_mode == "long":
                 fc, e = coul_long_terms(r2s, qiqj, qqrd2e, self.g_ewald,
-                                        fcoul, eflag)
+                                        fcoul, eflag, cs=self.cs)
             else:
                 fc, e = coul_cut_terms(r2s, qiqj, qqrd2e, fcoul, eflag)
             fpair = fpair + jnp.where(con, fc, 0.0) / r2s

@@ -1029,3 +1029,250 @@ def make_pair_table(ntypes, rows, tabstyle, tablength, dtype=jnp.float64):
         offset=jnp.asarray(np.zeros_like(cut_tab), dtype=dtype),
         ntypes=ntypes, cut_max=float(cut_tab.max()), tabstyle=tabstyle,
         tablength=tablength)
+
+
+# ---------------------------------------------------------------------------
+# ZBL universal screened nuclear repulsion (ref: src/pair_zbl.cpp,
+# src/pair_zbl_const.h)
+# ---------------------------------------------------------------------------
+
+_ZBL_C = (0.02817, 0.28022, 0.50986, 0.18175)
+_ZBL_D = (0.20162, 0.40290, 0.94229, 3.19980)
+_ZBL_P = 0.23
+_ZBL_A0 = 0.46850
+
+
+@_pairstyle(["zze", "ainv"], meta=("ntypes", "cut_max", "cut_inner"))
+class PairZBL(_SimplePair):
+    """ZBL screening: E = Zi Zj e^2/r * phi(r/a) with the universal
+    4-exponential phi, C2-switched to zero between cut_inner and
+    cut_global (ref: pair_zbl.cpp:113-141 compute, :480-520 switch
+    construction). Special-bond weights are NOT applied by the style
+    (the reference's compute never reads factor_lj) — excluded pairs
+    vanish only via the neighbor list's special exclusion."""
+
+    zze: Array   # [nt+1, nt+1] Zi Zj qqr2e qe^2
+    ainv: Array  # [nt+1, nt+1] 1/a screening length
+    cutsq: Array
+    offset: Array  # unused
+    ntypes: int
+    cut_max: float
+    cut_inner: float = 0.0
+
+    no_special_lj = True  # see class docstring
+
+    def _ederiv(self, zze, ainv, r):
+        """(E, dE/dr, d2E/dr2) of the raw ZBL energy."""
+        rinv = 1.0 / r
+        s = sp = spp = 0.0
+        for ck, dk in zip(_ZBL_C, _ZBL_D):
+            da = dk * ainv
+            e = ck * jnp.exp(-da * r)
+            s = s + e
+            sp = sp - da * e
+            spp = spp + da * da * e
+        E = zze * s * rinv
+        dE = zze * (sp * rinv - s * rinv * rinv)
+        d2E = zze * (spp * rinv - 2.0 * sp * rinv * rinv
+                     + 2.0 * s * rinv ** 3)
+        return E, dE, d2E
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        zze = self._p(self.zze, ti, tj)
+        ainv = self._p(self.ainv, ti, tj)
+        rc = self.cut_max
+        ci = self.cut_inner
+        tc = rc - ci
+        r = jnp.sqrt(r2)
+        E, dE, _ = self._ederiv(zze, ainv, r)
+        fc, fcp, fcpp = self._ederiv(zze, ainv, jnp.asarray(rc, r.dtype))
+        swa = (-3.0 * fcp + tc * fcpp) / (tc * tc)
+        swb = (2.0 * fcp - tc * fcpp) / (tc ** 3)
+        sw5 = -fc + (tc / 2.0) * fcp - (tc * tc / 12.0) * fcpp
+        t = r - ci
+        fsw = jnp.where(r2 > ci * ci, t * t * (swa + swb * t), 0.0)
+        fpair = -(dE + fsw) / r  # ref: fpair *= -1.0/r on dzbldr+fswitch
+        e = None
+        if eflag:
+            esw = jnp.where(r2 > ci * ci,
+                            t ** 3 * (swa / 3.0 + (swb / 4.0) * t), 0.0)
+            e = E + sw5 + esw
+        return fpair, e
+
+
+def make_zbl(ntypes, coeffs, cut_inner, cut_global, qqr2e,
+             qelectron=1.0, dtype=jnp.float64):
+    """coeffs[(i,j)] = (zi, zj); z set per i-i, cross terms from z[i],z[j]
+    (ref: pair_zbl.cpp coeff/init_one set_coeff)."""
+    z = np.zeros(ntypes + 1)
+    for (i, j), c in coeffs.items():
+        if i == j:
+            z[i] = c[0]
+    zze = np.zeros((ntypes + 1, ntypes + 1))
+    ainv = np.zeros((ntypes + 1, ntypes + 1))
+    for i in range(1, ntypes + 1):
+        for j in range(1, ntypes + 1):
+            zi, zj = z[i], z[j]
+            if zi == 0.0 or zj == 0.0:
+                continue
+            a = _ZBL_A0 / (zi ** _ZBL_P + zj ** _ZBL_P)
+            ainv[i, j] = 1.0 / a
+            zze[i, j] = zi * zj * qqr2e * qelectron * qelectron
+    cutsq = np.full((ntypes + 1, ntypes + 1), cut_global * cut_global)
+    return PairZBL(
+        zze=jnp.asarray(zze, dtype=dtype),
+        ainv=jnp.asarray(ainv, dtype=dtype),
+        cutsq=jnp.asarray(cutsq, dtype=dtype),
+        offset=jnp.zeros_like(jnp.asarray(cutsq, dtype=dtype)),
+        ntypes=ntypes, cut_max=float(cut_global),
+        cut_inner=float(cut_inner))
+
+
+# ---------------------------------------------------------------------------
+# MDF-tapered pair styles: lj/mdf, lennard/mdf, buck/mdf
+# (ref: src/EXTRA-PAIR/pair_lj_mdf.cpp:100-130 taper; pair_buck_mdf.cpp,
+# pair_lennard_mdf.cpp share it)
+# ---------------------------------------------------------------------------
+
+
+def _mdf_taper(r2, r, ci, rc):
+    """(tt, dt): the MDF taper and MINUS its derivative premultiplied by r
+    (ref: pair_lj_mdf.cpp tt/dt)."""
+    dp = rc - ci
+    d = (r - ci) / dp
+    dd = 1.0 - d
+    tt = (1.0 + 3.0 * d + 6.0 * d * d) * dd ** 3
+    dt = 30.0 * d * d * dd * dd * r / dp
+    inside = r2 <= ci * ci
+    return jnp.where(inside, 1.0, tt), jnp.where(inside, 0.0, dt)
+
+
+@_pairstyle(["eps", "sig"], meta=("ntypes", "cut_max", "cut_inner"))
+class PairLJMDF(_SimplePair):
+    """12-6 LJ x MDF taper (ref: pair_lj_mdf.cpp)."""
+
+    eps: Array
+    sig: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+    cut_inner: float = 0.0
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        eps = self._p(self.eps, ti, tj)
+        sig = self._p(self.sig, ti, tj)
+        r2inv = 1.0 / r2
+        s6 = sig ** 6
+        r6inv = r2inv ** 3 * s6
+        forcelj = r6inv * (48.0 * eps * r6inv - 24.0 * eps)
+        philj = r6inv * (4.0 * eps * r6inv - 4.0 * eps)
+        r = jnp.sqrt(r2)
+        tt, dt = _mdf_taper(r2, r, self.cut_inner, self.cut_max)
+        fpair = (forcelj * tt + philj * dt) * r2inv
+        e = philj * tt if eflag else None
+        return fpair, e
+
+
+@_pairstyle(["aa", "bb"], meta=("ntypes", "cut_max", "cut_inner"))
+class PairLennardMDF(_SimplePair):
+    """AB-form 12-6 (E = A/r^12 - B/r^6) x MDF taper
+    (ref: pair_lennard_mdf.cpp)."""
+
+    aa: Array
+    bb: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+    cut_inner: float = 0.0
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        A = self._p(self.aa, ti, tj)
+        B = self._p(self.bb, ti, tj)
+        r2inv = 1.0 / r2
+        r6inv = r2inv ** 3
+        forcelj = r6inv * (12.0 * A * r6inv - 6.0 * B)
+        philj = r6inv * (A * r6inv - B)
+        r = jnp.sqrt(r2)
+        tt, dt = _mdf_taper(r2, r, self.cut_inner, self.cut_max)
+        return (forcelj * tt + philj * dt) * r2inv, \
+            (philj * tt if eflag else None)
+
+
+@_pairstyle(["a", "rho", "c"], meta=("ntypes", "cut_max", "cut_inner"))
+class PairBuckMDF(_SimplePair):
+    """Buckingham x MDF taper (ref: pair_buck_mdf.cpp)."""
+
+    a: Array
+    rho: Array
+    c: Array
+    cutsq: Array
+    offset: Array
+    ntypes: int
+    cut_max: float
+    cut_inner: float = 0.0
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        A = self._p(self.a, ti, tj)
+        rho = self._p(self.rho, ti, tj)
+        C = self._p(self.c, ti, tj)
+        r2inv = 1.0 / r2
+        r6inv = r2inv ** 3
+        r = jnp.sqrt(r2)
+        ex = A * jnp.exp(-r / rho)
+        forcebuck = ex * r / rho - 6.0 * C * r6inv
+        phibuck = ex - C * r6inv
+        tt, dt = _mdf_taper(r2, r, self.cut_inner, self.cut_max)
+        return (forcebuck * tt + phibuck * dt) * r2inv, \
+            (phibuck * tt if eflag else None)
+
+
+def make_mdf(kind, ntypes, coeffs, cut_inner, cut_global,
+             dtype=jnp.float64, mix="geometric"):
+    cls, ncoeff = {"lj": (PairLJMDF, 2), "lennard": (PairLennardMDF, 2),
+                   "buck": (PairBuckMDF, 3)}[kind]
+    mixer = _std_mixer(mix)
+    tabs, cut = _mix_tables(ntypes, coeffs, ncoeff, cut_global, mixer,
+                            mix=mix)
+    return _finish(cls, ntypes, tabs, cut, dtype,
+                   cut_inner=float(cut_inner))
+
+
+@_pairstyle(["d0", "alpha", "r0"])
+class PairMorseSmoothLinear(_SimplePair):
+    """Morse, linear-smoothed to zero force+energy at the cutoff
+    (ref: src/EXTRA-PAIR/pair_morse_smooth_linear.cpp)."""
+
+    d0: Array
+    alpha: Array
+    r0: Array
+    cutsq: Array
+    offset: Array  # unused (the linear smoothing replaces offsets)
+    ntypes: int
+    cut_max: float
+
+    def pair_terms(self, r2, ti, tj, eflag):
+        D = self._p(self.d0, ti, tj)
+        a = self._p(self.alpha, ti, tj)
+        r0 = self._p(self.r0, ti, tj)
+        rc = jnp.sqrt(self._p(self.cutsq, ti, tj))
+        r = jnp.sqrt(r2)
+
+        def de(rr):
+            ex = jnp.exp(-a * (rr - r0))
+            e = D * (ex * ex - 2.0 * ex)
+            dedr = D * (-2.0 * a * ex * ex + 2.0 * a * ex)
+            return e, dedr
+
+        e_r, de_r = de(r)
+        e_c, de_c = de(rc)
+        fpair = (-(de_r) + de_c) / r
+        e = (e_r - e_c - (r - rc) * de_c) if eflag else None
+        return fpair, e
+
+
+def make_morse_smooth_linear(ntypes, coeffs, cut_global,
+                             dtype=jnp.float64, mix="geometric"):
+    return _mk(PairMorseSmoothLinear, ntypes, coeffs, 3, cut_global,
+               _std_mixer(mix), dtype, mix=mix)

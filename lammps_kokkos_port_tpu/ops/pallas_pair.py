@@ -213,12 +213,22 @@ _HALF = [(0, 0, 0), (0, 0, 1),
 
 
 def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
-                        gx, gy, gz, gi, fx, fy, fz, cand_scratch):
+                        gx, gy, gz, fx, fy, fz, cand_scratch,
+                        rev_scratch, zb: int = 2):
+    """v2 Newton-half column kernel (see benchmarks/prof/prof_halfv2.py
+    for the ablation): z-chunked pair math (register-resident
+    intermediates instead of whole-column VMEM sweeps), ZERO id lanes —
+    Newton i<j in the self block is a STATIC lane>sublane mask, non-self
+    blocks are always-valid by half-stencil construction, self pairs and
+    pad-pad pairs die on r2>0 (pads share the PAD_POS sentinel), pad-real
+    pairs die on distance — and reactions folded per (dx,dy) target in
+    registers (5 VMEM += instead of 42)."""
     pid = pl.program_id(0)
     nxi, nyi = jnp.int32(nx), jnp.int32(ny)
     cx = pid // nyi
     cy = pid - cx * nyi
     cutsq = key[-1]
+    NB = len(_HALF)
 
     @pl.when(pid == 0)
     def _():
@@ -243,17 +253,10 @@ def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
 
     for s, (dx, dy, dz) in enumerate(_HALF):
         ncol, sx, sy = ncols[(dx, dy)]
-        for ci, (ref, sh) in enumerate(((gx, sx), (gy, sy), (gz, None),
-                                        (gi, None))):
+        for ci, (ref, sh) in enumerate(((gx, sx), (gy, sy), (gz, None))):
             col = ref[ncol]
             if sh is not None:
                 col = col + sh
-            if ci == 3 and s > 0:
-                # non-self blocks pair with ANY valid candidate: bias their
-                # ids above every own id so one `own < cand` compare serves
-                # as both the Newton i<j ordering (self block) and the
-                # validity test (ids stay exact in f32 while 2*cap < 2^24)
-                col = jnp.where(col >= 0.0, col + float(idcap), -1.0)
             blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
             if ci == 2 and dz != 0:
                 seam = (zrow == (nz - 1 if dz > 0 else 0))
@@ -262,66 +265,75 @@ def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
                 ).astype(blk.dtype)
             cand_scratch[ci, :, s * cc:(s + 1) * cc] = blk
 
-    own_x = gx[pid][:, :, None]
-    own_y = gy[pid][:, :, None]
-    own_z = gz[pid][:, :, None]
-    own_i = gi[pid][:, :, None]
+    # static Newton mask: the self block (lanes [0, cc)) needs
+    # cand_sublane > own_sublane; non-self blocks are unconditionally
+    # valid (each cell pair appears exactly once in the half stencil)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cc, NB * cc), 2)
+    own_sub = jax.lax.broadcasted_iota(jnp.int32, (1, cc, NB * cc), 1)
+    newton = jnp.logical_or(lane >= cc, lane > own_sub)
 
-    dxv = own_x - cand_scratch[0][:, None, :]  # [nz, cc, 14cc]
-    dyv = own_y - cand_scratch[1][:, None, :]
-    dzv = own_z - cand_scratch[2][:, None, :]
-    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+    for z0 in range(0, nz, zb):
+        zs = slice(z0, min(z0 + zb, nz))
+        own_x = gx[pid, zs][:, :, None]
+        own_y = gy[pid, zs][:, :, None]
+        own_z = gz[pid, zs][:, :, None]
+        dxv = own_x - cand_scratch[0, zs][:, None, :]
+        dyv = own_y - cand_scratch[1, zs][:, None, :]
+        dzv = own_z - cand_scratch[2, zs][:, None, :]
+        r2 = dxv * dxv + dyv * dyv + dzv * dzv
+        valid = jnp.logical_and(
+            newton, jnp.logical_and(r2 < cutsq, r2 > 0.0))
+        r2s = jnp.where(valid, r2, 1.0)
+        fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+        fij_x = dxv * fpair
+        fij_y = dyv * fpair
+        fij_z = dzv * fpair
+        fx[pid, zs] += jnp.sum(fij_x, axis=-1)
+        fy[pid, zs] += jnp.sum(fij_y, axis=-1)
+        fz[pid, zs] += jnp.sum(fij_z, axis=-1)
+        rev_scratch[0, zs] = jnp.sum(fij_x, axis=-2)
+        rev_scratch[1, zs] = jnp.sum(fij_y, axis=-2)
+        rev_scratch[2, zs] = jnp.sum(fij_z, axis=-2)
 
-    ic = cand_scratch[3]
-    # one compare covers Newton i<j (self block) AND candidate validity
-    # (biased non-self ids). Padding rows sit at the PAD_POS sentinel
-    # (ops/sortedforce) so pad-vs-real pairs fail the cutoff by distance;
-    # pad-vs-pad pairs share id -1 and fail the i<j compare.
-    valid = jnp.logical_and(own_i < ic[:, None, :], r2 < cutsq)
-    r2s = jnp.where(valid, r2, 1.0)
-    fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
-
-    fij_x = dxv * fpair
-    fij_y = dyv * fpair
-    fij_z = dzv * fpair
-    fx[pid] += jnp.sum(fij_x, axis=-1)
-    fy[pid] += jnp.sum(fij_y, axis=-1)
-    fz[pid] += jnp.sum(fij_z, axis=-1)
-
-    # reactions: -sum over i per j-slot, rolled back to the target rows
-    rx = jnp.sum(fij_x, axis=-2)  # [nz, 14cc]
-    ry = jnp.sum(fij_y, axis=-2)
-    rz = jnp.sum(fij_z, axis=-2)
+    # fold reactions per (dx,dy) target column in registers
+    tacc = {}
     for s, (dx, dy, dz) in enumerate(_HALF):
-        ncol, _, _ = ncols[(dx, dy)]
-        for ref, r in ((fx, rx), (fy, ry), (fz, rz)):
-            blk = -r[:, s * cc:(s + 1) * cc]
+        for ci in range(3):
+            blk = -rev_scratch[ci, :, s * cc:(s + 1) * cc]
             if dz:
                 blk = pltpu.roll(blk, dz % nz, axis=0)
-            ref[ncol] += blk
+            a = tacc.setdefault((dx, dy), [None, None, None])
+            a[ci] = blk if a[ci] is None else a[ci] + blk
+    for (dx, dy), (bx, by, bz) in tacc.items():
+        ncol = ncols[(dx, dy)][0]
+        fx[ncol] += bx
+        fy[ncol] += by
+        fz[ncol] += bz
 
 
 @functools.partial(jax.jit, static_argnames=("key", "ncells", "idcap"))
 def column_half_force_pallas(key, ncells, idcap, gx, gy, gz, gi, prd):
-    """Newton-halved whole-grid-in-VMEM column kernel. idcap must exceed
-    every atom id (the id-bias validity trick needs own < id+idcap)."""
+    """Newton-halved whole-grid-in-VMEM column kernel (id-free v2:
+    `gi`/`idcap` are accepted for interface compatibility but unused —
+    validity comes from the static Newton mask + the PAD_POS sentinel)."""
+    del gi, idcap
     nx, ny, nz = ncells
     nxy, _, cc = gx.shape
     dt = gx.dtype
-    kern = functools.partial(_column_half_kernel, key, nx, ny, nz, cc,
-                             idcap)
+    kern = functools.partial(_column_half_kernel, key, nx, ny, nz, cc, 0)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     interpret = jax.default_backend() != "tpu"
     out_shape = [jax.ShapeDtypeStruct((nxy, nz, cc), dt) for _ in range(3)]
     return pl.pallas_call(
         kern,
         grid=(nxy,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 3,
         out_specs=[full] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((4, nz, len(_HALF) * cc), dt)],
+        scratch_shapes=[pltpu.VMEM((3, nz, len(_HALF) * cc), dt),
+                        pltpu.VMEM((3, nz, len(_HALF) * cc), dt)],
         interpret=interpret,
-    )(prd, gx, gy, gz, gi)
+    )(prd, gx, gy, gz)
 
 
 @functools.partial(jax.jit, static_argnames=("key", "ncells"))

@@ -179,7 +179,7 @@ def _local_perm(state: State, p: nbr.NeighborParams):
 def _apply_gather_perm(state: State, perm, overflow):
     """Permute by a dst->src gather permutation (`perm` [cap] source rows,
     >= cap entries -> padding). Used by layouts that compute the inverse
-    permutation directly (zcol argsort); the local re-binning path uses
+    permutation directly (cell-major argsort); the local re-binning path uses
     the forward-scatter `_apply_perm` instead."""
     cap = state.capacity
     valid = perm < cap

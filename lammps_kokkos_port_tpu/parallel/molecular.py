@@ -6,13 +6,50 @@ analog), restructured GSPMD-first:
   - shard_map ONLY where per-shard packing is irreducible: migration
     (pack + ppermute, ref: src/comm_brick.cpp exchange), border/ghost
     exchange (ref: borders/forward_comm), the per-shard neighbor build,
-    and the short-range force pass (pair + bonded on the halo-extended
-    arrays);
-  - everything else — velocity-Verlet integration, the global PPPM solve,
-    global reductions — lives at the GSPMD level on the [ndev, capS, ...]
-    sharded arrays, where XLA inserts the collectives (the sharded-grid
-    PPPM of models/pppm.py does its FFT all-to-alls this way; ref:
-    src/KSPACE/remap.cpp pencil transposes, SURVEY.md §2.12.6).
+    the short-range force pass (pair + bonded on the halo-extended
+    arrays), and the SHAKE cluster solve;
+  - everything else — velocity-Verlet / Nose-Hoover integration, the
+    global PPPM solve, global reductions (temperature, pressure) — lives
+    at the GSPMD level on the [ndev, capS, ...] sharded arrays, where XLA
+    inserts the collectives (the sharded-grid PPPM of models/pppm.py does
+    its FFT all-to-alls this way; ref: src/KSPACE/remap.cpp pencil
+    transposes, SURVEY.md §2.12.6).
+
+Integrators: the `integrator` argument accepts any integrate.verlet
+Integrator — including FixNVT / FixNPT / FixNPH (integrate/nh.py). The
+Nose-Hoover math runs UNMODIFIED on a "global view" State assembled from
+the flat sharded arrays: the chain scalars are replicated, the per-atom
+kicks/drifts/rescales are elementwise on sharded arrays, and the
+temperature / pressure reductions become XLA psums. The NPT box remap
+(ref: src/fix_nh.cpp:1068) dilates every shard's coordinates about the
+box center; slab ownership is expressed in fractional (lamda) coordinates
+so it is invariant under the dilation — the analog of the reference
+remapping sub-domain bounds in lamda space (src/domain.cpp x2lamda of
+subbox bounds).
+
+Virial for the barostat (ref: src/compute_pressure.cpp):
+  - pair: per-pair 0.5-weight tally over OWNED rows only (the pseudo
+    state's nlocal is set to capS so state.owned_mask excludes ghosts);
+    the per-shard partial sums add up to the exact global tally.
+  - bonded: terms are evaluated-for-force wherever they resolve, but
+    tallied-for-virial only on the shard that OWNS the term's first atom
+    (a canonical single count; the reference's newton-off ev_tally
+    fractional convention sums to the same global total).
+  - kspace: the global sharded-grid PPPM virial, computed once at GSPMD
+    level. PPPM must be built with dynamic=True under a barostat so the
+    influence function tracks the traced box (models/pppm.py).
+  - SHAKE constraint virial is not tallied (matching the single-chip
+    runner, whose force_fn supplies the virial before post_force fixes).
+
+SHAKE across shards (ref: src/fix_shake.cpp + its comm hooks): cluster
+atom TAGS are replicated like the bonded tables; each rebuild re-indexes
+them through the tag map. A cluster resolves on every shard that sees all
+its atoms (cluster extent << cutghost, so the owner of any cluster atom
+always resolves it); the constraint force lands only on locally-owned
+rows — each owned atom receives its constraint force exactly once. The
+solve needs authoritative v and f of ghost cluster atoms, so the SHAKE
+phase ships (x, v, f) through one extra border exchange per step (the
+analog of FixShake's forward comm of xshake, fix_shake.cpp:1556).
 
 Topology across shards (the NTopo analog, ref: src/ntopo_bond_all.cpp:38):
 bond/angle/dihedral/improper tables are kept REPLICATED with global atom
@@ -33,6 +70,8 @@ the reference's factor_lj/factor_coul weighting on every shard
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
@@ -66,14 +105,15 @@ def _pack(idx_key: Array, count_cap: int, *arrays):
 
 
 class ShardedMolecularMD:
-    """1-D slab-sharded NVE for molecular systems: pair (with special
-    weights) + bonded + PPPM every step, sharded-vs-single-chip exact."""
+    """1-D slab-sharded molecular MD: pair (with special weights) + bonded
+    + PPPM every step, with NVE (default), NVT, or NPT+SHAKE integration,
+    sharded-vs-single-chip exact."""
 
     def __init__(self, state: State, forcefield, mesh: Mesh | None = None,
                  dt: float | None = None, skin: float | None = None,
                  rebuild_every: int = 5, ghost_mult: float = 1.0,
                  cap_mult: float = 1.6, ghost_cap_mult: float = 2.0,
-                 mig_cap: int = 256):
+                 mig_cap: int = 256, integrator=None, shake=None):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("x",))
         self.mesh = mesh
@@ -82,7 +122,14 @@ class ShardedMolecularMD:
             raise ValueError("ShardedMolecularMD needs >= 2 shards")
         self.ff = forcefield
         self.units = get_units(state.units_name)
-        self.dt = float(dt) if dt is not None else self.units.dt
+        self.integrator = integrator
+        self.shake = shake
+        self._vflag = bool(integrator is not None
+                           and getattr(integrator, "needs_virial", False))
+        if integrator is not None:
+            self.dt = float(integrator.dt)
+        else:
+            self.dt = float(dt) if dt is not None else self.units.dt
         self.skin = float(skin) if skin is not None else self.units.skin
         self.rebuild_every = rebuild_every
         self.cutghost = (forcefield.max_cutoff() + self.skin) * ghost_mult
@@ -103,6 +150,8 @@ class ShardedMolecularMD:
         self._distribute(state, cap_mult, ghost_cap_mult)
         self._runner_cache = {}
         self.overflow = False
+        self._nh_aux = None
+        self._ntimestep = int(jax.device_get(state.ntimestep))
 
     # -- replicated tag-keyed topology ------------------------------------
 
@@ -147,6 +196,17 @@ class ShardedMolecularMD:
         else:
             self.stag = self.scls = None
             self.sp_weights = None
+
+        # SHAKE cluster tags (ref: fix_shake.cpp shake_atom tags)
+        if self.shake is not None and self.shake.atoms.shape[0]:
+            a = np.asarray(jax.device_get(self.shake.atoms))  # [NCL, 4]
+            cap = int(state.x.shape[0])
+            at = np.zeros_like(a)
+            real = a < cap
+            at[real] = tag[a[real]]
+            self.shake_tags = at  # pad slots -> tag 0 (tmap[0] is pinned)
+        else:
+            self.shake_tags = None
 
     # -- distribution -------------------------------------------------------
 
@@ -225,14 +285,16 @@ class ShardedMolecularMD:
         if self.stag is not None:
             self.stag_j = putr(self.stag)
             self.scls_j = putr(self.scls)
+        if self.shake_tags is not None:
+            self.shake_tags_j = putr(self.shake_tags.astype(np.int32))
 
     # -- per-shard comm/build phases (inside shard_map) ----------------------
 
     def _shard_fns(self):
         nd, capS, G, M = self.ndev, self.capS, self.G, self.mig_cap
-        box, mesh = self.box, self.mesh
-        cuts_j = jnp.asarray(self.cuts,
-                             dtype=np.dtype(self.global_state.dtype))
+        mesh = self.mesh
+        dt_np = np.dtype(self.global_state.dtype)
+        cuts_j = jnp.asarray(self.cuts, dtype=dt_np)
         perm_l = [(i, (i - 1) % nd) for i in range(nd)]
         perm_r = [(i, (i + 1) % nd) for i in range(nd)]
         has_q = self.qs is not None
@@ -242,8 +304,11 @@ class ShardedMolecularMD:
         p = self.nparams
         ntag = self.ntag
         sp_w = self.sp_weights
+        vflag = self._vflag
+        shake = self.shake
+        has_shake = self.shake_tags is not None
 
-        def migrate(x, v, typ, tag, q, msk):
+        def migrate(box, x, v, typ, tag, q, msk):
             me = jax.lax.axis_index("x")
             overflow = jnp.asarray(False)
             xw, _ = box.wrap(x, None)
@@ -290,7 +355,7 @@ class ShardedMolecularMD:
                 n_new = n_new + cnt
             return x2, v2, t2, g2, q2, msk2, overflow
 
-        def borders(x, msk):
+        def borders(box, x, msk):
             me = jax.lax.axis_index("x")
             prd_x = box.prd[0]
             lam = box.to_lamda(x)[:, 0]
@@ -314,39 +379,38 @@ class ShardedMolecularMD:
             shift_r = jnp.where(me == nd - 1, -prd_x, 0.0).astype(x.dtype)
             return sidx_l, sidx_r, shift_l, shift_r, overflow
 
-        def ghost_exchange(x, typ, tag, q, sidx_l, sidx_r, shift_l,
-                           shift_r):
-            def pack(sidx, shift):
-                valid = sidx < capS
-                safe = jnp.minimum(sidx, capS - 1)
-                gx = jnp.where(valid[:, None],
-                               x[safe] + jnp.stack(
-                                   [shift, jnp.zeros_like(shift),
-                                    jnp.zeros_like(shift)]), 0.0)
-                gt = jnp.where(valid, typ[safe], 0)
-                gg = jnp.where(valid, tag[safe], 0)
-                gq = jnp.where(valid, q[safe], 0.0) if has_q else None
-                gm = valid.astype(jnp.int32)
-                return [b for b in (gx, gt, gg, gq, gm) if b is not None]
+        def pack_side(arrays, x_shift, sidx, shift):
+            """Gather border rows; the FIRST array is x (gets the periodic
+            x-shift), the rest ship verbatim."""
+            valid = sidx < capS
+            safe = jnp.minimum(sidx, capS - 1)
+            out = []
+            for i, a in enumerate(arrays):
+                g = a[safe]
+                if i == 0 and x_shift:
+                    g = g + jnp.stack([shift, jnp.zeros_like(shift),
+                                       jnp.zeros_like(shift)])
+                fill = jnp.zeros((), a.dtype)
+                out.append(jnp.where(
+                    valid.reshape((-1,) + (1,) * (a.ndim - 1)), g, fill))
+            return out
 
-            gl = pack(sidx_l, shift_l)
-            gr = pack(sidx_r, shift_r)
+        def exchange(arrays, sidx_l, sidx_r, shl, shr, x_shift=True):
+            """Border-exchange a list of per-atom arrays; returns the two
+            received ghost blocks (from-left, from-right) in EXTEND order."""
+            gl = pack_side(arrays, x_shift, sidx_l, shl)
+            gr = pack_side(arrays, x_shift, sidx_r, shr)
             rl = [jax.lax.ppermute(b, "x", perm_l) for b in gl]
             rr = [jax.lax.ppermute(b, "x", perm_r) for b in gr]
-            return rl, rr
+            # ghosts FROM the left neighbor arrive via the rightward perm
+            return rr, rl
 
-        def extend(x, typ, tag, q, msk, rl, rr):
-            cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=0)
-            if has_q:
-                lx, lt, lg, lq, lm = rr  # ghosts FROM the left neighbor
-                hx, ht, hg, hq, hm = rl
-                q_ext = cat(q, lx * 0.0 if False else lq, hq)
-            else:
-                lx, lt, lg, lm = rr
-                hx, ht, hg, hm = rl
-                q_ext = None
-            return (cat(x, lx, hx), cat(typ, lt, ht), cat(tag, lg, hg),
-                    q_ext, cat(msk, lm, hm))
+        def ghost_mask(sidx_l, sidx_r):
+            ml = (sidx_l < capS).astype(jnp.int32)
+            mr = (sidx_r < capS).astype(jnp.int32)
+            rl = jax.lax.ppermute(mr, "x", perm_r)
+            rr = jax.lax.ppermute(ml, "x", perm_l)
+            return rl, rr
 
         def tag_map(tag_ext, m_ext):
             tmap = jnp.full((ntag + 1,), next_cap, dtype=jnp.int32)
@@ -355,14 +419,18 @@ class ShardedMolecularMD:
                 jnp.arange(next_cap, dtype=jnp.int32), mode="drop")
             return tmap.at[0].set(next_cap)
 
-        def local_topo(tmap, table):
+        def local_topo(tmap, table, canon=False):
             """(type, tags...) -> (type, ext rows...); unresolved -> type 0
-            (bonded_mod masks type 0 and drops rows >= capacity)."""
+            (bonded_mod masks type 0 and drops rows >= capacity). With
+            `canon`, additionally zero terms whose FIRST atom is a ghost —
+            the single-count table for energy/virial tallies."""
             if table.shape[0] == 0:
                 return table
             t = table[:, 0]
             rows = tmap[table[:, 1:]]
             found = jnp.all(rows < next_cap, axis=1)
+            if canon:
+                found = found & (rows[:, 0] < capS)
             return jnp.concatenate(
                 [jnp.where(found, t, 0)[:, None], rows], axis=1)
 
@@ -373,13 +441,23 @@ class ShardedMolecularMD:
             return SpecialBonds(idx=sidx, cls=scl, weights_lj=lj_w,
                                 weights_coul=coul_w, mode=mode)
 
-        def pseudo_state(x_ext, t_ext, m_ext, q_ext):
+        def local_shake(tmap):
+            rows = tmap[self.shake_tags_j]  # [NCL, 4]
+            # a cluster is active here only when EVERY real slot resolved
+            # (pad slots carry tag 0 -> row next_cap, excluded via nc)
+            pad = self.shake_tags_j == 0
+            ok = jnp.all((rows < next_cap) | pad, axis=1)
+            nc = jnp.where(ok, shake.nc, 0)
+            rows = jnp.where(ok[:, None], rows, next_cap)
+            return rows, nc
+
+        def pseudo_state(box, x_ext, t_ext, m_ext, q_ext):
             return State(
                 x=x_ext, v=jnp.zeros_like(x_ext), f=jnp.zeros_like(x_ext),
                 type=t_ext, tag=jnp.zeros_like(t_ext),
                 image=jnp.zeros(x_ext.shape[:1] + (3,), dtype=jnp.int32),
                 q=q_ext, molecule=None, box=box, mass=self.mass,
-                nlocal=jnp.asarray(0, jnp.int32), mask=m_ext,
+                nlocal=jnp.asarray(capS, jnp.int32), mask=m_ext,
                 virial=jnp.zeros(6, dtype=x_ext.dtype),
                 ntimestep=jnp.asarray(0, jnp.int32), aux={},
                 units_name=self.global_state.units_name,
@@ -391,23 +469,29 @@ class ShardedMolecularMD:
         def unlead(tree):
             return jax.tree.map(lambda a: a[0], tree)
 
-        def rebuild_sm(core):
-            x, v, typ, tag, q, msk = (core["x"][0], core["v"][0],
-                                      core["t"][0], core["g"][0],
-                                      core["q"][0] if has_q else None,
-                                      core["m"][0])
-            x, v, typ, tag, q, msk, overflow = migrate(x, v, typ, tag, q,
-                                                       msk)
-            sidx_l, sidx_r, shl, shr, ovb = borders(x, msk)
+        def rebuild_sm(core, box):
+            core = unlead(core)
+            x, v, typ, tag, q, msk = (core["x"], core["v"], core["t"],
+                                      core["g"],
+                                      core["q"] if has_q else None,
+                                      core["m"])
+            x, v, typ, tag, q, msk, overflow = migrate(box, x, v, typ, tag,
+                                                       q, msk)
+            sidx_l, sidx_r, shl, shr, ovb = borders(box, x, msk)
             overflow = overflow | ovb
-            rl, rr = ghost_exchange(x, typ, tag, q, sidx_l, sidx_r, shl,
-                                    shr)
-            x_ext, t_ext, g_ext, q_ext, m_ext = extend(x, typ, tag, q, msk,
-                                                       rl, rr)
+            arrays = [x, typ, tag] + ([q] if has_q else [])
+            rl, rr = exchange(arrays, sidx_l, sidx_r, shl, shr)
+            ml, mr = ghost_mask(sidx_l, sidx_r)
+            cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=0)
+            x_ext = cat(x, rl[0], rr[0])
+            t_ext = cat(typ, rl[1], rr[1])
+            g_ext = cat(tag, rl[2], rr[2])
+            q_ext = cat(q, rl[3], rr[3]) if has_q else None
+            m_ext = cat(msk, ml, mr)
             tmap = tag_map(g_ext, m_ext)
             sp = (local_special(tmap, g_ext)
                   if self.stag is not None else None)
-            ps = pseudo_state(x_ext, t_ext, m_ext, q_ext)
+            ps = pseudo_state(box, x_ext, t_ext, m_ext, q_ext)
             nl = nbr.build(ps, p, special=sp)
             overflow = overflow | nl.overflow
             topo = Topology(
@@ -415,140 +499,358 @@ class ShardedMolecularMD:
                 angles=local_topo(tmap, self.angles_j),
                 dihedrals=local_topo(tmap, self.dihedrals_j),
                 impropers=local_topo(tmap, self.impropers_j))
+            if vflag:
+                topo_c = Topology(
+                    bonds=local_topo(tmap, self.bonds_j, canon=True),
+                    angles=local_topo(tmap, self.angles_j, canon=True),
+                    dihedrals=local_topo(tmap, self.dihedrals_j,
+                                         canon=True),
+                    impropers=local_topo(tmap, self.impropers_j,
+                                         canon=True))
+            else:
+                topo_c = topo
+            cl = local_shake(tmap) if has_shake else ()
             core2 = {"x": x, "v": v, "t": typ, "g": tag, "m": msk,
+                     "t_ext": t_ext,
                      "sidx_l": sidx_l, "sidx_r": sidx_r,
                      "shl": shl, "shr": shr}
             if has_q:
                 core2["q"] = q
             sp_tree = ((sp.idx, sp.cls) if sp is not None else ())
-            return lead((core2, nl, topo, sp_tree, overflow))
+            return lead((core2, nl, topo, topo_c, sp_tree, cl, overflow))
 
-        def force_sm(core, nl, topo, sp_tree):
-            core, nl, topo, sp_tree = unlead((core, nl, topo, sp_tree))
+        def force_sm(core, box, nl, topo, topo_c, sp_tree):
+            core, nl, topo, topo_c, sp_tree = unlead(
+                (core, nl, topo, topo_c, sp_tree))
             x, typ, tag, msk = core["x"], core["t"], core["g"], core["m"]
             q = core["q"] if has_q else None
-            rl, rr = ghost_exchange(x, typ, tag, q, core["sidx_l"],
-                                    core["sidx_r"], core["shl"],
-                                    core["shr"])
-            x_ext, t_ext, g_ext, q_ext, m_ext = extend(x, typ, tag, q, msk,
-                                                       rl, rr)
-            ps = pseudo_state(x_ext, t_ext, m_ext, q_ext)
+            arrays = [x, typ, tag] + ([q] if has_q else [])
+            rl, rr = exchange(arrays, core["sidx_l"], core["sidx_r"],
+                              core["shl"], core["shr"])
+            ml, mr = ghost_mask(core["sidx_l"], core["sidx_r"])
+            cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=0)
+            x_ext = cat(x, rl[0], rr[0])
+            t_ext = cat(typ, rl[1], rr[1])
+            q_ext = cat(q, rl[3], rr[3]) if has_q else None
+            m_ext = cat(msk, ml, mr)
+            ps = pseudo_state(box, x_ext, t_ext, m_ext, q_ext)
             nl = nl.replace(xhold=x_ext) if hasattr(nl, "replace") else nl
             slj = scoul = None
             if sp_w is not None:
                 slj, scoul, _ = sp_w
+            virial = jnp.zeros(6, dtype=x.dtype)
             try:
-                f_ext, _, _ = ff.pair.compute(ps, nl, False, False,
-                                              special_lj=slj,
-                                              special_coul=scoul)
+                f_ext, _, vir = ff.pair.compute(ps, nl, False, vflag,
+                                                special_lj=slj,
+                                                special_coul=scoul)
             except TypeError:
-                f_ext, _, _ = ff.pair.compute(ps, nl, False, False)
+                f_ext, _, vir = ff.pair.compute(ps, nl, False, vflag)
+            if vflag and vir is not None:
+                virial = virial + vir
             for style, fn in ((ff.bond, bonded_mod.compute_bonds),
                               (ff.angle, bonded_mod.compute_angles)):
                 if style is not None:
                     out = fn(style, ps, topo, False, False)
                     if out is not None:
                         f_ext = f_ext + out[0]
-            if ff.dihedral is not None:
-                out = bonded_mod.compute_dihedrals(
-                    ff.dihedral, ps, topo, False, False, which="dihedrals")
-                if out is not None:
-                    f_ext = f_ext + out[0]
-            if ff.improper is not None:
-                out = bonded_mod.compute_dihedrals(
-                    ff.improper, ps, topo, False, False, which="impropers")
-                if out is not None:
-                    f_ext = f_ext + out[0]
-            return f_ext[:capS][None]
+                    if vflag:
+                        outc = fn(style, ps, topo_c, False, True)
+                        if outc is not None and outc[2] is not None:
+                            virial = virial + outc[2]
+            for style, which in ((ff.dihedral, "dihedrals"),
+                                 (ff.improper, "impropers")):
+                if style is not None:
+                    out = bonded_mod.compute_dihedrals(
+                        style, ps, topo, False, False, which=which)
+                    if out is not None:
+                        f_ext = f_ext + out[0]
+                    if vflag:
+                        outc = bonded_mod.compute_dihedrals(
+                            style, ps, topo_c, False, True, which=which)
+                        if outc is not None and outc[2] is not None:
+                            virial = virial + outc[2]
+                        if (outc is not None and outc[3] is not None
+                                and outc[3][1] is not None):
+                            # CHARMM 1-4 pair virial (ref:
+                            # dihedral_charmm.cpp:281 pair ev_tally)
+                            virial = virial + outc[3][1]
+            return lead((f_ext[:capS], virial))
 
-        # pytree-prefix specs: every leaf is per-shard with a leading axis
-        self._rebuild_sm = shard_map(rebuild_sm, mesh=mesh,
-                                     in_specs=P("x"), out_specs=P("x"),
-                                     )
-        self._force_sm = shard_map(force_sm, mesh=mesh,
-                                   in_specs=P("x"), out_specs=P("x"),
-                                   )
+        def shake_project_sm(core, box, cl):
+            """Coordinate projection onto the constraint manifold (ref:
+            FixShake::correct_coordinates, fix_shake.cpp:3243-3265, run at
+            every Verlet::setup): solve with xshake = x and apply the
+            dtfsq-free correction (1/m) sign lamda r to OWNED rows."""
+            core, cl = unlead((core, cl))
+            rows, ncc = cl
+            x, typ, msk = core["x"], core["t"], core["m"]
+            arrays = [x]
+            rl, rr = exchange(arrays, core["sidx_l"], core["sidx_r"],
+                              core["shl"], core["shr"])
+            x_ext = jnp.concatenate([x, rl[0], rr[0]], axis=0)
+            ml, mr = ghost_mask(core["sidx_l"], core["sidx_r"])
+            m_ext = jnp.concatenate([msk, ml, mr], axis=0)
+            ps = pseudo_state(box, x_ext, core["t_ext"], m_ext, None)
+            fsh = dataclasses.replace(shake, atoms=rows, nc=ncc)
+            df, im = fsh._solve(ps, x_ext, x_ext)
+            corr = df * im[..., None]
+            add = jnp.zeros_like(x_ext).at[rows.reshape(-1)].add(
+                corr.reshape(-1, 3).astype(x.dtype), mode="drop")
+            return lead(x + add[:capS])
+
+        def shake_sm(core, box, f, cl):
+            """SHAKE constraint force (ref: FixShake::post_force): ship
+            authoritative (x, v, f) ghosts, solve every locally-resolved
+            cluster, add df/dtfsq to OWNED rows. `dtfsq_fac` scales the
+            prediction horizon (1.0 in-run, 0.5 at setup)."""
+            core, f, cl = unlead((core, f, cl))
+            rows, nc = cl
+            x, v, msk = core["x"], core["v"], core["m"]
+            arrays = [x, v, f]
+            rl, rr = exchange(arrays, core["sidx_l"], core["sidx_r"],
+                              core["shl"], core["shr"])
+            cat = lambda a, b, c: jnp.concatenate([a, b, c], axis=0)
+            x_ext = cat(x, rl[0], rr[0])
+            v_ext = cat(v, rl[1], rr[1])
+            f_ext = cat(f, rl[2], rr[2])
+            ml, mr = ghost_mask(core["sidx_l"], core["sidx_r"])
+            m_ext = cat(msk, ml, mr)
+            t_ext = core["t_ext"]
+            ps = pseudo_state(box, x_ext, t_ext, m_ext, None)
+            ps = ps.replace(v=v_ext, f=f_ext)
+            fsh = dataclasses.replace(shake, atoms=rows, nc=nc)
+            dtfsq = fsh.dtfsq * self._shake_fac
+            invm = 1.0 / ps.per_atom_mass
+            xs = (x_ext + fsh.dtv * v_ext
+                  + (dtfsq * invm)[:, None] * f_ext)
+            df, _ = fsh._solve(ps, x_ext, xs)
+            add = jnp.zeros_like(x_ext).at[rows.reshape(-1)].add(
+                (df / dtfsq).reshape(-1, 3).astype(x.dtype), mode="drop")
+            return lead(f + add[:capS])
+
+        # pytree-prefix specs: core/nl/topo leaves are per-shard with a
+        # leading axis; the box is replicated (P())
+        self._rebuild_sm = shard_map(
+            rebuild_sm, mesh=mesh, in_specs=(P("x"), P()),
+            out_specs=P("x"))
+        self._force_sm = shard_map(
+            force_sm, mesh=mesh,
+            in_specs=(P("x"), P(), P("x"), P("x"), P("x"), P("x")),
+            out_specs=P("x"))
+        if has_shake:
+            self._shake_fac = 1.0
+            self._shake_sm = shard_map(
+                shake_sm, mesh=mesh,
+                in_specs=(P("x"), P(), P("x"), P("x")),
+                out_specs=P("x"))
+            self._shake_project_sm = shard_map(
+                shake_project_sm, mesh=mesh,
+                in_specs=(P("x"), P(), P("x")),
+                out_specs=P("x"))
+
+    # -- GSPMD-level helpers ---------------------------------------------------
+
+    def _shake_apply(self, core, box, f, cl, fac: float):
+        """Apply the SHAKE constraint force with prediction scale `fac`
+        (1.0 = post_force, 0.5 = the setup half-kick,
+        ref: fix_shake.cpp:465-512)."""
+        if self.shake_tags is None:
+            return f
+        self._shake_fac = fac
+        # shard fns close over _shake_fac via attribute read at trace time
+        return self._shake_sm(core, box, f, cl)
+
+    def _global_view(self, core, box, f, virial, aux, ntimestep):
+        """A State over the FLAT sharded arrays: the Nose-Hoover hooks
+        (integrate/nh.py) run on it unmodified — reductions become psums,
+        per-atom updates stay sharded elementwise ops."""
+        nd, capS = self.ndev, self.capS
+        flat = lambda a: a.reshape((nd * capS,) + a.shape[2:])
+        return State(
+            x=flat(core["x"]), v=flat(core["v"]), f=flat(f),
+            type=flat(core["t"]), tag=flat(core["g"]),
+            image=jnp.zeros((nd * capS, 3), dtype=jnp.int32),
+            q=flat(core["q"]) if self.qs is not None else None,
+            molecule=None, box=box, mass=self.mass,
+            nlocal=jnp.asarray(self.natoms_global, jnp.int32),
+            mask=flat(core["m"]), virial=virial,
+            ntimestep=ntimestep, aux=aux,
+            units_name=self.global_state.units_name,
+            dimension=self.global_state.dimension,
+            owned_all=True)
+
+    def _core_from_view(self, core, gv):
+        nd, capS = self.ndev, self.capS
+        unflat = lambda a: a.reshape((nd, capS) + a.shape[1:])
+        return {**core, "x": unflat(gv.x), "v": unflat(gv.v)}
+
+    def _total_force(self, core, box, nl, topo, topo_c, sp_tree):
+        f, vir_sr = self._force_sm(core, box, nl, topo, topo_c, sp_tree)
+        virial = jnp.sum(vir_sr, axis=0)
+        kspace = self.ff.kspace
+        if kspace is None:
+            return f, virial
+        nd, capS = self.ndev, self.capS
+        st = self.global_state
+        msk = core["m"]
+        xg = core["x"].reshape(nd * capS, 3)
+        qg = jnp.where(msk != 0, core["q"], 0.0).reshape(nd * capS)
+        ps = st.replace(
+            x=xg, v=jnp.zeros_like(xg), f=jnp.zeros_like(xg),
+            q=qg, type=jnp.ones(nd * capS, jnp.int32),
+            tag=jnp.zeros(nd * capS, jnp.int32),
+            image=jnp.zeros((nd * capS, 3), jnp.int32),
+            mask=msk.reshape(nd * capS), box=box,
+            nlocal=jnp.asarray(nd * capS, jnp.int32),
+            virial=jnp.zeros(6, xg.dtype), aux={})
+        fk, _, virk = kspace.compute(ps, False, self._vflag)
+        if self._vflag and virk is not None:
+            virial = virial + virk
+        return f + fk.reshape(nd, capS, 3), virial
 
     # -- run ------------------------------------------------------------------
 
     def _get_runner(self, ncycles: int, tail: int):
-        key = (ncycles, tail)
+        key = (ncycles, tail, self.integrator is not None)
         fn = self._runner_cache.get(key)
         if fn is not None:
             return fn
         if not hasattr(self, "_rebuild_sm"):
             self._shard_fns()
+        if self.integrator is not None:
+            fn = self._build_nh_runner(ncycles, tail)
+        else:
+            fn = self._build_nve_runner(ncycles, tail)
+        self._runner_cache[key] = fn
+        return fn
+
+    def _build_nve_runner(self, ncycles: int, tail: int):
         has_q = self.qs is not None
         mass = self.mass
         dtv = self.dt
         dtf = 0.5 * self.dt * self.units.ftm2v
-        kspace = self.ff.kspace
-        nd, capS = self.ndev, self.capS
-
-        def total_force(core, nl, topo, sp_tree):
-            f = self._force_sm(core, nl, topo, sp_tree)
-            if kspace is None:
-                return f
-            st = self.global_state
-            msk = core["m"]
-            xg = core["x"].reshape(nd * capS, 3)
-            qg = jnp.where(msk != 0, core["q"], 0.0).reshape(nd * capS)
-            ps = st.replace(
-                x=xg, v=jnp.zeros_like(xg), f=jnp.zeros_like(xg),
-                q=qg, type=jnp.ones(nd * capS, jnp.int32),
-                tag=jnp.zeros(nd * capS, jnp.int32),
-                image=jnp.zeros((nd * capS, 3), jnp.int32),
-                mask=msk.reshape(nd * capS),
-                nlocal=jnp.asarray(nd * capS, jnp.int32),
-                virial=jnp.zeros(6, xg.dtype), aux={})
-            fk, _, _ = kspace.compute(ps, False, False)
-            return f + fk.reshape(nd, capS, 3)
 
         def inner(carry, _):
-            core, nl, topo, sp_tree, f, ovf = carry
+            core, box, nl, topo, topo_c, sp_tree, cl, f, ovf = carry
             gm = (core["m"] != 0)[..., None]
             minv = 1.0 / mass[core["t"]][..., None]
             v = core["v"] + jnp.where(gm, dtf * f * minv, 0.0)
             x = core["x"] + jnp.where(gm, dtv * v, 0.0)
             core = {**core, "x": x, "v": v}
-            f = total_force(core, nl, topo, sp_tree)
+            f, _ = self._total_force(core, box, nl, topo, topo_c, sp_tree)
+            if self.shake_tags is not None:
+                f = self._shake_apply(core, box, f, cl, 1.0)
             v = core["v"] + jnp.where(gm, dtf * f * minv, 0.0)
             core = {**core, "v": v}
-            return (core, nl, topo, sp_tree, f, ovf), None
+            return (core, box, nl, topo, topo_c, sp_tree, cl, f, ovf), None
 
-        def do_rebuild(core, ovf):
-            core2, nl, topo, sp_tree, ov = self._rebuild_sm(core)
-            return core2, nl, topo, sp_tree, ovf | jnp.any(ov)
+        def do_rebuild(core, box, ovf):
+            core2, nl, topo, topo_c, sp_tree, cl, ov = self._rebuild_sm(
+                core, box)
+            return core2, nl, topo, topo_c, sp_tree, cl, ovf | jnp.any(ov)
 
         def cycle(carry, _):
             carry, _ = jax.lax.scan(inner, carry, None,
                                     length=self.rebuild_every)
-            core, nl, topo, sp_tree, f, ovf = carry
-            core, nl, topo, sp_tree, ovf = do_rebuild(core, ovf)
-            f = total_force(core, nl, topo, sp_tree)
-            return (core, nl, topo, sp_tree, f, ovf), None
+            core, box, nl, topo, topo_c, sp_tree, cl, f, ovf = carry
+            core, nl, topo, topo_c, sp_tree, cl, ovf = do_rebuild(
+                core, box, ovf)
+            f, _ = self._total_force(core, box, nl, topo, topo_c, sp_tree)
+            if self.shake_tags is not None:
+                f = self._shake_apply(core, box, f, cl, 1.0)
+            return (core, box, nl, topo, topo_c, sp_tree, cl, f, ovf), None
 
-        def runner(core):
-            core, nl, topo, sp_tree, ovf = do_rebuild(
-                core, jnp.asarray(False))
-            f = total_force(core, nl, topo, sp_tree)
-            carry = (core, nl, topo, sp_tree, f, ovf)
+        def runner(core, box):
+            core, nl, topo, topo_c, sp_tree, cl, ovf = do_rebuild(
+                core, box, jnp.asarray(False))
+            if self.shake_tags is not None:
+                core = {**core,
+                        "x": self._shake_project_sm(core, box, cl)}
+            f, _ = self._total_force(core, box, nl, topo, topo_c, sp_tree)
+            if self.shake_tags is not None:
+                f = self._shake_apply(core, box, f, cl, 0.5)
+            carry = (core, box, nl, topo, topo_c, sp_tree, cl, f, ovf)
             carry, _ = jax.lax.scan(cycle, carry, None, length=ncycles)
             carry, _ = jax.lax.scan(inner, carry, None, length=tail)
             return carry
 
-        fn = jax.jit(runner)
-        self._runner_cache[key] = fn
-        return fn
+        return jax.jit(runner)
+
+    def _build_nh_runner(self, ncycles: int, tail: int):
+        """Nose-Hoover (NVT/NPT/NPH) runner following the single-chip step
+        ordering exactly (integrate/verlet.py make_step): initial_integrate
+        -> [rebuild on cadence] -> force(+virial) -> SHAKE post_force ->
+        final_integrate. The rebuild step lives INSIDE the step (between
+        kick-drift and force), as in Verlet::run (src/verlet.cpp:262-293),
+        so SHAKE's velocity-dependent prediction sees the mid-step v."""
+        integ = self.integrator
+        R = self.rebuild_every
+
+        def do_rebuild(core, box, ovf):
+            core2, nl, topo, topo_c, sp_tree, cl, ov = self._rebuild_sm(
+                core, box)
+            return core2, nl, topo, topo_c, sp_tree, cl, ovf | jnp.any(ov)
+
+        def make_inner(rebuild: bool):
+            def inner(carry, _):
+                (core, box, nl, topo, topo_c, sp_tree, cl, f, virial,
+                 aux, ts, ovf) = carry
+                ts = ts + 1
+                gv = self._global_view(core, box, f, virial, aux, ts)
+                gv = integ.initial_integrate(gv)
+                core = self._core_from_view(core, gv)
+                box, aux = gv.box, gv.aux
+                if rebuild:
+                    core, nl, topo, topo_c, sp_tree, cl, ovf = do_rebuild(
+                        core, box, ovf)
+                f, virial = self._total_force(core, box, nl, topo, topo_c,
+                                              sp_tree)
+                if self.shake_tags is not None:
+                    f = self._shake_apply(core, box, f, cl, 1.0)
+                gv = self._global_view(core, box, f, virial, aux, ts)
+                gv = integ.final_integrate(gv)
+                gv = integ.end_of_step(gv)
+                core = {**core, "v": gv.v.reshape(core["v"].shape)}
+                aux = gv.aux
+                return (core, box, nl, topo, topo_c, sp_tree, cl, f,
+                        virial, aux, ts, ovf), None
+            return inner
+
+        inner = make_inner(False)
+        inner_rb = make_inner(True)
+
+        def cycle(carry, _):
+            carry, _ = jax.lax.scan(inner, carry, None, length=R - 1)
+            carry, _ = inner_rb(carry, None)
+            return carry, None
+
+        def runner(core, box, aux, ts):
+            core, nl, topo, topo_c, sp_tree, cl, ovf = do_rebuild(
+                core, box, jnp.asarray(False))
+            if self.shake_tags is not None:
+                core = {**core,
+                        "x": self._shake_project_sm(core, box, cl)}
+            f, virial = self._total_force(core, box, nl, topo, topo_c,
+                                          sp_tree)
+            if self.shake_tags is not None:
+                f = self._shake_apply(core, box, f, cl, 0.5)
+            carry = (core, box, nl, topo, topo_c, sp_tree, cl, f, virial,
+                     aux, ts, ovf)
+            carry, _ = jax.lax.scan(cycle, carry, None, length=ncycles)
+            carry, _ = jax.lax.scan(inner, carry, None, length=tail)
+            return carry
+
+        return jax.jit(runner)
 
     def run(self, nsteps: int):
         if not hasattr(self, "_rebuild_sm"):
             self._shard_fns()
         R = self.rebuild_every
         ncycles, tail = divmod(nsteps, R)
-        runner = self._get_runner(ncycles, tail)
         core = {"x": self.xs, "v": self.vs, "t": self.ts, "g": self.tg,
                 "m": self.ms,
+                "t_ext": jnp.zeros((self.ndev, self.capS + 2 * self.G),
+                                   jnp.int32),
                 "sidx_l": jnp.zeros((self.ndev, self.G), jnp.int32),
                 "sidx_r": jnp.zeros((self.ndev, self.G), jnp.int32),
                 "shl": jnp.zeros((self.ndev,),
@@ -557,7 +859,39 @@ class ShardedMolecularMD:
                                  np.dtype(self.global_state.dtype))}
         if self.qs is not None:
             core["q"] = self.qs
-        out_core, nl, topo, sp_tree, f, ovf = runner(core)
+
+        if self.integrator is None:
+            runner = self._get_runner(ncycles, tail)
+            out = runner(core, self.box)
+            (out_core, box, nl, topo, topo_c, sp_tree, cl, f, ovf) = out
+            self._unpack(out_core, box, f, ovf)
+            return
+
+        # Nose-Hoover path: install the run window + per-segment refresh
+        # on a host-side global view (ref: runner.py run() nh_run block)
+        ts0 = self._ntimestep
+        dt_np = np.dtype(self.global_state.dtype)
+        zf = jnp.zeros((self.ndev, self.capS, 3), dtype=dt_np)
+        zv = jnp.zeros(6, dtype=dt_np)
+        aux0 = dict(self._nh_aux) if self._nh_aux is not None else {}
+        aux0["nh_run"] = jnp.asarray([ts0, ts0 + nsteps], jnp.int32)
+        gv0 = self._global_view(core, self.box, zf, zv, aux0,
+                                jnp.asarray(ts0, jnp.int32))
+        if self._nh_aux is None or "nh" not in self._nh_aux:
+            gv0 = self.integrator.setup(gv0)
+        else:
+            gv0 = self.integrator.refresh_segment(gv0)
+        aux = gv0.aux
+
+        runner = self._get_runner(ncycles, tail)
+        out = runner(core, self.box, aux, jnp.asarray(ts0, jnp.int32))
+        (out_core, box, nl, topo, topo_c, sp_tree, cl, f, virial,
+         aux, ts, ovf) = out
+        self._nh_aux = aux
+        self._ntimestep = ts0 + nsteps
+        self._unpack(out_core, box, f, ovf)
+
+    def _unpack(self, out_core, box, f, ovf):
         self.overflow = bool(jax.device_get(jnp.any(ovf)))
         if self.overflow:
             raise RuntimeError(
@@ -565,6 +899,7 @@ class ShardedMolecularMD:
         self.xs, self.vs = out_core["x"], out_core["v"]
         self.ts, self.tg, self.ms = (out_core["t"], out_core["g"],
                                      out_core["m"])
+        self.box = box
         self.fs = f
         if self.qs is not None:
             self.qs = out_core["q"]
@@ -579,7 +914,8 @@ class ShardedMolecularMD:
         tag = flat(self.tg)
         order = np.argsort(tag)
         out = {"tag": tag[order], "x": flat(self.xs)[order],
-               "v": flat(self.vs)[order], "type": flat(self.ts)[order]}
+               "v": flat(self.vs)[order], "type": flat(self.ts)[order],
+               "box": jax.device_get(self.box)}
         if self.qs is not None:
             out["q"] = flat(self.qs)[order]
         return out

@@ -231,17 +231,6 @@ class Simulation:
                 if mp is None:
                     raise ValueError("system too small for molcell bins")
                 self._molcell_params = mp
-            if self.list_mode == "zcol":
-                from .ops import zcolforce
-
-                zp = zcolforce.size_for_system(
-                    self.state, params.cutneigh, params.skin,
-                    params.every, params.delay, params.check, grid=params)
-                if zp is None:
-                    raise ValueError(
-                        "system does not fit the zcol layout "
-                        "(needs >=3 columns per xy dim, Lz > 2*cutneigh)")
-                self._zcol_params = zp
             return
         two_pass = getattr(ff.pair, "dense_two_pass", False)
         dense_ok = (
@@ -265,10 +254,9 @@ class Simulation:
             return
         # cell-major (sorted) state: fastest auto path, needs a
         # scalarizable style, a fully periodic orthogonal box, and no aux
-        # fixes carrying per-atom state (ops/sortedforce). The z-column
-        # experiment (ops/zcolforce) stays opt-in via list_mode="zcol":
-        # its measured candidate windows (w_self+4*w_cross lanes/atom) do
-        # not beat the sorted kernel's dense cells on the melt benchmark.
+        # fixes carrying per-atom state (ops/sortedforce). The retired
+        # z-column experiment's windowing idea lives on as the sorted
+        # kernel's z-chunked pair loop (ops/pallas_pair v2).
         kk = getattr(ff.pair, "kernel_key", None)
         sorted_ok = (
             kk is not None and kk() is not None
@@ -280,15 +268,6 @@ class Simulation:
         self.list_mode = "sorted" if sorted_ok else "grid"
 
     def _build_list(self, state, params):
-        if self.list_mode == "zcol":
-            from .ops import zcolforce
-
-            if not isinstance(params, zcolforce.ZColParams):
-                params = self._zcol_params
-            state = zcolforce.expand_state(state, params)
-            state, nl = zcolforce.build(state, params)
-            self.state = state
-            return nl
         if self.list_mode == "sorted":
             from .ops import sortedforce
 
@@ -399,12 +378,8 @@ class Simulation:
         return _dc.replace(params, cell_cap=r32 if r32 <= r8 * 1.3 else r8)
 
     def _grow_params(self, params):
-        from .ops import molcell, zcolforce
+        from .ops import molcell
 
-        if isinstance(params, zcolforce.ZColParams):
-            grown = zcolforce.grow(params)
-            self._zcol_params = grown
-            return grown
         if isinstance(params, molcell.MolCellParams):
             grown = molcell.grow(params)
             self._molcell_params = grown

@@ -22,6 +22,8 @@ _FNS = {
     "cosh": jnp.cosh, "tanh": jnp.tanh, "erf": None, "erfc": None,
     "abs": jnp.abs, "floor": jnp.floor, "ceil": jnp.ceil,
     "min": jnp.minimum, "max": jnp.maximum,
+    "recip": lambda x: 1.0 / x, "square": lambda x: x * x,
+    "cube": lambda x: x * x * x,
 }
 
 _OPS = {
@@ -49,7 +51,8 @@ def _eval_node(node, env):
         v = _eval_node(node.operand, env)
         return -v if isinstance(node.op, ast.USub) else +v
     if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
-        fn = _FNS.get(node.func.id)
+        fn = env.get("__fns__", {}).get(node.func.id) or _FNS.get(
+            node.func.id)
         if fn is None:
             if node.func.id in ("erf", "erfc"):
                 from jax.scipy.special import erf, erfc
@@ -60,10 +63,30 @@ def _eval_node(node, env):
     raise ValueError(f"unsupported lepton syntax: {ast.dump(node)}")
 
 
-def lepton_fn(expr: str):
+def zbl_expr_fn(qqr2e, qelectron=1.0, angstrom=1.0):
+    """The LEPTON package's zbl(zi, zj, r) extension function
+    (ref: src/LEPTON/lepton_utils.cpp ZBLFunction::evaluate) — units
+    constants are captured at construction; jax autodiff reproduces its
+    hand-coded derivative exactly."""
+    C = (0.02817, 0.28022, 0.50986, 0.18175)
+    D = (0.20162, 0.40290, 0.94229, 3.19980)
+
+    def zbl(zi, zj, r):
+        rbya = r * (zi ** 0.23 + zj ** 0.23) / (0.46850 * angstrom)
+        s = sum(c * jnp.exp(-d * rbya) for c, d in zip(C, D))
+        return zi * zj * qqr2e * qelectron * qelectron / r * s
+
+    return zbl
+
+
+def lepton_fn(expr: str, fns=None):
     """Compile a Lepton string into f(**vars) -> jnp value. The first
     ';'-chunk is the expression; later chunks are name=value definitions
-    (which may reference earlier symbols)."""
+    (which may reference earlier symbols). `fns` adds extension functions
+    (e.g. the LEPTON package's zbl())."""
+    # literal backslash escapes (\t, \n) appear in some reference
+    # expressions (e.g. the lepton fixtures) — treat them as whitespace
+    expr = expr.replace("\\t", " ").replace("\\n", " ")
     parts = [p.strip() for p in expr.split(";") if p.strip()]
     main = ast.parse(parts[0].replace("^", "**"), mode="eval")
     defs = []
@@ -73,10 +96,27 @@ def lepton_fn(expr: str):
                      ast.parse(val.strip().replace("^", "**"),
                                mode="eval")))
 
+    trees = dict(defs)
+
+    class _LazyEnv(dict):
+        """Definitions may reference LATER definitions (Lepton resolves
+        names lazily, e.g. "lj+coul;lj=4*eps*...;eps=0.02"): evaluate a
+        definition on first lookup."""
+
+        def __contains__(self, k):
+            return dict.__contains__(self, k) or k in trees
+
+        def __getitem__(self, k):
+            if not dict.__contains__(self, k):
+                if k not in trees:
+                    raise KeyError(k)
+                self[k] = _eval_node(trees[k], self)
+            return dict.__getitem__(self, k)
+
     def fn(**variables):
-        env = dict(variables)
-        for name, tree in defs:
-            env[name] = _eval_node(tree, env)
+        env = _LazyEnv(variables)
+        if fns:
+            env["__fns__"] = fns
         return _eval_node(main, env)
 
     return fn

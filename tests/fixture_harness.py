@@ -11,6 +11,8 @@ and compare init forces/energies/stress.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import yaml
 
@@ -254,8 +256,50 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
     if name in ("hybrid", "hybrid/overlay"):
         return _build_hybrid_mol(fix, words[1:], ntypes, dtype, df, top,
                                  overlay=name.endswith("overlay"))
+    if name.endswith("/cs"):
+        # CORESHELL twins (ref: src/CORESHELL/pair_*_cs.cpp): the wolf/dsf
+        # variants only add EPSILON=1e-20 to rsq (invisible in fp64 at
+        # fixture geometries); the coul/long variants additionally
+        # evaluate special pairs at r+EPS_EWALD — reproduced via the
+        # styles' `cs` flag (models/pair_charmm.coul_long_terms).
+        inner = dict(fix)
+        inner["pair_style"] = " ".join([name[:-3]] + words[1:])
+        style = build_pair_style(inner, ntypes, dtype, df, top)
+        if hasattr(style, "cs") and "long" in name:
+            style = dataclasses.replace(style, cs=True)
+        return style
     args = [float(w) for w in words[1:]]
     opts = _post_command_opts(fix)
+    if name in ("lepton", "lepton/coul"):
+        import shlex
+
+        from lammps_kokkos_port_tpu.models.pair_lepton import make_lepton
+
+        def expand(tok):
+            if tok == "*":
+                return range(1, ntypes + 1)
+            if "*" in tok:
+                lo, hi = tok.split("*")
+                return range(int(lo) if lo else 1,
+                             (int(hi) if hi else ntypes) + 1)
+            return [int(tok)]
+
+        cexpr = {}
+        for ln in fix["pair_coeff"].strip().splitlines():
+            parts = shlex.split(ln)
+            cut = None
+            if len(parts) > 3 and _is_float(parts[-1]):
+                cut = float(parts.pop())  # optional per-pair cutoff
+            for a in expand(parts[0]):
+                for b in expand(parts[1]):
+                    cexpr[(min(a, b), max(a, b))] = (
+                        " ".join(parts[2:]), cut)
+        from lammps_kokkos_port_tpu.utils.units import get_units
+
+        return make_lepton(ntypes, cexpr, args[0],
+                           coul=name.endswith("coul"),
+                           shift=opts["shift"],
+                           qqr2e=get_units("real").qqr2e, dtype=dtype)
     coeffs = _parse_pair_coeffs(fix, ntypes)
     gewald = opts["gewald"] or 0.0
 
@@ -350,6 +394,28 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
         return PairVdwCoul(vdw=None, ntypes=ntypes, coul_mode=mode,
                            alpha=alpha, cut_coul=cutc,
                            self_energy=self_energy_const(mode, alpha, cutc))
+    if name in ("lj/cut/coul/msm", "buck/coul/msm", "born/coul/msm"):
+        # msm real-space splitting (order 10 -> split order 5, the msm
+        # default; ref: src/KSPACE/pair_*_coul_msm.cpp force_coul via
+        # gamma/dgamma, msm.cpp:77 default order)
+        from lammps_kokkos_port_tpu.models.pair_coul_misc import PairVdwCoul
+        from lammps_kokkos_port_tpu.models.pair_simple import (
+            make_born, make_buck)
+
+        cutv = args[0]
+        cutc = args[1] if len(args) > 1 else cutv
+        if name.startswith("lj"):
+            vdw = make_lj_cut(ntypes, coeffs, cut_global=cutv,
+                              shift=opts["shift"],
+                              mix=opts["mix"] or "geometric", dtype=dtype)
+        elif name.startswith("buck"):
+            vdw = make_buck(ntypes, coeffs, cut_global=cutv,
+                            shift=opts["shift"], dtype=dtype)
+        else:
+            vdw = make_born(ntypes, coeffs, cut_global=cutv,
+                            shift=opts["shift"], dtype=dtype)
+        return PairVdwCoul(vdw=vdw, ntypes=ntypes, coul_mode="msm",
+                           alpha=5, cut_coul=cutc)
     if name in ("born", "born/coul/dsf", "born/coul/wolf",
                 "buck/coul/cut", "buck/coul/long"):
         from lammps_kokkos_port_tpu.models.pair_coul_misc import (
@@ -451,6 +517,20 @@ def build_pair_style(fix: dict, ntypes: int, dtype=jnp.float64, df=None,
                            alpha=0.0, cut_coul=cutc,
                            g_ewald=gewald if mode == "long" else 0.0,
                            cut_coulsq_tab=cctab)
+    if name == "zbl":
+        from lammps_kokkos_port_tpu.utils.units import get_units
+
+        u = get_units("real")
+        return px.make_zbl(ntypes, coeffs, args[0], args[1],
+                           qqr2e=u.qqr2e, dtype=dtype)
+    if name in ("lj/mdf", "lennard/mdf", "buck/mdf"):
+        return px.make_mdf(name.split("/")[0], ntypes, coeffs,
+                           args[0], args[1], dtype=dtype,
+                           mix=opts["mix"] or "geometric")
+    if name == "morse/smooth/linear":
+        return px.make_morse_smooth_linear(
+            ntypes, coeffs, args[0], dtype=dtype,
+            mix=opts["mix"] or "geometric")
     if name == "lj/gromacs":
         return px.make_lj_gromacs(ntypes, coeffs, args[0], args[1],
                                   dtype=dtype, mix=opts["mix"] or "geometric")
@@ -720,11 +800,27 @@ def build_bonded_style(kind: str, fix: dict, ntypes: int, dtype=jnp.float64,
     return builder(ntypes, coeffs, dtype=dtype)
 
 
+def _special_from_fix(fix):
+    """in.fourmol's special_bonds factors, honoring pre_commands
+    `variable bond/angle/dihedral_factor index V` overrides (index vars
+    keep their FIRST value, so a pre_command wins over the deck's
+    defaults — ref: test_pair_style.cpp:1109 + in.fourmol:3-5)."""
+    w = {"bond": FOURMOL_SPECIAL[0], "angle": FOURMOL_SPECIAL[1],
+         "dihedral": FOURMOL_SPECIAL[2]}
+    for ln in (fix.get("pre_commands") or "").splitlines():
+        t = ln.split()
+        if (len(t) >= 4 and t[0] == "variable" and t[2] == "index"
+                and t[1].endswith("_factor")):
+            w[t[1][:-7]] = float(t[3])
+    return (w["bond"], w["angle"], w["dihedral"])
+
+
 def run_pair_fixture(name: str, dtype=jnp.float64):
     """Returns (got forces, vdwl, coul, stress; want ...) for a mol-pair-*
     fixture at init."""
     fix = load_fixture(name)
-    df, state, top, special = build_fourmol(dtype=dtype)
+    df, state, top, special = build_fourmol(
+        dtype=dtype, special_weights=_special_from_fix(fix))
     fix["_cap"] = state.capacity
     fix["_types"] = np.asarray(state.type)
     pair = build_pair_style(fix, df.natomtypes, dtype=dtype, df=df, top=top)
@@ -737,6 +833,11 @@ def run_pair_fixture(name: str, dtype=jnp.float64):
 
     slj = special.weights_lj
     scoul = special.weights_coul
+    if getattr(pair, "no_special_lj", False):
+        # styles that never read factor_lj (e.g. zbl): the reference sees
+        # special pairs at FULL strength unless the 0-weight exclusion
+        # dropped them from the list entirely
+        slj = tuple(1.0 if w != 0.0 else 0.0 for w in slj)
     if hasattr(pair, "compute_detailed"):
         f, evdwl, ecoul, virial = pair.compute_detailed(
             state, nl, True, True, special_lj=slj, special_coul=scoul

@@ -75,6 +75,52 @@ PAIR_FIXTURES = [
     "mol-pair-hybrid.yaml",
     "mol-pair-hybrid-overlay.yaml",
     "mol-pair-hybrid_multiple.yaml",
+    "mol-pair-lj_charmm_coul_charmm.yaml",
+    # *_coul_table fixtures: the reference evaluates the long-range real-
+    # space erfc from its interpolation tables (pair.cpp init_tables,
+    # ncoultablebits); we evaluate the closed form — goldens carry the
+    # table's own O(1e-7) interpolation error (see PAIR_LOOSE)
+    "mol-pair-lj_charmm_coul_table.yaml",
+    "mol-pair-lj_cut_coul_table.yaml",
+    "mol-pair-lj_cut_tip4p_table.yaml",
+    "mol-pair-lj_expand_coul_table.yaml",
+    "mol-pair-nm_cut_coul_table.yaml",
+    "mol-pair-buck_coul_table.yaml",
+    "mol-pair-coul_table.yaml",
+    "mol-pair-lj_class2_coul_table.yaml",
+    "mol-pair-tip4p_table.yaml",
+    # CORESHELL twins (ref: src/CORESHELL/pair_*_cs.cpp): B-form erfc +
+    # EPS_EWALD special-pair regularization (models/pair_charmm erfc_cs)
+    "mol-pair-born_coul_dsf_cs.yaml",
+    "mol-pair-born_coul_long_cs.yaml",
+    "mol-pair-born_coul_table_cs.yaml",
+    "mol-pair-born_coul_wolf_cs.yaml",
+    "mol-pair-buck_coul_long_cs.yaml",
+    "mol-pair-buck_coul_table_cs.yaml",
+    "mol-pair-coul_long_cs.yaml",
+    "mol-pair-coul_table_cs.yaml",
+    "mol-pair-coul_wolf_cs.yaml",
+    "mol-pair-lj_class2_coul_long_cs.yaml",
+    "mol-pair-lj_class2_coul_table_cs.yaml",
+    "mol-pair-lj_cut_coul_long_cs.yaml",
+    "mol-pair-lj_cut_coul_table_cs.yaml",
+    # msm real-space splitting at rc=8 matches the golden exactly; the
+    # rc=12 msm goldens (coul_msm, lj_cut_coul_msm, born_coul_msm) sit
+    # ~0.5% off ANY (order, cutoff) combination of the current source
+    # formula — consistent with stale goldens (see the coul_msm note)
+    "mol-pair-buck_coul_msm.yaml",
+    # ZBL + MDF-tapered + linear-smoothed families (models/pair_extra)
+    "mol-pair-zbl.yaml",
+    "mol-pair-lj_mdf.yaml",
+    "mol-pair-lennard_mdf.yaml",
+    "mol-pair-buck_mdf.yaml",
+    "mol-pair-morse_smooth_linear.yaml",
+    # LEPTON expression styles (models/pair_lepton + utils/lepton zbl());
+    # lepton_coul is NOT registered: its golden weights special pairs in
+    # a way that matches no (bond,angle,dihedral) factor combination of
+    # the current pair_lepton_coul.cpp source — pending investigation
+    "mol-pair-lepton.yaml",
+    "mol-pair-lepton_zbl.yaml",
     # mol-pair-coul_msm.yaml: our coul/msm matches the CURRENT reference
     # source formula (pair_coul_msm.cpp egamma/fgamma, order-10 gamma)
     # but the committed yaml values differ by ~0.5% systematically —
@@ -89,14 +135,29 @@ PAIR_FIXTURES = [
 PAIR_LOOSE = {
     "mol-pair-tip4p_long.yaml": 5e-8,
     "mol-pair-lj_cut_tip4p_long.yaml": 5e-8,
+    # goldens generated with tabulated erfc (ncoultablebits interpolation)
+    "mol-pair-buck_coul_table.yaml": 1e-7,
+    "mol-pair-nm_cut_coul_table.yaml": 1e-7,
+    "mol-pair-coul_table.yaml": 1e-6,
+    "mol-pair-lj_class2_coul_table.yaml": 2e-7,
+    "mol-pair-tip4p_table.yaml": 1e-6,
+    "mol-pair-born_coul_table_cs.yaml": 1e-7,
+    "mol-pair-buck_coul_table_cs.yaml": 1e-7,
+    "mol-pair-coul_table_cs.yaml": 1e-6,
+    "mol-pair-lj_class2_coul_table_cs.yaml": 3e-7,
+    "mol-pair-lj_cut_coul_table_cs.yaml": 1e-8,
 }
 
 
 @pytest.mark.parametrize("name", PAIR_FIXTURES)
 def test_pair_fixture(name):
     got, want = run_pair_fixture(name)
+    # *_table goldens: the reference tallies ecoul from its erfc lookup
+    # tables (O(1e-7) interpolation error vs the closed form we evaluate)
+    coul_rel = 5e-7 if "table" in name else 1e-9
     assert got["vdwl"] == pytest.approx(want["vdwl"], rel=1e-10, abs=1e-10)
-    assert got["coul"] == pytest.approx(want["coul"], rel=1e-9, abs=1e-9)
+    assert got["coul"] == pytest.approx(want["coul"], rel=coul_rel,
+                                        abs=coul_rel)
     check(got, want, f_rtol=PAIR_LOOSE.get(name, RTOL))
 
 

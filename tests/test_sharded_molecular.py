@@ -124,3 +124,85 @@ class TestShardedMolecular:
         d = np.abs(frac - frac_ref)
         d = np.minimum(d, 1.0 - d)
         assert d.max() < 1e-9, d.max()
+
+
+NH_DECK = """
+units           real
+neigh_modify    every {R} delay 0 check no
+atom_style      full
+bond_style      harmonic
+angle_style     charmm
+pair_style      lj/cut/coul/long 5.0
+kspace_style    pppm 1e-4
+read_data       {data}
+special_bonds   charmm
+velocity        all create 300.0 482648 loop geom
+{fixes}
+timestep        1.0
+run             {steps}
+"""
+
+
+def _nh_script(data, steps, R, fixes):
+    s = LammpsScript(dtype=jnp.float64)
+    deck = NH_DECK.format(data=data, steps=steps, R=R, fixes=fixes)
+    for ln in deck.strip().splitlines():
+        s.one(ln)
+    return s
+
+
+class TestShardedNoseHoover:
+    """NVT / NPT (+SHAKE, +PPPM) inside the sharded molecular loop
+    (VERDICT r3 item 5: sharded rhodo stack; ref: fix_nh.cpp remap +
+    kspace setup across ranks, fix_shake.cpp comm of xshake)."""
+
+    def _run_pair(self, water_data, fixes, nsteps=12, R=4, ndev=8):
+        from lammps_kokkos_port_tpu.integrate.shake import FixShakeClusters
+        from lammps_kokkos_port_tpu.parallel.molecular import (
+            ShardedMolecularMD)
+
+        # reference protocol: `run 0` (setup: force at the raw coords,
+        # THEN the SHAKE coordinate projection) followed by `run N` — the
+        # sharded runner starts from the post-`run 0` state, so both sides
+        # must enter the N steps from the same projected state
+        ref = _nh_script(water_data, 0, R, fixes)
+        ref.one(f"run {nsteps}")
+        tags_ref, x_ref = _by_tag(ref.sim.state)
+        frac_ref = _wrap_frac(ref.sim.state.box, x_ref)
+        prd_ref = np.asarray(jax.device_get(ref.sim.state.box.prd))
+
+        s0 = _nh_script(water_data, 0, R, fixes)
+        shk = next((f for f in s0.sim.fixes
+                    if isinstance(f, FixShakeClusters)), None)
+        mesh = Mesh(np.array(jax.devices()[:ndev]), ("x",))
+        smd = ShardedMolecularMD(
+            s0.sim.state, s0.sim.forcefield, mesh=mesh, rebuild_every=R,
+            integrator=s0.sim.integrator, shake=shk)
+        smd.run(nsteps)
+        g = smd.gather()
+        np.testing.assert_array_equal(g["tag"], tags_ref)
+        prd = np.asarray(jax.device_get(g["box"].prd))
+        np.testing.assert_allclose(prd, prd_ref, rtol=1e-9)
+        frac = _wrap_frac(g["box"], g["x"])
+        d = np.abs(frac - frac_ref)
+        d = np.minimum(d, 1.0 - d)
+        assert d.max() < 1e-8, d.max()
+        return smd
+
+    def test_nvt_8_shards(self, water_data):
+        self._run_pair(water_data,
+                       "fix             1 all nvt temp 300.0 300.0 100.0")
+
+    def test_npt_shake_pppm_8_shards(self, water_data):
+        """The full rhodo-stack combination: NPT box remap + SHAKE
+        clusters + in-step PPPM with a dynamic (box-traced) influence
+        function, sharded over 8 slabs."""
+        smd = self._run_pair(
+            water_data,
+            "fix             1 all npt temp 300.0 300.0 100.0 "
+            "iso 0.0 0.0 1000.0\n"
+            "fix             2 all shake 1e-10 100 0 b 1 a 1")
+        # the box must actually have moved (the barostat is live)
+        prd0 = np.asarray(jax.device_get(smd.global_state.box.prd))
+        prd1 = np.asarray(jax.device_get(smd.box.prd))
+        assert np.abs(prd1 - prd0).max() > 0.0
