@@ -28,6 +28,89 @@ def _get(sim):
     return st, n, x, v, t, tag, img, lo, hi
 
 
+def write_cfg_frame(path: str, sim, args=(), append: bool = False):
+    """AtomEye extended CFG snapshot (ref: src/dump_cfg.cpp). The
+    reference requires the columns to begin `mass type xs ys zs`; extra
+    columns become auxiliary properties."""
+    st, n, x, v, t, tag, img, lo, hi = _get(sim)
+    masses = np.asarray(jax.device_get(sim.state.mass))
+    prd = hi - lo
+    cols = list(args) or ["mass", "type", "xs", "ys", "zs"]
+    if cols[:5] != ["mass", "type", "xs", "ys", "zs"]:
+        raise ValueError("dump cfg requires columns mass type xs ys zs")
+    aux = cols[5:]
+    s = (x - lo) / prd
+    colmap = {
+        "id": tag, "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+        "x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
+    }
+    if sim.state.q is not None:
+        from ..core.state import atom_order
+
+        colmap["q"] = np.asarray(jax.device_get(sim.state.q))[
+            atom_order(sim.state)]
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        f.write(f"Number of particles = {n}\n")
+        f.write("A = 1.0 Angstrom (basic length-scale)\n")
+        # orthogonal H0 matrix (ref: dump_cfg.cpp write_header)
+        for a in range(3):
+            for b in range(3):
+                val = prd[a] if a == b else 0.0
+                f.write(f"H0({a+1},{b+1}) = {val:.8g} A\n")
+        f.write(".NO_VELOCITY.\n")
+        f.write(f"entry_count = {3 + len(aux)}\n")
+        for k, c in enumerate(aux):
+            f.write(f"auxiliary[{k}] = {c}\n")
+        data = [colmap[c] for c in aux]
+        for i in range(n):
+            f.write(f"{masses[t[i]]:.8g}\n{int(t[i])}\n")
+            row = [f"{s[i, d]:.8g}" for d in range(3)]
+            row += [str(d[i]) for d in data]
+            f.write(" ".join(row) + "\n")
+
+
+def write_local_frame(path: str, sim, script, args=(),
+                      append: bool = False):
+    """dump local: rows from local computes, c_ID[col] references
+    (ref: src/dump_local.cpp; typical use with compute pair/local or
+    bond/local)."""
+    st, n, x, v, t, tag, img, lo, hi = _get(sim)
+    step = int(jax.device_get(sim.state.ntimestep))
+    cols = []
+    labels = []
+    for w in args:
+        if w.startswith("c_"):
+            ref = w[2:]
+            ci = None
+            if "[" in ref:
+                ref, rest = ref.split("[")
+                ci = int(rest.rstrip("]")) - 1
+            arr = np.asarray(script.get_compute(ref))
+            if arr.ndim == 2 and ci is not None:
+                arr = arr[:, ci]
+            cols.append(np.atleast_1d(arr))
+            labels.append(w)
+        elif w == "index":
+            cols.append(None)
+            labels.append(w)
+        else:
+            raise ValueError(f"dump local column {w}")
+    nrows = max((len(c) for c in cols if c is not None), default=0)
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        f.write("ITEM: TIMESTEP\n%d\n" % step)
+        f.write("ITEM: NUMBER OF ENTRIES\n%d\n" % nrows)
+        f.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for d in range(3):
+            f.write(f"{lo[d]:.16e} {hi[d]:.16e}\n")
+        f.write("ITEM: ENTRIES " + " ".join(labels) + "\n")
+        for i in range(nrows):
+            row = [str(i + 1) if c is None else f"{c[i]:.8g}"
+                   for c in cols]
+            f.write(" ".join(row) + "\n")
+
+
 def write_dump_frame(path: str, sim, style: str = "atom", args=(),
                      append: bool = False, sort: bool = False):
     """One snapshot in the reference's dump format

@@ -1587,7 +1587,9 @@ class LammpsScript:
                  "ke/atom", "pe/atom", "stress/atom", "chunk/atom",
                  "com/chunk", "erotate/sphere", "gyration",
                  "displace/atom", "vacf", "temp/com", "coord/atom",
-                 "property/atom", "reduce", "dipole", "angmom")
+                 "property/atom", "reduce", "dipole", "angmom",
+                 "cluster/atom", "centro/atom", "cna/atom",
+                 "pair/local", "bond/local", "inertia/chunk")
         if style not in known:
             raise ScriptError(f"compute style {style} unsupported")
         self.computes[cid] = (group, style, a[3:])
@@ -1708,6 +1710,44 @@ class LammpsScript:
             ok = (nl2.idx < st.capacity) & (r2 < rc * rc)
             return np.asarray(_jnp.sum(ok, axis=-1))[
                 np.asarray(st.valid_mask)]
+        if style in ("cluster/atom", "centro/atom", "cna/atom"):
+            return self._compute_structure_atom(style, st, sim, gbit, args)
+        if style == "pair/local":
+            return self._compute_pair_local(st, sim, gbit, args)
+        if style == "bond/local":
+            return self._compute_bond_local(st, sim, gbit, args)
+        if style == "inertia/chunk":
+            # per-molecule inertia tensor about the chunk COM
+            # (ref: src/compute_inertia_chunk.cpp, molecule chunks)
+            import jax.numpy as _jnp
+
+            g = st.valid_mask
+            m = _jnp.where(g, st.per_atom_mass, 0.0)
+            chunk = _jnp.where(g, st.molecule - 1, -1)
+            nmol = int(max(self.molecules)) if self.molecules else 1
+            from .compute import observables as obs
+
+            xu = obs.unwrapped(st)
+            ok = chunk >= 0
+            idx = _jnp.where(ok, chunk, 0)
+            mw = _jnp.where(ok, m, 0.0)
+            mc = _jnp.zeros(nmol, st.dtype).at[idx].add(mw, mode="drop")
+            com = _jnp.zeros((nmol, 3), st.dtype).at[idx].add(
+                mw[:, None] * xu, mode="drop") / _jnp.maximum(
+                mc, 1e-300)[:, None]
+            d = xu - com[idx]
+            r2c = _jnp.sum(d * d, axis=-1)
+            comps = _jnp.stack([
+                r2c - d[:, 0] * d[:, 0],   # Ixx = m (y^2+z^2)
+                r2c - d[:, 1] * d[:, 1],   # Iyy
+                r2c - d[:, 2] * d[:, 2],   # Izz
+                -d[:, 0] * d[:, 1],        # Ixy
+                -d[:, 1] * d[:, 2],        # Iyz
+                -d[:, 0] * d[:, 2],        # Ixz
+            ], axis=-1)
+            out = _jnp.zeros((nmol, 6), st.dtype).at[idx].add(
+                mw[:, None] * comps, mode="drop")
+            return np.asarray(out)
         if style == "property/atom":
             # per-atom fields by name (ref: src/compute_property_atom.cpp)
             valid = np.asarray(st.valid_mask)
@@ -1833,6 +1873,235 @@ class LammpsScript:
                                                1e-300))
         raise ScriptError(style)
 
+    # -- structural per-atom computes (host-side analysis) ------------------
+
+    def _host_adjacency(self, st, rc: float):
+        """Symmetrized (i, j, dx) pair arrays within cutoff rc among valid
+        atoms, minimum-image. Host-side numpy; analysis computes only."""
+        import jax.numpy as _jnp
+
+        from .ops import neighbor as _nbr
+
+        p = _nbr.size_for_system(st, cutneigh=rc, skin=0.0)
+        nl2 = _nbr.build(st, p)
+        while bool(nl2.overflow):
+            p = _nbr.grow(p)
+            nl2 = _nbr.build(st, p)
+        cap = st.capacity
+        jc = _jnp.clip(nl2.idx, 0, cap - 1)
+        dx = st.box.min_image(st.x[:, None, :] - st.x[jc])
+        r2 = _jnp.sum(dx * dx, axis=-1)
+        ok = (nl2.idx < cap) & (r2 < rc * rc)
+        valid = np.asarray(st.valid_mask)
+        ii = np.broadcast_to(np.arange(cap)[:, None], nl2.idx.shape)
+        okn = np.asarray(ok) & valid[ii] & valid[np.asarray(jc)]
+        i_idx = ii[okn]
+        j_idx = np.asarray(jc)[okn]
+        return i_idx, j_idx, np.asarray(dx)[okn]
+
+    def _compute_structure_atom(self, style, st, sim, gbit, args):
+        """cluster/atom, centro/atom, cna/atom (ref:
+        src/compute_cluster_atom.cpp, src/compute_centro_atom.cpp,
+        src/compute_cna_atom.cpp). Host-side numpy analysis on the
+        symmetrized adjacency; output per valid atom."""
+        valid = np.asarray(st.valid_mask)
+        group = np.asarray(st.group_mask(gbit)) & valid
+        tags = np.asarray(st.tag)
+        cap = st.capacity
+
+        if style == "cluster/atom":
+            # connected components within cutoff among GROUP atoms;
+            # clusterID = smallest atom ID in the cluster, 0 outside group
+            # (ref: compute_cluster_atom.cpp iterative ID sweep)
+            rc = float(args[0])
+            i_idx, j_idx, _ = self._host_adjacency(st, rc)
+            keep = group[i_idx] & group[j_idx]
+            i_idx, j_idx = i_idx[keep], j_idx[keep]
+            parent = np.arange(cap)
+
+            def find(a):
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for a, b in zip(i_idx, j_idx):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            roots = np.fromiter((find(a) for a in range(cap)), dtype=np.int64,
+                                count=cap)
+            # min tag per root
+            minid = np.full(cap, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(minid, roots[group], tags[group])
+            out = np.where(group, minid[roots], 0)
+            return out[valid].astype(np.float64)
+
+        if style == "centro/atom":
+            # centrosymmetry: sum of the nnn/2 smallest |Ri+Rj|^2 over the
+            # nnn nearest neighbors (ref: compute_centro_atom.cpp)
+            lat = args[0] if args else "fcc"
+            nnn = {"fcc": 12, "bcc": 8}.get(lat, None)
+            if nnn is None:
+                nnn = int(lat)
+            rc = sim.forcefield.max_cutoff()
+            i_idx, j_idx, dxp = self._host_adjacency(st, rc)
+            out = np.zeros(cap)
+            order = np.argsort(i_idx, kind="stable")
+            i_s, dx_s = i_idx[order], dxp[order]
+            starts = np.searchsorted(i_s, np.arange(cap))
+            ends = np.searchsorted(i_s, np.arange(cap) + 1)
+            half = nnn // 2
+            for a in np.nonzero(group)[0]:
+                vecs = dx_s[starts[a]:ends[a]]  # dx = x_i - x_j; R_j = -dx
+                if vecs.shape[0] < nnn:
+                    continue  # ref: fewer than nnn neighbors -> 0.0
+                r2v = np.sum(vecs * vecs, axis=1)
+                sel = vecs[np.argsort(r2v)[:nnn]]
+                s = sel[:, None, :] + sel[None, :, :]  # Ri + Rj
+                d2 = np.sum(s * s, axis=-1)
+                iu = np.triu_indices(nnn, k=1)
+                vals = np.sort(d2[iu])[:half]
+                out[a] = float(np.sum(vals))
+            return out[valid]
+
+        # cna/atom: common neighbor analysis pattern per atom
+        # (ref: compute_cna_atom.cpp; 1 fcc, 2 hcp, 3 bcc, 4 icos, 5 other)
+        rc = float(args[0])
+        i_idx, j_idx, _ = self._host_adjacency(st, rc)
+        adj = [set() for _ in range(cap)]
+        for a, b in zip(i_idx, j_idx):
+            adj[a].add(int(b))
+        out = np.zeros(cap)
+        UNKNOWN, FCC, HCP, BCC, ICOS, OTHER = 0, 1, 2, 3, 4, 5
+        for a in np.nonzero(group)[0]:
+            neigh = sorted(adj[a])
+            n = len(neigh)
+            if n not in (12, 14):
+                out[a] = OTHER
+                continue
+            sigs = []
+            for b in neigh:
+                common = adj[a] & adj[b]
+                ncom = len(common)
+                # bonds among common neighbors
+                nb = 0
+                deg = {c: 0 for c in common}
+                cl = sorted(common)
+                for u in range(len(cl)):
+                    for v in range(u + 1, len(cl)):
+                        if cl[v] in adj[cl[u]]:
+                            nb += 1
+                            deg[cl[u]] += 1
+                            deg[cl[v]] += 1
+                maxchain = max(deg.values()) if deg else 0
+                sigs.append((ncom, nb, maxchain))
+            if n == 12:
+                c421 = sigs.count((4, 2, 1))
+                c422 = sigs.count((4, 2, 2))
+                c555 = sigs.count((5, 5, 5))
+                if c421 == 12:
+                    out[a] = FCC
+                elif c421 == 6 and c422 == 6:
+                    out[a] = HCP
+                elif c555 == 12:
+                    out[a] = ICOS
+                else:
+                    out[a] = OTHER
+            else:
+                c444 = sigs.count((4, 4, 4))
+                c666 = sigs.count((6, 6, 6))
+                out[a] = BCC if (c444 == 6 and c666 == 8) else OTHER
+        return out[valid]
+
+    def _compute_pair_local(self, st, sim, gbit, args):
+        """compute pair/local: one row per i<j pair within the force
+        cutoff; columns dist/eng/force/fx/fy/fz/dx/dy/dz
+        (ref: src/compute_pair_local.cpp, single() loop)."""
+        import jax.numpy as _jnp
+
+        from .models import pair as pair_mod
+
+        cols = list(args) or ["dist"]
+        pair = sim.forcefield.pair
+        nl = sim.nl
+        j, jc, pvalid, dx, r2 = pair_mod.gather_pairs(sim.state, nl)
+        cutsq = pair.cutsq_table()[st.type[:, None], st.type[jc]]
+        ii = _jnp.arange(st.capacity, dtype=_jnp.int32)[:, None]
+        group = st.group_mask(gbit)
+        ok = (pvalid & (r2 < cutsq) & (ii < jc)
+              & st.valid_mask[:, None] & st.valid_mask[jc]
+              & group[:, None] & group[jc])
+        if nl.sb is not None and sim.forcefield.special is not None:
+            # special-excluded pairs are skipped like the reference's
+            # half-list (weight-0 entries dropped by sbmask)
+            w = _jnp.asarray(sim.forcefield.special.weights_lj,
+                             dtype=st.dtype)[nl.sb]
+            ok = ok & (w != 0.0)
+        need_eng = any(c in ("eng", "force", "fx", "fy", "fz")
+                       for c in cols)
+        if need_eng:
+            ti = _jnp.broadcast_to(st.type[:, None], r2.shape)
+            fpair, evdwl = pair.pair_terms(
+                _jnp.clip(r2, 1e-12, None), ti, st.type[jc], True)
+        okn = np.asarray(ok)
+        sel = np.nonzero(okn)
+        r = np.sqrt(np.asarray(r2)[sel])
+        dxn = np.asarray(dx)[sel]
+        out = []
+        for c in cols:
+            if c == "dist":
+                out.append(r)
+            elif c == "eng":
+                out.append(np.asarray(evdwl)[sel])
+            elif c == "force":
+                out.append(np.asarray(fpair)[sel] * r)
+            elif c in ("fx", "fy", "fz"):
+                d = {"fx": 0, "fy": 1, "fz": 2}[c]
+                out.append(np.asarray(fpair)[sel] * dxn[:, d])
+            elif c in ("dx", "dy", "dz"):
+                out.append(dxn[:, {"dx": 0, "dy": 1, "dz": 2}[c]])
+            else:
+                raise ScriptError(f"pair/local column {c}")
+        res = np.stack(out, axis=-1)
+        return res[:, 0] if res.shape[1] == 1 else res
+
+    def _compute_bond_local(self, st, sim, gbit, args):
+        """compute bond/local: one row per bond; columns dist/eng/engpot
+        (ref: src/compute_bond_local.cpp)."""
+        cols = list(args) or ["dist"]
+        top = sim.forcefield.topology
+        bm = sim.forcefield.bond
+        if top is None or not top.bonds.shape[0]:
+            return np.zeros((0, len(cols)))
+        b = np.asarray(top.bonds)
+        live = b[:, 0] > 0
+        bt, bi, bj = b[live, 0], b[live, 1], b[live, 2]
+        x = np.asarray(st.x)
+        import jax.numpy as _jnp
+
+        dx = np.asarray(st.box.min_image(
+            _jnp.asarray(x[bi] - x[bj], dtype=st.dtype)))
+        r = np.linalg.norm(dx, axis=-1)
+        out = []
+        for c in cols:
+            if c == "dist":
+                out.append(r)
+            elif c in ("eng", "engpot"):
+                if not hasattr(bm, "energy_one"):
+                    raise ScriptError("bond/local eng: style has no "
+                                      "energy_one")
+                import jax
+
+                e = jax.vmap(bm.energy_one)(
+                    _jnp.asarray(dx, dtype=st.dtype),
+                    _jnp.asarray(bt, dtype=np.int32))
+                out.append(np.asarray(e))
+            else:
+                raise ScriptError(f"bond/local column {c}")
+        res = np.stack(out, axis=-1)
+        return res[:, 0] if res.shape[1] == 1 else res
+
     def cmd_minimize(self, a):
         """minimize etol ftol maxiter maxeval (ref: src/min.cpp:429 Min::run;
         CG with the FIRE fallback lives in integrate/minimize.py)."""
@@ -1946,15 +2215,25 @@ class LammpsScript:
     def _write_dumps(self, step_no):
         if not self.dumps or self.sim is None:
             return
-        from .io.dump import write_dump_frame
+        from .io.dump import (write_cfg_frame, write_dump_frame,
+                              write_local_frame)
 
         for did, d in self.dumps.items():
             if d["every"] > 0 and step_no % d["every"] == 0:
                 path = d["path"].replace("*", str(step_no))
-                write_dump_frame(path, self.sim, style=d["style"],
-                                 args=d.get("args", ()),
-                                 append="*" not in d["path"],
-                                 sort=d.get("sort", False))
+                append = "*" not in d["path"]
+                if d["style"] == "cfg":
+                    write_cfg_frame(path, self.sim, args=d.get("args", ()),
+                                    append=append)
+                elif d["style"] == "local":
+                    write_local_frame(path, self.sim, self,
+                                      args=d.get("args", ()),
+                                      append=append)
+                else:
+                    write_dump_frame(path, self.sim, style=d["style"],
+                                     args=d.get("args", ()),
+                                     append=append,
+                                     sort=d.get("sort", False))
 
     # -- simulation materialization -----------------------------------------
 
