@@ -999,6 +999,141 @@ class LammpsScript:
                 self.neigh_check = v == "yes"
             i += 2
 
+    # -- atom deletion (ref: src/delete_atoms.cpp) --------------------------
+
+    def _sync_from_sim(self):
+        """Pull live per-atom state back into the host-side setup lists
+        (tag order) and drop the built Simulation, so setup-mutating
+        commands after a run see current coordinates. Mirrors the
+        read_restart sync path."""
+        if self.sim is None:
+            return
+        import jax as _jax
+
+        from .core.state import atom_order
+
+        st = self.sim.state
+        rows = atom_order(st)
+        g = _jax.device_get
+        self.positions = np.asarray(g(st.x))[rows].tolist()
+        self.types = np.asarray(g(st.type))[rows].tolist()
+        self.velocities = np.asarray(g(st.v))[rows]
+        if st.q is not None and self.charges:
+            self.charges = np.asarray(g(st.q))[rows].tolist()
+        if self.molecules and getattr(st, "molecule", None) is not None:
+            self.molecules = np.asarray(g(st.molecule))[rows].tolist()
+        if self.images:
+            self.images = np.asarray(g(st.image))[rows].tolist()
+        self.ntimestep = getattr(self.sim, "ntimestep", self.ntimestep)
+        self.sim = None
+
+    def _filter_atoms(self, keep: np.ndarray):
+        """Drop atoms where keep is False; compress IDs to 1..N' and remap
+        topology, dropping interactions that reference deleted atoms
+        (ref: delete_atoms.cpp bond/compress handling)."""
+        keep = np.asarray(keep, dtype=bool)
+        idx = np.nonzero(keep)[0]
+        remap = np.zeros(len(keep) + 1, dtype=np.int64)
+        remap[idx + 1] = np.arange(1, len(idx) + 1)
+        self.positions = [tuple(p)
+                          for p in np.asarray(self.positions, float)[idx]]
+        self.types = [int(t) for t in np.asarray(self.types)[idx]]
+        for attr in ("charges", "molecules", "images"):
+            v = getattr(self, attr)
+            if v:
+                arr = np.asarray(v)[idx]
+                setattr(self, attr, [r.tolist() if arr.ndim > 1 else
+                                     type(v[0])(r) for r in arr])
+        if self.velocities is not None:
+            self.velocities = np.asarray(self.velocities)[idx]
+        if self.x0_data is not None:
+            self.x0_data = np.asarray(self.x0_data)[idx]
+        if self.sphere_data is not None:
+            sd = dict(self.sphere_data)
+            for k, v in sd.items():
+                if v is not None:
+                    sd[k] = np.asarray(v)[idx]
+            self.sphere_data = sd
+        raw = dict(self.topology_raw)
+        for key in ("bonds", "angles", "dihedrals", "impropers"):
+            arr = raw.get(key)
+            if arr is None:
+                continue
+            arr = np.asarray(arr)
+            if arr.shape[0]:
+                ok = np.all(keep[arr[:, 1:] - 1], axis=1)
+                arr = arr[ok].copy()
+                arr[:, 1:] = remap[arr[:, 1:]]
+            raw[key] = arr
+        self.topology_raw = raw
+        self.sim = None
+
+    def cmd_delete_atoms(self, a):
+        """delete_atoms region R | group G | overlap cut G1 G2 | porosity
+        R frac seed (ref: src/delete_atoms.cpp; compress-yes ID remap)."""
+        self._sync_from_sim()
+        x = np.asarray(self.positions, dtype=float)
+        n = len(x)
+        types = np.asarray(self.types, dtype=np.int64)
+        style = a[0]
+        if style == "region":
+            kill = self._region_contains(a[1], x)
+        elif style == "group":
+            if a[1] == "all":
+                kill = np.ones(n, dtype=bool)
+            else:
+                gm = self._resolve_group_masks(x, types, n, n)
+                kill = (gm[:n] & self.groups[a[1]]) != 0
+        elif style == "porosity":
+            rname, frac, seed = a[1], float(a[2]), int(a[3])
+            inside = self._region_contains(rname, x)
+            rng = np.random.default_rng(seed)
+            kill = inside & (rng.random(n) < frac)
+        elif style == "overlap":
+            # delete one atom of each pair closer than cut, first atom in
+            # group1 and second in group2 (ref: delete_atoms.cpp overlap)
+            cut = float(a[1])
+            gm = self._resolve_group_masks(x, types, n, n)
+            b1 = 1 if a[2] == "all" else self.groups[a[2]]
+            b2 = 1 if a[3] == "all" else self.groups[a[3]]
+            in1 = (gm[:n] & b1) != 0
+            in2 = (gm[:n] & b2) != 0
+            prd = np.asarray(self._box_hi_np) - np.asarray(self._box_lo_np)
+            cell = np.maximum(cut, 1e-9)
+            nc = np.maximum((prd // cell).astype(int), 1)
+            ci = np.floor((x - self._box_lo_np) / prd * nc).astype(int) % nc
+            code = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
+            buckets: dict[int, list[int]] = {}
+            for i_at, c in enumerate(code):
+                buckets.setdefault(int(c), []).append(i_at)
+            kill = np.zeros(n, dtype=bool)
+            offs = [(dx0, dy0, dz0) for dx0 in (-1, 0, 1)
+                    for dy0 in (-1, 0, 1) for dz0 in (-1, 0, 1)]
+            periodic = [b[0] == "p" for b in self.boundary]
+            for i_at in range(n):
+                if not in1[i_at] or kill[i_at]:
+                    continue
+                for dxc, dyc, dzc in offs:
+                    cc = (ci[i_at] + np.array([dxc, dyc, dzc])) % nc
+                    cde = int((cc[0] * nc[1] + cc[1]) * nc[2] + cc[2])
+                    for j_at in buckets.get(cde, ()):
+                        if j_at == i_at or not in2[j_at] or kill[j_at]:
+                            continue
+                        d = x[i_at] - x[j_at]
+                        for dd in range(3):
+                            if periodic[dd]:
+                                d[dd] -= prd[dd] * np.round(d[dd] / prd[dd])
+                        if float(d @ d) < cut * cut:
+                            kill[i_at] = True
+                            break
+                    if kill[i_at]:
+                        break
+        else:
+            raise ScriptError(f"delete_atoms style {style} unsupported")
+        ndel = int(np.sum(kill))
+        self._filter_atoms(~kill)
+        self._emit(f"Deleted {ndel} atoms, new total = {n - ndel}")
+
     def cmd_group(self, a):
         name, style = a[0], a[1]
         if name not in self.groups:
@@ -1980,11 +2115,13 @@ class LammpsScript:
             if n not in (12, 14):
                 out[a] = OTHER
                 continue
+            # signature per near neighbor: (ncommon, nbonds, maxbond,
+            # minbond) where maxbond/minbond are the extreme per-common-
+            # neighbor bond counts (ref: compute_cna_atom.cpp:264-301)
             sigs = []
             for b in neigh:
                 common = adj[a] & adj[b]
                 ncom = len(common)
-                # bonds among common neighbors
                 nb = 0
                 deg = {c: 0 for c in common}
                 cl = sorted(common)
@@ -1994,24 +2131,25 @@ class LammpsScript:
                             nb += 1
                             deg[cl[u]] += 1
                             deg[cl[v]] += 1
-                maxchain = max(deg.values()) if deg else 0
-                sigs.append((ncom, nb, maxchain))
+                maxb = max(deg.values()) if deg else 0
+                minb = min(deg.values()) if deg else 0
+                sigs.append((ncom, nb, maxb, minb))
             if n == 12:
-                c421 = sigs.count((4, 2, 1))
-                c422 = sigs.count((4, 2, 2))
-                c555 = sigs.count((5, 5, 5))
-                if c421 == 12:
+                nfcc = sigs.count((4, 2, 1, 1))
+                nhcp = sigs.count((4, 2, 2, 0))
+                nico = sigs.count((5, 5, 2, 2))
+                if nfcc == 12:
                     out[a] = FCC
-                elif c421 == 6 and c422 == 6:
+                elif nfcc == 6 and nhcp == 6:
                     out[a] = HCP
-                elif c555 == 12:
+                elif nico == 12:
                     out[a] = ICOS
                 else:
                     out[a] = OTHER
             else:
-                c444 = sigs.count((4, 4, 4))
-                c666 = sigs.count((6, 6, 6))
-                out[a] = BCC if (c444 == 6 and c666 == 8) else OTHER
+                nbcc4 = sigs.count((4, 4, 2, 2))
+                nbcc6 = sigs.count((6, 6, 2, 2))
+                out[a] = BCC if (nbcc4 == 6 and nbcc6 == 8) else OTHER
         return out[valid]
 
     def _compute_pair_local(self, st, sim, gbit, args):
@@ -2025,6 +2163,19 @@ class LammpsScript:
         cols = list(args) or ["dist"]
         pair = sim.forcefield.pair
         nl = sim.nl
+        if not hasattr(nl, "idx") or not hasattr(nl, "params"):
+            # the runner's default engine keeps a sorted/cell container
+            # with no flat [cap, K] matrix — build an analysis list on
+            # demand (same pattern as _host_adjacency)
+            from .ops import neighbor as _nbr
+
+            p = _nbr.size_for_system(st, cutneigh=pair.max_cutoff(),
+                                     skin=0.0)
+            sp = sim.forcefield.special
+            nl = _nbr.build(st, p, special=sp)
+            while bool(nl.overflow):
+                p = _nbr.grow(p)
+                nl = _nbr.build(st, p, special=sp)
         j, jc, pvalid, dx, r2 = pair_mod.gather_pairs(sim.state, nl)
         cutsq = pair.cutsq_table()[st.type[:, None], st.type[jc]]
         ii = _jnp.arange(st.capacity, dtype=_jnp.int32)[:, None]
@@ -2032,9 +2183,11 @@ class LammpsScript:
         ok = (pvalid & (r2 < cutsq) & (ii < jc)
               & st.valid_mask[:, None] & st.valid_mask[jc]
               & group[:, None] & group[jc])
+        w = None
         if nl.sb is not None and sim.forcefield.special is not None:
             # special-excluded pairs are skipped like the reference's
-            # half-list (weight-0 entries dropped by sbmask)
+            # half-list (weight-0 entries dropped by sbmask); fractional
+            # weights scale eng/force as Pair::single(factor_lj) does
             w = _jnp.asarray(sim.forcefield.special.weights_lj,
                              dtype=st.dtype)[nl.sb]
             ok = ok & (w != 0.0)
@@ -2044,6 +2197,9 @@ class LammpsScript:
             ti = _jnp.broadcast_to(st.type[:, None], r2.shape)
             fpair, evdwl = pair.pair_terms(
                 _jnp.clip(r2, 1e-12, None), ti, st.type[jc], True)
+            if w is not None:
+                fpair = fpair * w
+                evdwl = evdwl * w
         okn = np.asarray(ok)
         sel = np.nonzero(okn)
         r = np.sqrt(np.asarray(r2)[sel])

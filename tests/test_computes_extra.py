@@ -66,6 +66,31 @@ class TestStructuralComputes:
         out = s.get_compute("c")
         assert np.all(out == 1.0), np.unique(out)
 
+    def test_cna_perfect_bcc(self):
+        # BCC signatures are (4,4,2,2)x6 + (6,6,2,2)x8 over the 14 nearest
+        # neighbors (ref: compute_cna_atom.cpp:329-340) — unreachable with
+        # the (ncommon, nbonds, maxchain) triple the port used before r5
+        s = run_deck("""
+units           lj
+atom_style      atomic
+lattice         bcc 0.8442
+region          box block 0 4 0 4 0 4
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+fix             1 all nve
+run             0
+""")
+        # bcc cutoff: between 2nd (a) and 3rd (a*sqrt(2)) neighbor shells
+        a = (2.0 / 0.8442) ** (1.0 / 3.0)
+        rc = 0.5 * (1.0 + np.sqrt(2.0)) * a
+        s.one(f"compute c all cna/atom {rc:.6f}")
+        out = s.get_compute("c")
+        assert np.all(out == 3.0), np.unique(out)
+
     def test_cluster_two_dimers(self):
         s = LammpsScript(dtype=jnp.float64)
         for ln in """
