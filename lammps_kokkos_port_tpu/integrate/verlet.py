@@ -206,8 +206,10 @@ def make_step(
         getattr(fx, "needs_virial", False) for fx in fixes)
 
     def list_ops(nl):
-        from ..ops import cellforce, gridforce, molcell, sortedforce
+        from ..ops import cellforce, gridforce, molcell, sortedforce, zwin
 
+        if isinstance(nl, zwin.ZwinCells):
+            return zwin
         if isinstance(nl, molcell.MolCells):
             return molcell
         if isinstance(nl, sortedforce.SortedCells):

@@ -64,7 +64,13 @@ class ForceField:
         """Evaluate only the listed force categories — the rRESPA level
         slicing hook (ref: src/respa.cpp level_bond/level_pair assignment;
         each level's force pass runs a subset of the styles)."""
-        from ..ops import cellforce, gridforce, molcell, sortedforce
+        from ..ops import cellforce, gridforce, molcell, sortedforce, zwin
+
+        if isinstance(nl, zwin.ZwinCells):
+            f, pe, vir = zwin.compute(self.pair, state, nl, eflag, vflag)
+            z = jnp.zeros((), dtype=state.dtype)
+            return (f, pe if eflag else None,
+                    z if eflag else None, vir)
 
         if isinstance(nl, molcell.MolCells):
             # dense molecular cell path: pair (with charges + special

@@ -222,6 +222,16 @@ class Simulation:
             return
         if self._list_mode_req != "auto":
             self.list_mode = self._list_mode_req
+            if self.list_mode == "zwin":
+                from .ops import zwin
+
+                zp = zwin.size_for_system(
+                    self.state, params.cutneigh, params.skin,
+                    every=params.every, delay=params.delay,
+                    check=params.check)
+                if zp is None:
+                    raise ValueError("system too small for zwin columns")
+                self._zwin_params = zp
             if self.list_mode == "molcell":
                 from .ops import molcell
 
@@ -268,6 +278,16 @@ class Simulation:
         self.list_mode = "sorted" if sorted_ok else "grid"
 
     def _build_list(self, state, params):
+        if self.list_mode == "zwin":
+            from .ops import zwin
+
+            if not isinstance(params, zwin.ZwinParams):
+                params = self._zwin_params
+            state = zwin.expand_state(state, params)
+            state, nl = jax.jit(zwin.build, static_argnums=1)(
+                state, params)
+            self.state = state
+            return nl
         if self.list_mode == "sorted":
             from .ops import sortedforce
 
@@ -378,8 +398,12 @@ class Simulation:
         return _dc.replace(params, cell_cap=r32 if r32 <= r8 * 1.3 else r8)
 
     def _grow_params(self, params):
-        from .ops import molcell
+        from .ops import molcell, zwin
 
+        if isinstance(params, zwin.ZwinParams):
+            grown = zwin.grow(params, self.state)
+            self._zwin_params = grown
+            return grown
         if isinstance(params, molcell.MolCellParams):
             grown = molcell.grow(params)
             self._molcell_params = grown
@@ -405,6 +429,44 @@ class Simulation:
             return _dc.replace(params, cell_cap=cc,
                                K=int(params.K * 1.3) + 8)
         return nbr.grow(params)
+
+    def retune(self):
+        """Re-measure capacity-class static sizes on the CURRENT
+        configuration and rebuild if meaningfully tighter. The zwin
+        windows are sized at setup on the initial configuration — a cold
+        lattice start (commensurate planes, huge column-count disparity)
+        inflates them far past the equilibrated liquid's needs; one
+        re-tune after warmup reclaims the slack (host-side analog of the
+        reference re-running neighbor setup_bins on density change)."""
+        if self.list_mode != "zwin" or self.nl is None:
+            return False
+        from .ops import zwin
+
+        p = self.nl.params
+        fresh = zwin.size_for_system(
+            self.state, p.cutneigh, p.skin,
+            every=p.every, delay=p.delay, check=p.check)
+        if fresh is None:
+            return False
+        # margins over the instantaneous measurement (density breathes)
+        import dataclasses as _dc
+
+        fresh = _dc.replace(
+            fresh, S=fresh.S + 8, WS=fresh.WS + 8, WN=fresh.WN + 16,
+            OFF=fresh.OFF + 8)
+        fresh = _dc.replace(
+            fresh, G=int(-(-max(fresh.G + 8, fresh.OFF,
+                                fresh.WN - fresh.OFF - 8,
+                                fresh.WS - 8) // 8) * 8))
+        if fresh.G > fresh.S:
+            fresh = _dc.replace(fresh, G=fresh.S)
+        gain = (p.WS + 4 * p.WN) - (fresh.WS + 4 * fresh.WN)
+        if fresh == p or gain < 32:
+            return False
+        self._zwin_params = fresh
+        self.nl = self._build_list(self.state, fresh)
+        self._check_overflow_and_grow()
+        return True
 
     def _check_overflow_and_grow(self, max_tries: int = 8):
         for _ in range(max_tries):
