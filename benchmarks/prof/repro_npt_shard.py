@@ -79,5 +79,23 @@ for nsteps in (1, 2, 4, 8, 12):
     smd.run(nsteps)
     prd = np.asarray(jax.device_get(smd.box.prd))
     rel = np.abs(prd - prd_ref) / prd_ref
-    print(f"nsteps={nsteps:3d}  rel prd diff = {rel}", file=sys.stderr,
-          flush=True)
+    import sys as _s
+    _s.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "..", "tests"))
+    def by_tag(state):
+        valid = np.asarray(jax.device_get(state.valid_mask))
+        tag = np.asarray(state.tag)[valid]
+        order = np.argsort(tag)
+        return np.asarray(state.x)[valid][order]
+    x_ref2 = by_tag(ref.sim.state)
+    lam_r = np.asarray(ref.sim.state.box.to_lamda(jnp.asarray(x_ref2)))
+    lam_r = lam_r - np.floor(lam_r)
+    g = smd.gather()
+    tags = g["tag"]
+    order = np.argsort(tags)
+    lam_s = np.asarray(g["box"].to_lamda(jnp.asarray(g["x"][order])))
+    lam_s = lam_s - np.floor(lam_s)
+    d = np.abs(lam_s - lam_r)
+    d = np.minimum(d, 1 - d)
+    print(f"nsteps={nsteps:3d}  rel prd diff = {rel[0]:.3e}  "
+          f"frac diff max = {d.max():.3e}", file=sys.stderr, flush=True)

@@ -50,8 +50,8 @@ def force_planar(key, params, cap, gx, gy, gz, gi, prd):
             key, params.ncells, cap, gx, gy, gz, gi, prd)
     rs = lambda a: a.reshape(nx, ny, nz, cc)
     if nx >= 2 and pallas_pair.plane_half_fits(params):
-        fx, fy, fz = pallas_pair.plane_half_force_pallas(
-            key, params.ncells, cap, rs(gx), rs(gy), rs(gz), rs(gi), prd)
+        fx, fy, fz = pallas_pair.slab_half_force_pallas(
+            key, params.ncells, rs(gx), rs(gy), rs(gz), rs(gi), prd)
     else:
         fx, fy, fz = pallas_pair.plane_force_pallas(
             key, params.ncells, rs(gx), rs(gy), rs(gz), rs(gi), prd)

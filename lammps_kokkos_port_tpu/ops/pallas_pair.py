@@ -265,12 +265,18 @@ def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
                 ).astype(blk.dtype)
             cand_scratch[ci, :, s * cc:(s + 1) * cc] = blk
 
-    # static Newton mask: the self block (lanes [0, cc)) needs
+    # static Newton bias: the self block (lanes [0, cc)) needs
     # cand_sublane > own_sublane; non-self blocks are unconditionally
-    # valid (each cell pair appears exactly once in the half stencil)
+    # valid (each cell pair appears exactly once in the half stencil).
+    # Folding the mask as an additive BIG bias on r2 collapses the
+    # newton/cutoff/self tests into ONE compare — pad rows need no test
+    # at all (distinct sentinels: sortedforce.PAD_STEP), and out-of-range
+    # r2 feeds _terms_from_key safely (large r2 -> fpair underflows to 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cc, NB * cc), 2)
     own_sub = jax.lax.broadcasted_iota(jnp.int32, (1, cc, NB * cc), 1)
-    newton = jnp.logical_or(lane >= cc, lane > own_sub)
+    nbias = jnp.where(
+        jnp.logical_and(lane < cc, lane <= own_sub), 1.0e8, 0.0
+    ).astype(gx.dtype)
 
     for z0 in range(0, nz, zb):
         zs = slice(z0, min(z0 + zb, nz))
@@ -280,11 +286,9 @@ def _column_half_kernel(key, nx, ny, nz, cc, idcap, prd_ref,
         dxv = own_x - cand_scratch[0, zs][:, None, :]
         dyv = own_y - cand_scratch[1, zs][:, None, :]
         dzv = own_z - cand_scratch[2, zs][:, None, :]
-        r2 = dxv * dxv + dyv * dyv + dzv * dzv
-        valid = jnp.logical_and(
-            newton, jnp.logical_and(r2 < cutsq, r2 > 0.0))
-        r2s = jnp.where(valid, r2, 1.0)
-        fpair = jnp.where(valid, _terms_from_key(key, r2s), 0.0)
+        r2 = dxv * dxv + dyv * dyv + dzv * dzv + nbias
+        valid = r2 < cutsq
+        fpair = jnp.where(valid, _terms_from_key(key, r2), 0.0)
         fij_x = dxv * fpair
         fij_y = dyv * fpair
         fij_z = dzv * fpair
@@ -523,6 +527,202 @@ def plane_half_force_pallas(key, ncells, idcap, gx, gy, gz, gi, prd):
         for ci in range(3):
             f[ci] = f[ci] + blk[:, :, ci]
     return f[0], f[1], f[2]
+
+
+def _slab_half_kernel(key, S, ny, nz, cc, nx_real, prd_ref, base_ref,
+                      gx, gy, gz, fx, fy, fz, cand_scratch, rev_scratch,
+                      zb: int = 2):
+    """Newton-half big-N kernel, slab-streamed: one x-slab of S interior
+    planes + 1 (+x) halo plane lives in VMEM ([S+1, ny, nz, cc] per
+    component). Program (sx, cy) evaluates its column with the same
+    z-chunked half-stencil math as _column_half_kernel; reactions fold
+    in-VMEM — dx=+1 targets land on plane sx+1 (possibly the halo row,
+    which the caller adds onto the next slab's first plane). The absolute
+    plane index (base + sx) gates wrap-copy / padding planes: their own
+    pair evaluation is skipped (they exist only to RECEIVE reactions /
+    provide candidates), preventing double counting
+    (ref: src/comm_brick.cpp:598 reverse_comm over ghost planes)."""
+    pid = pl.program_id(0)
+    nyi = jnp.int32(ny)
+    sx = pid // nyi
+    cy = pid - sx * nyi
+    cutsq = key[-1]
+    NB = len(_HALF)
+
+    @pl.when(pid == 0)
+    def _():
+        z = jnp.zeros_like(fx)
+        fx[...] = z
+        fy[...] = z
+        fz[...] = z
+
+    live = (base_ref[0] + sx) < nx_real
+
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (nz, 1), 0)
+    cols = sorted({(dx, dy) for dx, dy, _ in _HALF})
+    ncols = {}
+    for dx, dy in cols:
+        wy = cy + jnp.int32(dy)
+        ncy = jax.lax.rem(wy + nyi, nyi)
+        sy = jnp.where(wy < 0, -prd_ref[1],
+                       jnp.where(wy >= nyi, prd_ref[1], 0.0))
+        ncols[(dx, dy)] = (sx + dx, ncy, sy)
+
+    @pl.when(live)
+    def _():
+        for s, (dx, dy, dz) in enumerate(_HALF):
+            px, ncy, sy = ncols[(dx, dy)]
+            for ci, (ref, sh) in enumerate(((gx, None), (gy, sy),
+                                            (gz, None))):
+                col = ref[px, ncy]
+                if sh is not None:
+                    col = col + sh
+                blk = pltpu.roll(col, (-dz) % nz, axis=0) if dz else col
+                if ci == 2 and dz != 0:
+                    seam = (zrow == (nz - 1 if dz > 0 else 0))
+                    blk = blk + jnp.where(
+                        seam, jnp.float32(dz) * prd_ref[2], 0.0
+                    ).astype(blk.dtype)
+                cand_scratch[ci, :, s * cc:(s + 1) * cc] = blk
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, cc, NB * cc), 2)
+        own_sub = jax.lax.broadcasted_iota(jnp.int32, (1, cc, NB * cc), 1)
+        nbias = jnp.where(
+            jnp.logical_and(lane < cc, lane <= own_sub), 1.0e8, 0.0
+        ).astype(gx.dtype)
+
+        for z0 in range(0, nz, zb):
+            zs = slice(z0, min(z0 + zb, nz))
+            own_x = gx[sx, cy, zs][:, :, None]
+            own_y = gy[sx, cy, zs][:, :, None]
+            own_z = gz[sx, cy, zs][:, :, None]
+            dxv = own_x - cand_scratch[0, zs][:, None, :]
+            dyv = own_y - cand_scratch[1, zs][:, None, :]
+            dzv = own_z - cand_scratch[2, zs][:, None, :]
+            r2 = dxv * dxv + dyv * dyv + dzv * dzv + nbias
+            valid = r2 < cutsq
+            fpair = jnp.where(valid, _terms_from_key(key, r2), 0.0)
+            fij_x = dxv * fpair
+            fij_y = dyv * fpair
+            fij_z = dzv * fpair
+            fx[sx, cy, zs] += jnp.sum(fij_x, axis=-1)
+            fy[sx, cy, zs] += jnp.sum(fij_y, axis=-1)
+            fz[sx, cy, zs] += jnp.sum(fij_z, axis=-1)
+            rev_scratch[0, zs] = jnp.sum(fij_x, axis=-2)
+            rev_scratch[1, zs] = jnp.sum(fij_y, axis=-2)
+            rev_scratch[2, zs] = jnp.sum(fij_z, axis=-2)
+
+        # fold reactions per (dx, dy) target in registers, then 5 VMEM
+        # adds (the dx=+1 targets may land on the halo row sx+1 == S)
+        tacc = {}
+        for s, (dx, dy, dz) in enumerate(_HALF):
+            for ci in range(3):
+                blk = -rev_scratch[ci, :, s * cc:(s + 1) * cc]
+                if dz:
+                    blk = pltpu.roll(blk, dz % nz, axis=0)
+                a = tacc.setdefault((dx, dy), [None, None, None])
+                a[ci] = blk if a[ci] is None else a[ci] + blk
+        for (dx, dy), (bx, by, bz) in tacc.items():
+            px, ncy, _ = ncols[(dx, dy)]
+            fx[px, ncy] += bx
+            fy[px, ncy] += by
+            fz[px, ncy] += bz
+
+
+def _slab_half_call(key, S, nx_real, gx, gy, gz, base, prd):
+    """gx..gz: [S+1, ny, nz, cc] slab (halo plane last, pre-shifted).
+    base: [1] int32 absolute plane index of the slab's first plane.
+    Returns (fx, fy, fz) [S+1, ny, nz, cc] (halo row = reactions to
+    fold onto the next plane)."""
+    _, ny, nz, cc = gx.shape
+    dt = gx.dtype
+    kern = functools.partial(_slab_half_kernel, key, S, ny, nz, cc,
+                             nx_real)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    out_shape = [jax.ShapeDtypeStruct((S + 1, ny, nz, cc), dt)
+                 for _ in range(3)]
+    return pl.pallas_call(
+        kern,
+        grid=(S * ny,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] + [full] * 3,
+        out_specs=[full] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((3, nz, len(_HALF) * cc), dt),
+                        pltpu.VMEM((3, nz, len(_HALF) * cc), dt)],
+        interpret=interpret,
+    )(prd, base, gx, gy, gz)
+
+
+@functools.partial(jax.jit, static_argnames=("key", "ncells"))
+def slab_half_force_pallas(key, ncells, gx, gy, gz, gi, prd):
+    """Newton-halved big-N force pass with slab streaming and in-kernel
+    reaction folds (successor of plane_half_force_pallas, whose separate
+    reaction output cost 12 grid-sized HBM arrays + roll-folds per step).
+    g*: [nx, ny, nz, cc] planar grids. `gi` accepted for interface
+    compatibility (validity = distinct pad sentinels + Newton bias)."""
+    del gi
+    nx, ny, nz, cc = gx.shape
+    dt = gx.dtype
+
+    # slab size: largest S with the slab resident in VMEM (6 slab arrays
+    # of (S+1) planes + ~2.6 MB scratch; bigger slabs amortize the halo
+    # re-read and the per-chunk launch); nx need not be divisible — the
+    # ext grid is padded with sentinel planes and the kernel skips
+    # own-evaluation of planes >= nx
+    plane_rows = ny * nz * cc
+    Smax = max(1, 400_000 // plane_rows - 1)
+    S = min(nx, Smax)
+    nchunk = -(-nx // S)
+    npad = nchunk * S - nx
+
+    Lx = prd[0]
+    from .sortedforce import PAD_POS, PAD_STEP
+
+    def ext_of(arr, is_x):
+        wrap = arr[:1] + (Lx if is_x else 0.0)
+        if npad:
+            # sentinel range [2*PAD_POS, ...) stays disjoint from the
+            # state rows' own [PAD_POS, PAD_POS + cap*PAD_STEP) sentinels
+            pads = (jnp.asarray(2 * PAD_POS, dt)
+                    + jnp.arange(npad * plane_rows, dtype=dt)
+                    * jnp.asarray(PAD_STEP, dt)).reshape(npad, ny, nz, cc)
+            return jnp.concatenate([arr, wrap, pads], axis=0)
+        return jnp.concatenate([arr, wrap], axis=0)
+
+    # ext planes: [0..nx) real, nx = wrap copy of plane 0 (+Lx), then pads
+    gxp = ext_of(gx, True)
+    gyp = ext_of(gy, False)
+    gzp = ext_of(gz, False)
+
+    def one_chunk(k):
+        sl = [jax.lax.dynamic_slice_in_dim(p, k * S, S + 1, axis=0)
+              for p in (gxp, gyp, gzp)]
+        base = (k * S)[None].astype(jnp.int32)
+        return _slab_half_call(key, S, nx, *sl, base, prd)
+
+    fx, fy, fz = jax.lax.map(one_chunk, jnp.arange(nchunk))
+    # [nchunk, S+1, ...]: interior rows tile the ext planes; halo row k
+    # carries reactions for ext plane (k+1)*S
+    outs = []
+    for f in (fx, fy, fz):
+        interior = f[:, :S].reshape(nchunk * S, ny, nz, cc)
+        halo_tgt = (jnp.arange(nchunk) + 1) * S
+        interior = interior.at[halo_tgt % (nchunk * S)].add(
+            jnp.where((halo_tgt < nchunk * S)[:, None, None, None],
+                      f[:, S], 0.0))
+        # wrap-copy plane nx accumulated reactions belong to plane 0;
+        # halo rows targeting plane nx do too
+        wrap_halo = jnp.sum(
+            jnp.where((halo_tgt == nx)[:, None, None, None], f[:, S], 0.0),
+            axis=0)
+        out = interior[:nx]
+        extra = jnp.where(nx < nchunk * S,
+                          interior[jnp.minimum(nx, nchunk * S - 1)], 0.0)
+        out = out.at[0].add(extra + wrap_halo)
+        outs.append(out)
+    return outs[0], outs[1], outs[2]
 
 
 def _slab_kernel(key, S, ny, nz, cc, prd_ref,

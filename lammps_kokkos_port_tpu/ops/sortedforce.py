@@ -33,11 +33,20 @@ from . import neighbor as nbr
 
 Array = jax.Array
 
-# padding rows carry this position sentinel: any pair with a pad fails the
-# cutoff test by distance alone, so the hot kernels need no per-candidate
-# validity compare for them (pad ids stay -1, which kills pad-pad pairs —
-# all pads share the same sentinel so their mutual r2 is 0)
+# padding rows carry DISTINCT position sentinels (PAD_POS + row*PAD_STEP
+# on the space diagonal): pad-real pairs fail the cutoff by distance, and
+# pad-pad pairs do too (rows differ by >= PAD_STEP in every component), so
+# the hot kernels need no per-candidate validity lanes at all — not even
+# the r2 > 0 self/pad-pair guard (f32 note: ulp(1e8) = 8, so steps of 16
+# stay exactly representable across multi-million-row capacities)
 PAD_POS = 1.0e8
+PAD_STEP = 16.0
+
+
+def _pad_x(cap: int, dtype) -> Array:
+    """[cap] distinct diagonal pad sentinel per row."""
+    return (jnp.asarray(PAD_POS, dtype)
+            + jnp.arange(cap, dtype=dtype) * jnp.asarray(PAD_STEP, dtype))
 
 
 @partial(
@@ -88,8 +97,11 @@ def expand_state(state: State, p: nbr.NeighborParams) -> State:
         out[:len(rows)] = host[rows]
         return jnp.asarray(out)
 
+    xr = np.array(jax.device_get(repack(state.x, fill=PAD_POS)))
+    pr = np.arange(len(rows), cap2)
+    xr[len(rows):] = (PAD_POS + pr[:, None] * PAD_STEP)
     return state.replace(
-        x=repack(state.x, fill=PAD_POS), v=repack(state.v),
+        x=jnp.asarray(xr), v=repack(state.v),
         f=repack(state.f),
         type=repack(state.type), tag=repack(state.tag),
         image=repack(state.image),
@@ -191,8 +203,10 @@ def _apply_gather_perm(state: State, perm, overflow):
         out = a[safe]
         return jnp.where(valid.reshape([-1] + [1] * (a.ndim - 1)), out, fill)
 
+    x = g(state.x)
+    x = jnp.where(valid[:, None], x, _pad_x(cap, x.dtype)[:, None])
     return state.replace(
-        x=g(state.x, fill=PAD_POS), v=g(state.v), f=g(state.f),
+        x=x, v=g(state.v), f=g(state.f),
         type=g(state.type), tag=g(state.tag), image=g(state.image),
         q=g(state.q), molecule=g(state.molecule), mask=g(state.mask),
     ), overflow
@@ -240,11 +254,10 @@ def _apply_perm(state: State, newpos, overflow):
     # NOTE: do NOT bitcast the int matrix to f32 to merge the two gathers —
     # small ints (mask=1, type=1) are f32 denormals and the TPU flushes
     # denormals to zero in the select, silently invalidating every atom.
-    # x columns (0-2) pad with the PAD_POS sentinel, everything else with 0
-    ffill = jnp.zeros((fp.shape[1],), fp.dtype).at[:3].set(PAD_POS)
-    fm = jnp.where(valid[:, None], fp[safe], ffill)
+    fm = jnp.where(valid[:, None], fp[safe], 0.0)
     im = jnp.where(valid[:, None], ip[safe], 0)
     x, v, q = unpack(fm, farrs)
+    x = jnp.where(valid[:, None], x, _pad_x(cap, x.dtype)[:, None])
     typ, tag, image, molecule, mask = unpack(im, iarrs)
     state = state.replace(
         x=x, v=v, q=q, type=typ, tag=tag, image=image,
@@ -269,8 +282,10 @@ def _permute(state: State, p: nbr.NeighborParams):
         out = a[safe]
         return jnp.where(valid.reshape([-1] + [1] * (a.ndim - 1)), out, fill)
 
+    x = g(state.x)
+    x = jnp.where(valid[:, None], x, _pad_x(cap, x.dtype)[:, None])
     state = state.replace(
-        x=g(state.x, fill=PAD_POS), v=g(state.v), f=g(state.f),
+        x=x, v=g(state.v), f=g(state.f),
         type=g(state.type), tag=g(state.tag), image=g(state.image),
         q=g(state.q), molecule=g(state.molecule), mask=g(state.mask),
     )
@@ -350,8 +365,8 @@ def compute(style, state: State, cl: SortedCells, eflag: bool, vflag: bool):
                 )
             elif nx >= 2 and pallas_pair.plane_half_fits(p):
                 g = state.x.reshape(nx, ny, nz, cc, 3)
-                fx, fy, fz = pallas_pair.plane_half_force_pallas(
-                    key, p.ncells, cap,
+                fx, fy, fz = pallas_pair.slab_half_force_pallas(
+                    key, p.ncells,
                     g[..., 0], g[..., 1], g[..., 2],
                     ids.reshape(nx, ny, nz, cc), prd,
                 )

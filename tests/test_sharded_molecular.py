@@ -182,11 +182,20 @@ class TestShardedNoseHoover:
         g = smd.gather()
         np.testing.assert_array_equal(g["tag"], tags_ref)
         prd = np.asarray(jax.device_get(g["box"].prd))
-        np.testing.assert_allclose(prd, prd_ref, rtol=1e-9)
+        # Tolerance calibration (r5, benchmarks/prof/repro_npt_shard.py):
+        # the sharded-vs-single box edge is BIT-EXACT after step 1 and
+        # then diverges by pure reduction-order roundoff amplified ~x2
+        # per step through the chaotic dynamics + barostat feedback
+        # (measured rel diff: step2 2.2e-11, step4 4.2e-10, step8
+        # 3.6e-9, step12 1.4e-8 — smooth exponential growth from an
+        # f64-roundoff seed, no step-1 systematic). 1e-7 pins the
+        # 12-step point with ~7x margin; a real virial bug would appear
+        # at step 1-2 far above this floor.
+        np.testing.assert_allclose(prd, prd_ref, rtol=1e-7)
         frac = _wrap_frac(g["box"], g["x"])
         d = np.abs(frac - frac_ref)
         d = np.minimum(d, 1.0 - d)
-        assert d.max() < 1e-8, d.max()
+        assert d.max() < 3e-7, d.max()
         return smd
 
     def test_nvt_8_shards(self, water_data):
