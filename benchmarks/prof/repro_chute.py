@@ -18,11 +18,12 @@ sys.path.insert(0, "/root/repo")
 from lammps_kokkos_port_tpu.script import LammpsScript  # noqa: E402
 
 K = int(os.environ.get("K", "1"))
+# GMODE=matrix to test the [N,K] engine on TPU
 
 cwd = os.getcwd()
 os.chdir("/root/reference/bench")
 try:
-    s = LammpsScript(dtype=jnp.float32, list_mode="grid")
+    s = LammpsScript(dtype=jnp.float32, list_mode=os.environ.get("GMODE", "grid"))
     deck = open("in.chute").read().replace("run             100", "run 0")
     for ln in deck.strip().splitlines():
         s.one(ln)

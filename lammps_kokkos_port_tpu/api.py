@@ -58,7 +58,12 @@ class lammps:
     # -- command execution (ref: lammps_command, library.cpp:570) -----------
 
     def command(self, cmd: str):
-        self.script.one(cmd)
+        try:
+            self.script.one(cmd)
+            self.script._last_error = None
+        except Exception as e:
+            self.script._last_error = f"{type(e).__name__}: {e}"
+            raise
 
     def commands_list(self, cmds: list[str]):
         for c in cmds:
@@ -269,6 +274,220 @@ class lammps:
         sim._segment_cache.clear()
         sim.setup()
         return n
+
+    # -- subsets / topology / maps (ref: lammps_gather_atoms_subset,
+    #    lammps_scatter_atoms_subset, lammps_gather_bonds,
+    #    lammps_map_atom — library.cpp:2680,3065,3150,5110) --------------
+
+    def map_atom(self, tag: int) -> int:
+        """Global atom ID -> index into the tag-ordered arrays this API
+        returns (the atom-map analog, ref: lammps_map_atom)."""
+        st = self._sim.state
+        from .core.state import atom_order
+
+        tags = np.asarray(jax.device_get(st.tag))[atom_order(st)]
+        idx = np.searchsorted(tags, tag)
+        if idx >= len(tags) or tags[idx] != tag:
+            return -1
+        return int(idx)
+
+    def gather_atoms_subset(self, name: str, ids) -> np.ndarray:
+        """Per-atom values for the given atom IDs, in that order."""
+        full = self.extract_atom(name)
+        st = self._sim.state
+        from .core.state import atom_order
+
+        tags = np.asarray(jax.device_get(st.tag))[atom_order(st)]
+        pos = np.searchsorted(tags, np.asarray(ids))
+        return full[pos]
+
+    def scatter_atoms_subset(self, name: str, ids, data: np.ndarray):
+        """Overwrite per-atom values for the given atom IDs."""
+        full = self.extract_atom(name)
+        st = self._sim.state
+        from .core.state import atom_order
+
+        tags = np.asarray(jax.device_get(st.tag))[atom_order(st)]
+        pos = np.searchsorted(tags, np.asarray(ids))
+        full[pos] = np.asarray(data)
+        self.scatter_atoms(name, full)
+
+    def _gather_topology(self, kind: str) -> np.ndarray:
+        """[n, 1+arity] rows of (type, atom IDs) for live interactions
+        (ref: lammps_gather_bonds/angles/dihedrals/impropers)."""
+        top = self._sim.forcefield.topology
+        arr = getattr(top, kind, None) if top is not None else None
+        if arr is None or arr.shape[0] == 0:
+            return np.zeros((0, 0), np.int32)
+        a = np.asarray(jax.device_get(arr))
+        a = a[a[:, 0] > 0]
+        st = self._sim.state
+        tags = np.asarray(jax.device_get(st.tag))
+        out = a.copy()
+        out[:, 1:] = tags[a[:, 1:]]  # local row -> global ID
+        return out
+
+    def gather_bonds(self) -> np.ndarray:
+        return self._gather_topology("bonds")
+
+    def gather_angles(self) -> np.ndarray:
+        return self._gather_topology("angles")
+
+    def gather_dihedrals(self) -> np.ndarray:
+        return self._gather_topology("dihedrals")
+
+    def gather_impropers(self) -> np.ndarray:
+        return self._gather_topology("impropers")
+
+    # -- neighbor-list introspection (ref: lammps_find_pair_neighlist,
+    #    lammps_neighlist_num_elements, lammps_neighlist_element_neighbors
+    #    — library.cpp:5208-5356) ----------------------------------------
+
+    def find_pair_neighlist(self, style: str = "", exact: int = 0,
+                            nsub: int = 0, reqid: int = 0) -> int:
+        """Handle of the pair neighbor list (one list in this engine);
+        -1 before setup."""
+        sim = self._sim
+        if sim.nl is None:
+            sim.setup()
+        return 0 if sim.nl is not None else -1
+
+    def _analysis_list(self):
+        """Flat (i, j) half-pair arrays within the force cutoff on the
+        CURRENT configuration (engine-agnostic: built on demand like the
+        pair/local compute)."""
+        sim = self._sim
+        st = sim.state
+        from .ops import neighbor as _nbr
+
+        p = _nbr.size_for_system(st, cutneigh=sim.forcefield.max_cutoff(),
+                                 skin=0.0)
+        nl = _nbr.build(st, p)
+        while bool(jax.device_get(nl.overflow)):
+            p = _nbr.grow(p)
+            nl = _nbr.build(st, p)
+        cap = st.capacity
+        import jax.numpy as jnp
+
+        jc = jnp.clip(nl.idx, 0, cap - 1)
+        dxv = st.box.min_image(st.x[:, None, :] - st.x[jc])
+        r2 = jnp.sum(dxv * dxv, axis=-1)
+        cut = sim.forcefield.max_cutoff()
+        ok = (nl.idx < cap) & (r2 < cut * cut)
+        valid = np.asarray(jax.device_get(st.valid_mask))
+        ii = np.broadcast_to(np.arange(cap)[:, None], nl.idx.shape)
+        okn = (np.asarray(jax.device_get(ok)) & valid[ii]
+               & valid[np.asarray(jax.device_get(jc))])
+        return ii, np.asarray(jax.device_get(jc)), okn
+
+    def neighlist_num_elements(self, handle: int = 0) -> int:
+        """Number of atoms carrying neighbor entries."""
+        return self.get_natoms()
+
+    def neighlist_element_neighbors(self, handle: int, element: int):
+        """(iatom, neighbors) — neighbors as tag-order indices of the
+        element-th atom's in-cutoff partners."""
+        st = self._sim.state
+        from .core.state import atom_order
+
+        order = atom_order(st)
+        row = order[element]
+        ii, jc, okn = self._analysis_list()
+        js = jc[row][okn[row]]
+        inv = np.zeros(st.capacity, np.int64)
+        inv[order] = np.arange(len(order))
+        return element, inv[js]
+
+    # -- image flags (ref: lammps_encode/decode_image_flags,
+    #    library.cpp:4465) ----------------------------------------------
+
+    @staticmethod
+    def encode_image_flags(ix: int, iy: int, iz: int):
+        return (ix, iy, iz)
+
+    @staticmethod
+    def decode_image_flags(image):
+        return tuple(int(v) for v in np.asarray(image).reshape(3))
+
+    # -- config / runtime queries (ref: lammps_config_*, lammps_get_os_info,
+    #    lammps_memory_usage, library.cpp:4550-4800) ---------------------
+
+    @staticmethod
+    def config_has_mpi_support() -> bool:
+        return False  # single-process; the device mesh replaces MPI
+
+    @staticmethod
+    def config_has_gzip_support() -> bool:
+        return True
+
+    @staticmethod
+    def config_has_package(name: str) -> bool:
+        return name.upper() in ("KOKKOS", "KSPACE", "MANYBODY", "MOLECULE",
+                                "RIGID", "ML-SNAP", "GRANULAR", "REPLICA")
+
+    @staticmethod
+    def config_package_count() -> int:
+        return 8
+
+    @staticmethod
+    def config_package_name(idx: int) -> str:
+        pkgs = ("KOKKOS", "KSPACE", "MANYBODY", "MOLECULE", "RIGID",
+                "ML-SNAP", "GRANULAR", "REPLICA")
+        return pkgs[idx] if 0 <= idx < len(pkgs) else ""
+
+    @staticmethod
+    def get_os_info() -> str:
+        import platform
+
+        return f"{platform.system()} {platform.release()} ({platform.machine()})"
+
+    @staticmethod
+    def get_gpu_device_count() -> int:
+        return len([d for d in jax.devices() if d.platform != "cpu"])
+
+    def memory_usage(self) -> dict:
+        """Approximate resident bytes of the state pytree (ref:
+        lammps_memory_usage)."""
+        st = self._sim.state
+        total = sum(a.size * a.dtype.itemsize
+                    for a in jax.tree.leaves(st)
+                    if hasattr(a, "size") and hasattr(a, "dtype"))
+        return {"device_bytes": int(total)}
+
+    def extract_atom_datatype(self, name: str) -> int:
+        """C-API datatype codes: 0 int*, 1 int**, 2 double*, 3 double**."""
+        codes = {"x": 3, "v": 3, "f": 3, "q": 2, "type": 0, "id": 0,
+                 "mask": 0, "molecule": 0, "image": 1}
+        if name not in codes:
+            return -1
+        return codes[name]
+
+    def extract_global_datatype(self, name: str) -> int:
+        codes = {"natoms": 0, "ntimestep": 0, "dt": 2, "boxlo": 3,
+                 "boxhi": 3, "boltz": 2, "units": 4}
+        return codes.get(name, -1)
+
+    # -- error / run state (ref: lammps_has_error,
+    #    lammps_get_last_error_message, lammps_is_running) ---------------
+
+    def has_error(self) -> bool:
+        return getattr(self.script, "_last_error", None) is not None
+
+    def get_last_error_message(self) -> str:
+        return str(getattr(self.script, "_last_error", "") or "")
+
+    def is_running(self) -> bool:
+        return False  # commands are synchronous in this embedding
+
+    def force_timeout(self):
+        """Arm the walltime guard so the next run exits promptly (the
+        timer timeout analog)."""
+        sim = self._sim
+        sim._force_timeout = True
+
+    def flush_buffers(self):
+        if self.script.log_file:
+            pass  # log lines are written eagerly
 
     def last_thermo(self) -> dict:
         """The most recent thermo row (ref: lammps_last_thermo)."""
