@@ -182,20 +182,24 @@ class TestShardedNoseHoover:
         g = smd.gather()
         np.testing.assert_array_equal(g["tag"], tags_ref)
         prd = np.asarray(jax.device_get(g["box"].prd))
-        # Tolerance calibration (r5, benchmarks/prof/repro_npt_shard.py):
-        # the sharded-vs-single box edge is BIT-EXACT after step 1 and
-        # then diverges by pure reduction-order roundoff amplified ~x2
-        # per step through the chaotic dynamics + barostat feedback
-        # (measured rel diff: step2 2.2e-11, step4 4.2e-10, step8
-        # 3.6e-9, step12 1.4e-8 — smooth exponential growth from an
-        # f64-roundoff seed, no step-1 systematic). 1e-7 pins the
-        # 12-step point with ~7x margin; a real virial bug would appear
-        # at step 1-2 far above this floor.
+        # Tolerance calibration (r5, benchmarks/prof/repro_npt_shard.py +
+        # /tmp bisects): the sharded-vs-single box edge is BIT-EXACT after
+        # step 1 and then diverges by reduction-order roundoff amplified
+        # ~x2/step through the chaotic dynamics + barostat feedback
+        # (box rel diff: step2 2.2e-11 -> step12 1.4e-8). Per-atom
+        # positions diverge faster (frac diff: step2 3.8e-8 -> step12
+        # 2.6e-5): the per-atom deltas are GLOBALLY CANCELLING (the box,
+        # which integrates the summed virial, stays at reduction-order
+        # level) and appear IDENTICALLY with kspace removed and with
+        # SHAKE removed — i.e. not a force-stack systematic; a real
+        # virial/force bug would move the box ~1e-6, 5 orders above what
+        # is observed. Pinned at the measured 12-step points with ~5x
+        # margin.
         np.testing.assert_allclose(prd, prd_ref, rtol=1e-7)
         frac = _wrap_frac(g["box"], g["x"])
         d = np.abs(frac - frac_ref)
         d = np.minimum(d, 1.0 - d)
-        assert d.max() < 3e-7, d.max()
+        assert d.max() < 1e-4, d.max()
         return smd
 
     def test_nvt_8_shards(self, water_data):
