@@ -121,8 +121,13 @@ def main():
         log(f"eam-32k failed: {e}")
 
     # -- secondary: granular chute 32k (bench/in.chute) ---------------------
-    # dense grid engine (ops/grangrid); baseline 5.99 M atom-steps/s =
-    # bench/log.6Oct16.chute.fixed.icc.1 (1 CPU core, 2016)
+    # baseline 5.99 M atom-steps/s = bench/log.6Oct16.chute.fixed.icc.1
+    # (1 CPU core, 2016). The dense grid engine (ops/grangrid) OOMs the
+    # TPU compile: its [ntot, cc, 27, cc, 3] shear tensors pad ~25x under
+    # the (8,128) tiling (r5 root-cause of the r3/r4 "compiler crash" —
+    # 19.7 GB padded vs 0.94 GB logical); until the lane-major granular
+    # rewrite lands, the [N,K] matrix engine provides the honest TPU
+    # number (gather-bound, ~1.3 M)
     try:
         import os as _os
 
@@ -131,7 +136,7 @@ def main():
         cwd = _os.getcwd()
         _os.chdir("/root/reference/bench")
         try:
-            s = LammpsScript(dtype=jnp.float32, list_mode="grid")
+            s = LammpsScript(dtype=jnp.float32, list_mode="matrix")
             deck = open("in.chute").read().replace(
                 "run             100", "run 0")
             for ln in deck.strip().splitlines():
@@ -157,7 +162,7 @@ def main():
         t1, t2 = timed(100), timed(300)
         per = (t2 - t1) / 200
         r = n / per
-        log(f"chute-32k [gran grid]: {r/1e6:.2f} M atom-steps/s "
+        log(f"chute-32k [matrix]: {r/1e6:.2f} M atom-steps/s "
             f"({per*1e3:.2f} ms/step), vs CPU baseline {r/5.99e6:.1f}x")
         extra["chute_32k_atom_steps_per_sec"] = round(r)
     except Exception as e:  # noqa: BLE001
