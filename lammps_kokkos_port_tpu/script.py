@@ -1724,7 +1724,11 @@ class LammpsScript:
                  "displace/atom", "vacf", "temp/com", "coord/atom",
                  "property/atom", "reduce", "dipole", "angmom",
                  "cluster/atom", "centro/atom", "cna/atom",
-                 "pair/local", "bond/local", "inertia/chunk")
+                 "pair/local", "bond/local", "inertia/chunk",
+                 "angle/local", "dihedral/local", "property/local",
+                 "temp/partial", "temp/region", "vcm/chunk",
+                 "gyration/chunk", "angmom/chunk", "heat/flux",
+                 "count/type", "slice")
         if style not in known:
             raise ScriptError(f"compute style {style} unsupported")
         self.computes[cid] = (group, style, a[3:])
@@ -1845,8 +1849,57 @@ class LammpsScript:
             ok = (nl2.idx < st.capacity) & (r2 < rc * rc)
             return np.asarray(_jnp.sum(ok, axis=-1))[
                 np.asarray(st.valid_mask)]
+        if style == "temp/partial":
+            # KE over the enabled velocity components
+            # (ref: src/compute_temp_partial.cpp)
+            import jax.numpy as _jnp
+
+            flags = np.array([int(args[0]), int(args[1]), int(args[2])])
+            g = st.valid_mask & st.group_mask(gbit)
+            vsel = st.v * _jnp.asarray(flags, st.dtype)
+            ke2 = _jnp.sum(_jnp.where(
+                g, st.per_atom_mass * _jnp.sum(vsel * vsel, axis=-1), 0.0))
+            nfl = int(flags.sum())
+            dof = nfl * float(_jnp.sum(g)) - nfl
+            return float(ke2 * u.mvv2e / max(dof, 1.0) / u.boltz)
+        if style == "temp/region":
+            # temperature of atoms currently inside a region
+            # (ref: src/compute_temp_region.cpp — dof = dim * count)
+            import jax.numpy as _jnp
+
+            inside = np.zeros(st.capacity, bool)
+            valid = np.asarray(st.valid_mask)
+            xs = np.asarray(jax.device_get(st.x))
+            inside[valid] = self._region_contains(args[0], xs[valid])
+            g = st.valid_mask & st.group_mask(gbit) & _jnp.asarray(inside)
+            ke2 = _jnp.sum(_jnp.where(
+                g, st.per_atom_mass * _jnp.sum(st.v * st.v, axis=-1), 0.0))
+            dof = 3.0 * float(_jnp.sum(g))
+            return float(ke2 * u.mvv2e / max(dof, 1.0) / u.boltz)
+        if style == "count/type":
+            # per-type atom counts in the group
+            # (ref: src/compute_count_type.cpp)
+            g = np.asarray(st.valid_mask & st.group_mask(gbit))
+            t = np.asarray(st.type)[g]
+            return np.bincount(t, minlength=self.ntypes + 1)[1:]
+        if style in ("vcm/chunk", "gyration/chunk", "angmom/chunk"):
+            return self._compute_chunk_extra(style, st, sim, gbit)
+        if style == "heat/flux":
+            return self._compute_heat_flux(st, sim, gbit, args)
+        if style == "slice":
+            # rows [start:stop:skip] (1-based inclusive) of another
+            # compute's vector/array (ref: src/compute_slice.cpp)
+            start, stop, skip = int(args[0]), int(args[1]), int(args[2])
+            ref = args[3]
+            src = np.atleast_1d(np.asarray(
+                self.get_compute(ref[2:] if ref.startswith("c_") else ref)))
+            return src[start - 1:stop:skip]
         if style in ("cluster/atom", "centro/atom", "cna/atom"):
             return self._compute_structure_atom(style, st, sim, gbit, args)
+        if style in ("angle/local", "dihedral/local"):
+            return self._compute_topo_local(style, st, sim, args)
+        if style == "property/local":
+            return self._compute_property_local(st, sim, args)
         if style == "pair/local":
             return self._compute_pair_local(st, sim, gbit, args)
         if style == "bond/local":
@@ -2221,6 +2274,160 @@ class LammpsScript:
                 raise ScriptError(f"pair/local column {c}")
         res = np.stack(out, axis=-1)
         return res[:, 0] if res.shape[1] == 1 else res
+
+    def _compute_chunk_extra(self, style, st, sim, gbit):
+        """vcm/chunk, gyration/chunk, angmom/chunk over molecule-ID
+        chunks (ref: src/compute_vcm_chunk.cpp, compute_gyration_chunk.cpp,
+        compute_angmom_chunk.cpp). Group-masked per ADVICE r4."""
+        import jax.numpy as _jnp
+
+        g = st.valid_mask & st.group_mask(gbit)
+        m = _jnp.where(g, st.per_atom_mass, 0.0)
+        chunk = _jnp.where(g, st.molecule - 1, -1)
+        nmol = int(max(self.molecules))
+        prd = st.box.prd.astype(st.dtype)
+        xu = st.x + st.image.astype(st.dtype) * prd
+        ok = chunk >= 0
+        idx = _jnp.where(ok, chunk, 0)
+
+        def csum(vals, width=None):
+            shape = (nmol,) if width is None else (nmol, width)
+            z = _jnp.zeros(shape, st.dtype)
+            v = _jnp.where(ok if width is None else ok[:, None], vals, 0.0)
+            return z.at[idx].add(v, mode="drop")
+
+        mc = _jnp.maximum(csum(m), 1e-300)
+        com = csum(m[:, None] * xu, 3) / mc[:, None]
+        if style == "vcm/chunk":
+            vcm = csum(m[:, None] * st.v, 3) / mc[:, None]
+            return np.asarray(vcm)
+        rel = xu - com[idx]
+        if style == "gyration/chunk":
+            rg2 = csum(m * _jnp.sum(rel * rel, axis=-1)) / mc
+            return np.sqrt(np.asarray(rg2))
+        # angmom/chunk: L = sum m (r - com) x v
+        lx = m * (rel[:, 1] * st.v[:, 2] - rel[:, 2] * st.v[:, 1])
+        ly = m * (rel[:, 2] * st.v[:, 0] - rel[:, 0] * st.v[:, 2])
+        lz = m * (rel[:, 0] * st.v[:, 1] - rel[:, 1] * st.v[:, 0])
+        return np.asarray(csum(_jnp.stack([lx, ly, lz], axis=-1), 3))
+
+    def _compute_heat_flux(self, st, sim, gbit, args):
+        """compute heat/flux ke-ID pe-ID stress-ID: 6-vector [Jc+Jv, Jc]
+        (unnormalized by volume, as the reference outputs; ref:
+        src/compute_heat_flux.cpp — jv -= S.v, jc += e v)."""
+        valid = np.asarray(st.valid_mask)
+
+        def per_atom(a):
+            """Normalize referenced per-atom outputs to valid-row shape
+            (some computes return capacity-padded arrays)."""
+            a = np.atleast_1d(np.asarray(a))
+            return a[valid] if a.shape[0] == st.capacity else a
+
+        ke_at = per_atom(self.get_compute(args[0]))
+        pe_at = per_atom(self.get_compute(args[1]))
+        s_at = per_atom(self.get_compute(args[2]))  # [n, 6] Voigt
+        v = np.asarray(jax.device_get(st.v))[valid]
+        g = np.asarray(st.group_mask(gbit))[valid] != 0
+        e = (ke_at + pe_at) * g
+        jc = (e[:, None] * v).sum(axis=0)
+        sxx, syy, szz, sxy, sxz, syz = (s_at[:, i] * g for i in range(6))
+        jv = -np.stack([
+            (sxx * v[:, 0] + sxy * v[:, 1] + sxz * v[:, 2]).sum(),
+            (sxy * v[:, 0] + syy * v[:, 1] + syz * v[:, 2]).sum(),
+            (sxz * v[:, 0] + syz * v[:, 1] + szz * v[:, 2]).sum()])
+        jv = jv / sim.units.nktv2p  # stress is in pressure*volume units
+        return np.concatenate([jc + jv, jc])
+
+    def _compute_topo_local(self, style, st, sim, args):
+        """angle/local (theta/eng) and dihedral/local (phi) rows
+        (ref: src/compute_angle_local.cpp, compute_dihedral_local.cpp)."""
+        cols = list(args) or (["theta"] if style == "angle/local"
+                              else ["phi"])
+        top = sim.forcefield.topology
+        x = np.asarray(jax.device_get(st.x))
+        prd = np.asarray(jax.device_get(st.box.prd))
+
+        def mi(d):
+            return d - prd * np.round(d / prd)
+
+        if style == "angle/local":
+            arr = (np.asarray(top.angles)
+                   if top is not None and top.angles.shape[0] else
+                   np.zeros((0, 4), np.int32))
+            arr = arr[arr[:, 0] > 0]
+            if not len(arr):
+                return np.zeros((0, len(cols)))
+            d1 = mi(x[arr[:, 1]] - x[arr[:, 2]])
+            d2 = mi(x[arr[:, 3]] - x[arr[:, 2]])
+            ct = (d1 * d2).sum(-1) / (np.linalg.norm(d1, axis=-1)
+                                      * np.linalg.norm(d2, axis=-1))
+            theta = np.degrees(np.arccos(np.clip(ct, -1.0, 1.0)))
+            out = []
+            for c in cols:
+                if c == "theta":
+                    out.append(theta)
+                elif c == "eng":
+                    am = sim.forcefield.angle
+                    if not hasattr(am, "energy_one"):
+                        raise ScriptError("angle/local eng unsupported "
+                                          "for this style")
+                    e = jax.vmap(am.energy_one)(
+                        jnp.asarray(d1, st.dtype), jnp.asarray(d2, st.dtype),
+                        jnp.asarray(arr[:, 0], np.int32))
+                    out.append(np.asarray(e))
+                else:
+                    raise ScriptError(f"angle/local column {c}")
+            res = np.stack(out, axis=-1)
+            return res[:, 0] if res.shape[1] == 1 else res
+        arr = (np.asarray(top.dihedrals)
+               if top is not None and top.dihedrals.shape[0] else
+               np.zeros((0, 5), np.int32))
+        arr = arr[arr[:, 0] > 0]
+        if not len(arr):
+            return np.zeros((0, len(cols)))
+        b1 = mi(x[arr[:, 2]] - x[arr[:, 1]])
+        b2 = mi(x[arr[:, 3]] - x[arr[:, 2]])
+        b3 = mi(x[arr[:, 4]] - x[arr[:, 3]])
+        n1 = np.cross(b1, b2)
+        n2 = np.cross(b2, b3)
+        cphi = (n1 * n2).sum(-1) / np.maximum(
+            np.linalg.norm(n1, axis=-1) * np.linalg.norm(n2, axis=-1),
+            1e-300)
+        sphi = (np.cross(n1, n2) * b2).sum(-1) / np.maximum(
+            np.linalg.norm(b2, axis=-1), 1e-300)
+        phi = np.degrees(np.arctan2(sphi / np.maximum(
+            np.linalg.norm(n1, axis=-1) * np.linalg.norm(n2, axis=-1),
+            1e-300), cphi))
+        return phi
+
+    def _compute_property_local(self, st, sim, args):
+        """property/local: topology/pair index-and-type columns
+        (ref: src/compute_property_local.cpp)."""
+        tags = np.asarray(jax.device_get(st.tag))
+        types = np.asarray(jax.device_get(st.type))
+        top = sim.forcefield.topology
+        cols = list(args)
+        if any(c.startswith(("patom", "ptype")) for c in cols):
+            i_idx, j_idx, _ = self._host_adjacency(
+                st, sim.forcefield.max_cutoff())
+            keep = i_idx < j_idx
+            i_idx, j_idx = i_idx[keep], j_idx[keep]
+            table = {"patom1": tags[i_idx], "patom2": tags[j_idx],
+                     "ptype1": types[i_idx], "ptype2": types[j_idx]}
+        else:
+            kind = {"b": "bonds", "a": "angles", "d": "dihedrals",
+                    "i": "impropers"}[cols[0][0]]
+            arr = np.asarray(getattr(top, kind))
+            arr = arr[arr[:, 0] > 0]
+            table = {}
+            for c in cols:
+                if c.endswith("type"):
+                    table[c] = arr[:, 0]
+                else:
+                    k = int(c[-1])
+                    table[c] = tags[arr[:, k]]
+        out = np.stack([table[c].astype(float) for c in cols], axis=-1)
+        return out[:, 0] if out.shape[1] == 1 else out
 
     def _compute_bond_local(self, st, sim, gbit, args):
         """compute bond/local: one row per bond; columns dist/eng/engpot
