@@ -40,8 +40,28 @@ def _voigt(outer_sum: Array) -> Array:
     ])
 
 
+@jax.custom_jvp
 def _acos_safe(c: Array) -> Array:
-    return jnp.arccos(jnp.clip(c, -1.0 + 1e-12, 1.0 - 1e-12))
+    """arccos with a BOUNDED gradient at |c| -> 1.
+
+    The reference floors s = sqrt(1-c^2) at SMALL = 0.001 so collinear
+    angles exert a large-but-finite restoring force (ref:
+    src/MOLECULE/angle_charmm.cpp / angle_harmonic.cpp `if (s < SMALL)`).
+    A plain epsilon-clip fails in f32 — 1 - 1e-12 rounds to exactly 1.0,
+    so near-collinear angles autodiffed to NaN and blew up trajectories
+    (r5 rhodo-mix diagnosis); the custom JVP applies the reference's
+    floor to the derivative itself."""
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+
+
+@_acos_safe.defjvp
+def _acos_safe_jvp(primals, tangents):
+    (c,) = primals
+    (dc,) = tangents
+    cc = jnp.clip(c, -1.0, 1.0)
+    s = jnp.sqrt(jnp.maximum(1.0 - cc * cc, 0.0))
+    s = jnp.maximum(s, 1e-3)  # SMALL, ref: angle_charmm.cpp
+    return jnp.arccos(cc), -dc / s
 
 
 def _params(table: Array, t: Array):

@@ -195,3 +195,34 @@ class TestSliceAndHeatFlux:
         jc = ((ke + pe)[:, None] * v).sum(0)
         np.testing.assert_allclose(out[3:], jc, rtol=1e-10)
         assert np.all(np.isfinite(out))
+
+
+class TestAcosSafeGradient:
+    def test_collinear_angle_force_finite_f32(self):
+        """Near-collinear angles must exert large-but-FINITE forces: in
+        f32 a plain epsilon-clip of cos(theta) rounds to exactly +-1 and
+        autodiffs to NaN (r5 rhodo-mix blowup root cause). The reference
+        floors s = sqrt(1-c^2) at SMALL=0.001 (angle_charmm.cpp)."""
+        from lammps_kokkos_port_tpu.models import bonded
+
+        ang = bonded.AngleCharmm(
+            k=jnp.array([0.0, 50.0], jnp.float32),
+            theta0=jnp.array([0.0, np.radians(113.0)], jnp.float32),
+            k_ub=jnp.array([0.0, 5.0], jnp.float32),
+            r_ub=jnp.array([0.0, 2.5], jnp.float32))
+        g = jax.grad(lambda d1, d2: ang.energy_one(d1, d2, 1),
+                     argnums=(0, 1))
+        for eps in (1e-2, 1e-4, 0.0):
+            d1 = jnp.array([1.1, 0.0, 0.0], jnp.float32)
+            d2 = jnp.array([-1.1, eps, 0.0], jnp.float32)
+            g1, g2 = g(d1, d2)
+            assert bool(jnp.isfinite(g1).all()), eps
+            assert bool(jnp.isfinite(g2).all()), eps
+        # and the floor matches the reference: a normal angle's force is
+        # untouched (s >= 0.001 there)
+        d1 = jnp.array([1.1, 0.0, 0.0], jnp.float64)
+        d2 = jnp.array([-0.5, 1.0, 0.0], jnp.float64)
+        g64 = jax.grad(lambda a, b: ang.energy_one(
+            a.astype(jnp.float32), b.astype(jnp.float32), 1).astype(
+            jnp.float64), argnums=0)(d1, d2)
+        assert bool(jnp.isfinite(g64).all())
