@@ -185,12 +185,17 @@ def main():
     # fact the TRAJECTORY going non-finite ~22 steps from the raw
     # synthesized configuration (diagnosed via benchmarks/prof; the old
     # bench never checked finiteness, so the r4 number was measured on a
-    # blown-up trajectory). The synthetic packing needs equilibration the
-    # real data.rhodo arrived with: quench-relax (zero-velocity segments),
-    # then stepped re-thermalization, at timestep 1.0 (the deck's dt=2.0
-    # is not stable for this synthetic system in f32; atom-steps/s is
-    # dt-independent, so the comparison stays per-step honest). Timed
-    # segments are LONG FUSED scans (k=100/300) with finiteness asserted.
+    # blown-up trajectory). Known-fixed along the way: f32 NaN in
+    # near-collinear angle forces (models/bonded._acos_safe custom JVP).
+    # STATUS: even after quench-relax + stepped re-thermalization at
+    # timestep 1.0, the synthesized system still goes non-finite around
+    # 150-200 K — REPRODUCED IDENTICALLY in f64 on CPU (same failure
+    # stage/temperature), so this is a property of the synthetic
+    # structure / force-field combination, not precision or TPU. Until
+    # the generator produces a dynamically stable packing (or the real
+    # data.rhodo is obtained), this section reports 'failed' rather than
+    # publish a NaN-physics number. Timed segments are LONG FUSED scans
+    # (k=100/300) with finiteness asserted.
     try:
         import os as _os
         import sys as _sys
